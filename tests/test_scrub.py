@@ -1,0 +1,305 @@
+"""Splice/replacement, dedup, training-injection and column-filter tests
+(SURVEY.md sections 2.2, 2.7; FIXTURES.md section 7 expectation matrix)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from azure_based_pii_redactor_spark.kernel import (
+    Entity,
+    RedactOptions,
+    apply_redaction,
+    deduplicate,
+    detect_pii,
+    scrub_text,
+)
+from azure_based_pii_redactor_spark.kernel.column_config import (
+    ColumnConfig,
+    EntityRule,
+    ListPattern,
+)
+from azure_based_pii_redactor_spark.kernel.confidence import (
+    calculate_confidence,
+    context_score,
+    weighted_average,
+)
+from azure_based_pii_redactor_spark.kernel.training import (
+    apply_training_feedback,
+    get_training_feedback,
+)
+
+DOC = "email a@b.com ip 10.0.0.1 ssn 536-90-4399 end"
+
+
+def ent(type_, text, start, end, conf=0.9, cat="x"):
+    return Entity(type_, text, start, end, conf, cat)
+
+
+# -- redaction mode matrix (FIXTURES.md section 7) ---------------------------
+
+def test_replace_mode_default_labels():
+    r = scrub_text(DOC)
+    # email/ssn/ip get hardcoded default labels (detector.go:487-494).
+    assert "[REDACTED_EMAIL]" in r.scrubbed_text
+    assert "[REDACTED_SSN]" in r.scrubbed_text
+    assert "[REDACTED_IP]" in r.scrubbed_text
+    assert "a@b.com" not in r.scrubbed_text
+
+
+def test_replace_mode_generic_fallback():
+    r = scrub_text("mac 00:1A:2B:3C:4D:5E up")
+    assert "[REDACTED]" in r.scrubbed_text  # no default label for mac
+
+
+def test_mask_mode():
+    r = scrub_text("mac 00:1A:2B:3C:4D:5E up", RedactOptions(redaction_mode="mask"))
+    assert "*" * 17 in r.scrubbed_text
+
+
+def test_remove_mode():
+    r = scrub_text("mac 00:1A:2B:3C:4D:5E up", RedactOptions(redaction_mode="remove"))
+    assert r.scrubbed_text == "mac  up"
+
+
+def test_custom_labels_override():
+    r = scrub_text(DOC, RedactOptions(custom_labels={"email": "<E>"}))
+    assert "<E>" in r.scrubbed_text
+
+
+def test_export_style_fallback():
+    r = scrub_text(
+        "mac 00:1A:2B:3C:4D:5E up",
+        RedactOptions(export_style_fallback=True),
+    )
+    assert "[REDACTED_MAC_ADDRESS]" in r.scrubbed_text
+
+
+def test_default_label_beats_mode():
+    # detector.go:480-509: custom label, then default label, THEN mode.
+    r = scrub_text("email a@b.com x", RedactOptions(redaction_mode="mask"))
+    assert "[REDACTED_EMAIL]" in r.scrubbed_text
+
+
+# -- splice mechanics --------------------------------------------------------
+
+def test_reverse_splice_preserves_outside_text():
+    text = "aa a@b.com bb 10.0.0.1 cc"
+    r = scrub_text(text)
+    assert r.scrubbed_text.startswith("aa ")
+    assert " bb " in r.scrubbed_text
+    assert r.scrubbed_text.endswith(" cc")
+
+
+def test_same_span_two_types_both_survive_and_double_splice():
+    # dedup key includes type (detector.go:423): both survive; the second
+    # splice sees mutated bounds and is skipped or corrupts -- canonical
+    # order makes it deterministic.  536904399 is both ssn and
+    # driver_license at the same span.
+    r = scrub_text("id 536904399 end")
+    types = {e.type for e in r.entities}
+    assert {"ssn", "driver_license", "bank_account"} <= types
+    # Deterministic output (regression-pinned):
+    assert r.scrubbed_text == scrub_text("id 536904399 end").scrubbed_text
+
+
+def test_invalid_bounds_skipped():
+    out = apply_redaction("short", [ent("x", "looooong", 0, 99)], RedactOptions())
+    assert out == "short"
+
+
+def test_dedup_first_wins():
+    es = [ent("t", "a", 0, 1, 0.9), ent("t", "b", 0, 1, 0.1), ent("u", "a", 0, 1)]
+    d = deduplicate(es)
+    assert len(d) == 2
+    assert d[0].text == "a"
+
+
+# -- training feedback -------------------------------------------------------
+
+FEEDBACK = [
+    {"entity_text": "Acme Corp", "entity_type": "org", "user_decision": "correct",
+     "timestamp": 1},
+    {"entity_text": "foo@bar.com", "entity_type": "email",
+     "user_decision": "incorrect", "timestamp": 2},
+]
+
+
+def test_training_injection_all_occurrences_case_insensitive():
+    text = "ACME CORP bought acme corp."
+    ents = apply_training_feedback(text, FEEDBACK)
+    assert [(e.start, e.end) for e in ents] == [(0, 9), (17, 26)]
+    assert ents[0].text == "ACME CORP"  # original case preserved
+    assert all(e.confidence == 0.95 for e in ents)
+
+
+def test_training_latest_wins():
+    hist = [
+        {"entity_text": "x", "entity_type": "t", "user_decision": "correct"},
+        {"entity_text": "x", "entity_type": "t", "user_decision": "incorrect"},
+    ]
+    score, found = get_training_feedback("x", "t", hist)
+    assert found and score == 0.05  # newest-first scan: incorrect wins
+    score, found = get_training_feedback("y", "t", hist)
+    assert not found and score == 0.0
+
+
+def test_scrub_with_training():
+    r = scrub_text("deal with Acme Corp now", feedback_history=FEEDBACK)
+    assert any(e.type == "org" for e in r.entities)
+    assert "Acme Corp" not in r.scrubbed_text
+
+
+def test_use_training_false():
+    r = scrub_text(
+        "deal with Acme Corp now",
+        RedactOptions(use_training=False),
+        feedback_history=FEEDBACK,
+    )
+    assert all(e.type != "org" for e in r.entities)
+
+
+# -- column config (P3-P8) ---------------------------------------------------
+
+def test_disabled_mode_returns_empty():
+    cfg = ColumnConfig(detection_mode="disabled")
+    assert cfg.apply_filtering(detect_pii(DOC), DOC) == []
+
+
+def test_mode_thresholds():
+    es = [ent("a", "x", 0, 1, 0.6), ent("b", "y", 2, 3, 0.8),
+          ent("c", "z", 4, 5, 0.95)]
+    agg = ColumnConfig(detection_mode="aggressive", min_confidence=0.0)
+    bal = ColumnConfig(detection_mode="balanced", min_confidence=0.0)
+    con = ColumnConfig(detection_mode="conservative", min_confidence=0.0)
+    assert len(agg.apply_filtering(es, "")) == 3
+    assert len(bal.apply_filtering(es, "")) == 2
+    assert len(con.apply_filtering(es, "")) == 1
+    # custom mode: no default detection at all (column_config.go:277-279)
+    cus = ColumnConfig(detection_mode="custom", min_confidence=0.0)
+    assert cus.apply_filtering(es, "") == []
+
+
+def test_min_confidence_and_exclusion():
+    es = [ent("a", "x", 0, 1, 0.72), ent("b", "y", 2, 3, 0.99)]
+    cfg = ColumnConfig(min_confidence=0.8)
+    assert [e.type for e in cfg.apply_filtering(es, "")] == ["b"]
+    cfg2 = ColumnConfig(min_confidence=0.0, excluded_entity_types=frozenset({"b"}))
+    assert [e.type for e in cfg2.apply_filtering(es, "")] == ["a"]
+
+
+def test_whitelist_regex_and_literal():
+    es = [ent("a", "test@example.com", 0, 16, 0.99),
+          ent("a", "real@corp.com", 20, 33, 0.99)]
+    cfg = ColumnConfig(
+        whitelist_patterns=[ListPattern(r"@EXAMPLE\.com", is_regex=True)])
+    out = cfg.apply_filtering(es, "")
+    assert [e.text for e in out] == ["real@corp.com"]
+    cfg2 = ColumnConfig(whitelist_patterns=[ListPattern("REAL@corp")])
+    out2 = cfg2.apply_filtering(es, "")
+    assert [e.text for e in out2] == ["test@example.com"]
+
+
+def test_entity_rules_custom_replacement():
+    es = [ent("a", "secret", 0, 6, 0.99)]
+    cfg = ColumnConfig(entity_rules={"a": EntityRule(custom_replacement="XX")})
+    out = cfg.apply_filtering(es, "")
+    assert out[0].text == "XX"
+    cfg2 = ColumnConfig(entity_rules={"a": EntityRule(enabled=False)})
+    assert cfg2.apply_filtering(es, "") == []
+    cfg3 = ColumnConfig(entity_rules={"a": EntityRule(confidence_threshold=0.999)})
+    assert cfg3.apply_filtering(es, "") == []
+
+
+def test_blacklist_regex_all_literal_first_only():
+    text = "foo SECRET bar secret baz"
+    cfg = ColumnConfig(blacklist_patterns=[ListPattern("secret", is_regex=True)])
+    out = cfg.apply_filtering([], text)
+    assert len(out) == 2  # regex: ALL matches
+    assert all(e.type == "blacklisted" and e.confidence == 1.0 for e in out)
+    cfg2 = ColumnConfig(blacklist_patterns=[ListPattern("secret")])
+    out2 = cfg2.apply_filtering([], text)
+    assert len(out2) == 1  # literal: FIRST occurrence only (reference quirk)
+    assert out2[0].start == 4
+
+
+# -- confidence model --------------------------------------------------------
+
+def test_context_score():
+    assert context_score("our company demo sample") == 0.3  # business-heavy
+    assert context_score("patient private ssn") == 0.8  # sensitive-heavy
+    assert context_score("neutral words only") == 0.5
+
+
+def test_weighted_average_empty():
+    assert weighted_average([]) == 0.5
+
+
+def test_calculate_confidence_bounds_and_signals():
+    e = ent("ssn", "536-90-4399", 0, 11, 0.95)
+    adj, signals = calculate_confidence(e, "patient ssn private data")
+    names = [s.name for s in signals]
+    assert names == ["azure_confidence", "pattern_match", "context_analysis",
+                     "historical_accuracy"]
+    assert 0.0 <= adj <= 1.0
+    # hand-check: (0.95*.4 + 0.98*.15 + 0.8*.1 + 0.5*.05) / 0.7
+    expected = (0.95 * 0.4 + 0.98 * 0.15 + 0.8 * 0.1 + 0.5 * 0.05) / 0.7
+    assert abs(adj - expected) < 1e-12
+
+
+def test_confidence_training_signal():
+    e = ent("email", "a@b.com", 0, 7, 0.95)
+    hist = [{"entity_text": "a@b.com", "entity_type": "email",
+             "user_decision": "incorrect"}]
+    adj_with, signals = calculate_confidence(e, "", feedback_history=hist)
+    assert any(s.name == "training_feedback" and s.value == 0.05
+               for s in signals)
+    adj_without, _ = calculate_confidence(e, "")
+    assert adj_with < adj_without
+
+
+def test_confidence_gpt_inversion():
+    e = ent("email", "a@b.com", 0, 7, 0.95)
+    _, signals = calculate_confidence(e, "", gpt_validation=(False, False, 0.9))
+    gpt = [s for s in signals if s.name == "gpt_validation"][0]
+    assert abs(gpt.value - 0.1) < 1e-12
+
+
+# -- property-based invariants (SURVEY.md section 5 item 4) ------------------
+
+@st.composite
+def nonoverlapping_entities(draw):
+    text = draw(st.text(alphabet=st.characters(codec="ascii"), min_size=0,
+                        max_size=80))
+    n = draw(st.integers(0, 4))
+    cuts = sorted(draw(st.lists(st.integers(0, len(text)),
+                                min_size=2 * n, max_size=2 * n)))
+    ents = []
+    for i in range(n):
+        s, e = cuts[2 * i], cuts[2 * i + 1]
+        if s < e:
+            ents.append(Entity("mac_address", text[s:e], s, e, 0.9, "T"))
+    return text, ents
+
+
+@given(nonoverlapping_entities())
+@settings(max_examples=200, deadline=None)
+def test_splice_untouched_outside_spans(case):
+    text, ents = case
+    out = apply_redaction(text, ents, RedactOptions(redaction_mode="mask"))
+    # mask mode preserves length per span => full length preserved, and
+    # characters outside spans are untouched.
+    assert len(out) == len(text)
+    covered = set()
+    for e in ents:
+        covered.update(range(e.start, e.end))
+    for i, (a, b) in enumerate(zip(text, out)):
+        if i not in covered:
+            assert a == b
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_scrub_deterministic_and_dedup_idempotent(text):
+    r1 = scrub_text(text)
+    r2 = scrub_text(text)
+    assert r1 == r2
+    assert deduplicate(r1.entities) == r1.entities
