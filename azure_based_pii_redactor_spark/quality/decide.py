@@ -1,0 +1,49 @@
+"""Keep/drop decision: langid -> perplexity -> heuristics, fixed order.
+
+The decision order is part of the oracle contract (drop_reason labels are
+compared at F1 >= 0.99 -- BASELINE.json): language gate first, then fluency
+(perplexity), then the Gopher/C4 heuristic chain in heuristics.RULES order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from .heuristics import first_failing_rule, gopher_c4_metrics
+from .langid import predict_language
+from .perplexity import perplexity
+
+ALLOWED_LANGS: frozenset[str] = frozenset({"en"})
+MIN_LANG_SCORE = 0.60
+MAX_PERPLEXITY = 9_000.0
+
+
+class QualityDecision(NamedTuple):
+    keep: bool
+    drop_reason: str | None
+    lang_pred: str
+    lang_score: float
+    ppl: float
+    metrics: dict[str, float]
+
+
+def decide(
+    text: str,
+    allowed_langs: frozenset[str] = ALLOWED_LANGS,
+    min_lang_score: float = MIN_LANG_SCORE,
+    max_perplexity: float = MAX_PERPLEXITY,
+) -> QualityDecision:
+    lang_pred, lang_score = predict_language(text)
+    ppl = perplexity(text)
+    metrics = gopher_c4_metrics(text)
+
+    if lang_pred not in allowed_langs:
+        return QualityDecision(False, "langid_lang", lang_pred, lang_score, ppl, metrics)
+    if lang_score < min_lang_score:
+        return QualityDecision(False, "langid_score", lang_pred, lang_score, ppl, metrics)
+    if ppl > max_perplexity:
+        return QualityDecision(False, "perplexity", lang_pred, lang_score, ppl, metrics)
+    reason = first_failing_rule(metrics)
+    if reason is not None:
+        return QualityDecision(False, reason, lang_pred, lang_score, ppl, metrics)
+    return QualityDecision(True, None, lang_pred, lang_score, ppl, metrics)

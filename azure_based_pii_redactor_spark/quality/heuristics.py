@@ -1,0 +1,173 @@
+"""Gopher/C4-style heuristic quality rules.
+
+Thresholds follow the published Gopher rules (Rae et al. 2021, appendix A)
+and C4 heuristics (Raffel et al. 2020), both public.  Each document yields
+a metrics dict; ``first_failing_rule`` evaluates the rules in a FIXED order
+and returns the first violated rule's name (the ``drop_reason``), or None.
+
+Rule order is part of the oracle contract -- changing it changes
+drop_reason labels, so it is pinned by tests.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+_WORD = re.compile(r"\S+")
+_ALPHA = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]")
+_BULLET_PREFIXES = ("- ", "* ", "• ", "· ")
+_SYMBOLS = ("#", "…", "...")
+
+# Gopher word-count bounds.
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_WORD_RATIO = 0.10
+MAX_BULLET_LINE_FRAC = 0.90
+MAX_ELLIPSIS_LINE_FRAC = 0.30
+MIN_ALPHA_WORD_FRAC = 0.80
+MIN_STOPWORD_HITS = 2
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# C4-style content filters.
+C4_BAD_SUBSTRINGS = ("lorem ipsum", "{")
+MIN_SENTENCES = 3
+
+# A small toxicity blocklist (C4 uses the public "List of Dirty, Naughty ...";
+# here a deterministic embedded subset -- swap for the full list in prod).
+TOXICITY_WORDS = ("fuck", "shit", "bitch", "asshole", "bastard", "dickhead")
+
+
+def _ngram_char_fractions(words: list[str], text_len: int) -> dict[str, float]:
+    """Top n-gram (n=2..4) and duplicated n-gram (n=5..10) character
+    fractions, per the Gopher repetition rules."""
+    out: dict[str, float] = {}
+    for n in (2, 3, 4):
+        if len(words) < n:
+            out[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        grams = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+        gram, count = grams.most_common(1)[0]
+        chars = sum(len(w) for w in gram)
+        out[f"top_{n}gram_char_frac"] = (
+            (count * chars) / text_len if count > 1 and text_len else 0.0
+        )
+    for n in range(5, 11):
+        key = f"dup_{n}gram_char_frac"
+        if len(words) < n:
+            out[key] = 0.0
+            continue
+        grams = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+        # chars covered by n-grams occurring more than once (upper-bound
+        # estimate, duplicate-count weighted, as in common reimplementations)
+        dup_chars = sum(
+            (c - 1) * sum(len(w) for w in g) for g, c in grams.items() if c > 1
+        )
+        out[key] = dup_chars / text_len if text_len else 0.0
+    return out
+
+
+def gopher_c4_metrics(text: str) -> dict[str, float]:
+    """Compute every heuristic metric for one document."""
+    words = _WORD.findall(text)
+    n_words = len(words)
+    text_len = len(text)
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    n_lines = len(lines)
+    lower = text.lower()
+
+    mean_word_len = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    symbol_hits = sum(lower.count(s) for s in ("#", "…")) + lower.count("...")
+    symbol_ratio = symbol_hits / n_words if n_words else 0.0
+    bullet_frac = (
+        sum(1 for ln in lines if ln.lstrip().startswith(_BULLET_PREFIXES)) / n_lines
+        if n_lines
+        else 0.0
+    )
+    ellipsis_frac = (
+        sum(1 for ln in lines if ln.rstrip().endswith(("...", "…"))) / n_lines
+        if n_lines
+        else 0.0
+    )
+    alpha_word_frac = (
+        sum(1 for w in words if _ALPHA.search(w)) / n_words if n_words else 0.0
+    )
+    stopword_hits = sum(1 for sw in GOPHER_STOPWORDS if f" {sw} " in f" {lower} ")
+
+    line_counts = Counter(lines)
+    dup_line_frac = (
+        sum(c - 1 for c in line_counts.values() if c > 1) / n_lines if n_lines else 0.0
+    )
+    dup_line_char_frac = (
+        sum((c - 1) * len(ln) for ln, c in line_counts.items() if c > 1) / text_len
+        if text_len
+        else 0.0
+    )
+
+    sentences = len(re.findall(r"[.!?。!?]", text))
+    toxicity_hits = sum(1 for w in TOXICITY_WORDS if w in lower)
+
+    metrics: dict[str, float] = {
+        "n_words": float(n_words),
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "stopword_hits": float(stopword_hits),
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "n_sentences": float(sentences),
+        "toxicity_hits": float(toxicity_hits),
+        "has_lorem_ipsum": float("lorem ipsum" in lower),
+        "has_curly_brace": float("{" in text),
+    }
+    metrics.update(_ngram_char_fractions(words, text_len))
+    return metrics
+
+
+# (rule_name, predicate over metrics) -- FIXED evaluation order.
+RULES: tuple[tuple[str, object], ...] = (
+    ("gopher_word_count", lambda m: not MIN_WORDS <= m["n_words"] <= MAX_WORDS),
+    ("gopher_mean_word_length",
+     lambda m: not MIN_MEAN_WORD_LEN <= m["mean_word_len"] <= MAX_MEAN_WORD_LEN),
+    ("gopher_symbol_ratio", lambda m: m["symbol_word_ratio"] > MAX_SYMBOL_WORD_RATIO),
+    ("gopher_bullet_lines", lambda m: m["bullet_line_frac"] > MAX_BULLET_LINE_FRAC),
+    ("gopher_ellipsis_lines",
+     lambda m: m["ellipsis_line_frac"] > MAX_ELLIPSIS_LINE_FRAC),
+    ("gopher_alpha_words", lambda m: m["alpha_word_frac"] < MIN_ALPHA_WORD_FRAC),
+    ("gopher_stopwords", lambda m: m["stopword_hits"] < MIN_STOPWORD_HITS),
+    ("repetition_dup_lines", lambda m: m["dup_line_frac"] > MAX_DUP_LINE_FRAC),
+    ("repetition_dup_line_chars",
+     lambda m: m["dup_line_char_frac"] > MAX_DUP_LINE_CHAR_FRAC),
+    *(
+        (f"repetition_top_{n}gram",
+         (lambda n: lambda m: m[f"top_{n}gram_char_frac"] > MAX_TOP_NGRAM_CHAR_FRAC[n])(n))
+        for n in (2, 3, 4)
+    ),
+    *(
+        (f"repetition_dup_{n}gram",
+         (lambda n: lambda m: m[f"dup_{n}gram_char_frac"] > MAX_DUP_NGRAM_CHAR_FRAC[n])(n))
+        for n in range(5, 11)
+    ),
+    ("c4_lorem_ipsum", lambda m: m["has_lorem_ipsum"] > 0),
+    ("c4_curly_brace", lambda m: m["has_curly_brace"] > 0),
+    ("c4_min_sentences", lambda m: m["n_sentences"] < MIN_SENTENCES),
+    ("c4_toxicity", lambda m: m["toxicity_hits"] > 0),
+)
+
+RULE_NAMES: tuple[str, ...] = tuple(name for name, _ in RULES)
+
+
+def first_failing_rule(metrics: dict[str, float]) -> str | None:
+    for name, pred in RULES:
+        if pred(metrics):
+            return name
+    return None

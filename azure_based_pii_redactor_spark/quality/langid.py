@@ -1,0 +1,104 @@
+"""Deterministic character-trigram language identification.
+
+A fastText-style linear model over hashed character n-grams, reduced to its
+deterministic core: per-language char-trigram log-probability profiles with
+add-one smoothing, trained at import time from the embedded seed corpora
+(quality/corpora.py).  Chinese is additionally gated by CJK codepoint
+fraction (trigram profiles are sparse for ideographic scripts).
+
+Replaces the reference's hardcoded ``language: "en"`` Azure call parameter
+(``azure.go:104-112``) with a real per-document language decision, per the
+north star.
+
+Scoring: mean log-prob of the document's trigrams under each language
+profile; prediction = argmax; score = softmax margin of the winner
+(in (0,1], higher = more confident).  Documents with fewer than
+``MIN_TRIGRAMS`` usable trigrams predict ``("unk", 0.0)``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from .corpora import CORPORA
+
+LANGUAGES: tuple[str, ...] = tuple(sorted(CORPORA))
+MIN_TRIGRAMS = 8
+
+_STRIP = re.compile(r"[0-9\W_]+", re.UNICODE)
+
+
+def _trigrams(text: str) -> list[str]:
+    """Lowercase, collapse digits/punct/space runs to single spaces, then
+    slide a 3-char window (word-boundary markers included via the spaces)."""
+    norm = " " + _STRIP.sub(" ", text.lower()).strip() + " "
+    return [norm[i : i + 3] for i in range(len(norm) - 2)]
+
+
+def _build_profiles() -> tuple[dict[str, list[float]], list[float]]:
+    per_lang_counts: dict[str, Counter] = {}
+    vocab: set[str] = set()
+    for lang in LANGUAGES:
+        c: Counter = Counter()
+        for sentence in CORPORA[lang]:
+            c.update(_trigrams(sentence))
+        per_lang_counts[lang] = c
+        vocab.update(c)
+    profiles: dict[str, list[float]] = {}
+    floors: list[float] = []
+    v = len(vocab)
+    for lang in LANGUAGES:
+        c = per_lang_counts[lang]
+        total = sum(c.values())
+        denom = total + v + 1
+        floors.append(math.log(1.0 / denom))
+        profiles[lang] = [0.0] * 0  # placeholder, replaced below
+    # trigram -> per-language log-prob vector (dense per key, tiny vocab)
+    table: dict[str, list[float]] = {}
+    for tg in vocab:
+        row = []
+        for lang in LANGUAGES:
+            c = per_lang_counts[lang]
+            denom = sum(c.values()) + v + 1
+            row.append(math.log((c.get(tg, 0) + 1.0) / denom))
+        table[tg] = row
+    return table, floors
+
+
+_TABLE, _FLOORS = _build_profiles()
+
+_CJK = re.compile(r"[一-鿿㐀-䶿]")
+
+
+def cjk_fraction(text: str) -> float:
+    if not text:
+        return 0.0
+    return len(_CJK.findall(text)) / len(text)
+
+
+def predict_language(text: str) -> tuple[str, float]:
+    """Return ``(lang, score)``; ``("unk", 0.0)`` when undecidable."""
+    if cjk_fraction(text) > 0.3:
+        return "zh", 1.0
+    grams = _trigrams(text)
+    if len(grams) < MIN_TRIGRAMS:
+        return "unk", 0.0
+    sums = [0.0] * len(LANGUAGES)
+    n = 0
+    for tg in grams:
+        row = _TABLE.get(tg)
+        if row is None:
+            row = _FLOORS
+        for i, lp in enumerate(row):
+            sums[i] += lp
+        n += 1
+    best = max(range(len(LANGUAGES)), key=sums.__getitem__)
+    # Posterior probability under a uniform language prior = softmax of the
+    # TOTAL log-likelihoods (saturates toward 1.0 as evidence accumulates;
+    # short or out-of-model docs stay near 1/|LANGUAGES|).
+    mx = sums[best]
+    z = sum(math.exp(s - mx) for s in sums)
+    score = 1.0 / z
+    return LANGUAGES[best], score

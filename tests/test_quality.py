@@ -1,0 +1,142 @@
+"""Quality-filter kernel tests: langid, perplexity, Gopher/C4 rules,
+keep/drop decision (north-star stages; SURVEY.md section 7 item 2)."""
+
+from azure_based_pii_redactor_spark.quality import (
+    decide,
+    first_failing_rule,
+    gopher_c4_metrics,
+    perplexity,
+    predict_language,
+)
+from azure_based_pii_redactor_spark.quality.corpora import CORPORA
+from azure_based_pii_redactor_spark.quality.heuristics import RULE_NAMES
+
+GOOD_EN = " ".join(CORPORA["en"][:8])
+
+
+# -- langid -------------------------------------------------------------------
+
+def test_langid_predicts_each_language():
+    held_out = {
+        "en": "The committee met near the old bridge and discussed summer plans with the children.",
+        "es": "Los niños jugaban cerca del puente viejo mientras el comité discutía los planes.",
+        "de": "Die Kinder spielten in der Nähe der alten Brücke, während der Ausschuss die Pläne besprach.",
+        "fr": "Les enfants jouaient près du vieux pont pendant que le comité discutait des projets.",
+        "zh": "孩子们在旧桥附近玩耍，委员会讨论夏天的旅行计划。",
+    }
+    for truth, text in held_out.items():
+        lang, score = predict_language(text)
+        assert lang == truth, (truth, lang)
+        assert score > 0.9
+
+
+def test_langid_short_text_unk():
+    assert predict_language("hi") == ("unk", 0.0)
+    assert predict_language("") == ("unk", 0.0)
+
+
+def test_langid_deterministic():
+    t = GOOD_EN
+    assert predict_language(t) == predict_language(t)
+
+
+# -- perplexity ----------------------------------------------------------------
+
+def test_perplexity_separates_fluent_from_gibberish():
+    fluent = perplexity(
+        "The children walked to the market in the morning and the weather was warm."
+    )
+    gib = perplexity("qzx wvj kqp zzj xqw vkz pqj wxz jqk zvw " * 5)
+    assert fluent < 500
+    assert gib > 9_000
+    assert fluent < gib / 10
+
+
+def test_perplexity_empty_is_worst_case():
+    assert perplexity("") > 1_000
+
+
+# -- heuristics -----------------------------------------------------------------
+
+def test_rule_order_pinned():
+    # drop_reason labels are part of the oracle contract.
+    assert RULE_NAMES == (
+        "gopher_word_count", "gopher_mean_word_length", "gopher_symbol_ratio",
+        "gopher_bullet_lines", "gopher_ellipsis_lines", "gopher_alpha_words",
+        "gopher_stopwords", "repetition_dup_lines", "repetition_dup_line_chars",
+        "repetition_top_2gram", "repetition_top_3gram", "repetition_top_4gram",
+        "repetition_dup_5gram", "repetition_dup_6gram", "repetition_dup_7gram",
+        "repetition_dup_8gram", "repetition_dup_9gram", "repetition_dup_10gram",
+        "c4_lorem_ipsum", "c4_curly_brace", "c4_min_sentences", "c4_toxicity",
+    )
+
+
+def test_good_doc_passes_all_rules():
+    assert first_failing_rule(gopher_c4_metrics(GOOD_EN)) is None
+
+
+def test_word_count_bounds():
+    assert first_failing_rule(gopher_c4_metrics("few words here.")) == "gopher_word_count"
+
+
+def test_symbol_ratio():
+    m = gopher_c4_metrics(GOOD_EN + " " + "# " * 40)
+    assert first_failing_rule(m) == "gopher_symbol_ratio"
+
+
+def test_bullet_and_ellipsis_lines():
+    bullets = "\n".join("- item number " + str(i) for i in range(60)) + "\nplain."
+    m = gopher_c4_metrics(bullets)
+    assert m["bullet_line_frac"] > 0.9
+    dots = "\n".join(f"line {i} trails off..." for i in range(10))
+    assert gopher_c4_metrics(dots)["ellipsis_line_frac"] == 1.0
+
+
+def test_alpha_word_frac_and_stopwords():
+    nums = " ".join(str(i) for i in range(80))
+    m = gopher_c4_metrics(nums)
+    assert m["alpha_word_frac"] == 0.0
+    assert m["stopword_hits"] == 0
+
+
+def test_dup_lines():
+    rep = GOOD_EN + "\n" + ("An exactly repeated line here.\n" * 30)
+    m = gopher_c4_metrics(rep)
+    assert m["dup_line_frac"] > 0.3
+    assert first_failing_rule(m) == "repetition_dup_lines"
+
+
+def test_top_ngram_repetition():
+    rep = GOOD_EN + " " + ("winter storm " * 60)
+    m = gopher_c4_metrics(rep)
+    assert m["top_2gram_char_frac"] > 0.2
+
+
+def test_c4_rules():
+    assert first_failing_rule(gopher_c4_metrics(GOOD_EN + " { code }")) == "c4_curly_brace"
+    assert first_failing_rule(
+        gopher_c4_metrics(GOOD_EN + " lorem ipsum dolor")) == "c4_lorem_ipsum"
+    one_sentence = ("word " * 60).strip() + " the of and."  # stopwords, 1 sentence
+    m = gopher_c4_metrics(one_sentence)
+    assert m["n_sentences"] < 3
+    assert first_failing_rule(gopher_c4_metrics(GOOD_EN + " fuck")) == "c4_toxicity"
+
+
+# -- decide ----------------------------------------------------------------------
+
+def test_decide_keep():
+    d = decide(GOOD_EN)
+    assert d.keep and d.drop_reason is None
+    assert d.lang_pred == "en" and d.lang_score > 0.9
+    assert d.ppl < 500
+
+
+def test_decide_language_gate_first():
+    es = " ".join(CORPORA["es"][:10])
+    assert decide(es).drop_reason == "langid_lang"
+    assert decide(es, allowed_langs=frozenset({"en", "es"})).drop_reason == "perplexity"
+
+
+def test_decide_deterministic():
+    for text in [GOOD_EN, "", "short", " ".join(CORPORA["de"][:5])]:
+        assert decide(text) == decide(text)
