@@ -1,0 +1,158 @@
+"""The fused quality-filter + PII-scrub pipeline stage.
+
+One ``mapInPandas`` stage runs extract -> langid -> perplexity ->
+heuristics -> detect -> scrub per Arrow batch (single Python exchange per
+batch, SURVEY.md section 4 item 3 -- chaining separate pandas UDFs would
+pay one JVM<->Python round-trip per stage).  Everything upstream and
+downstream (filters, projections, aggregations, writes) stays JVM-side.
+
+Scale design:
+- narrow stage: no shuffle; input split sizing via
+  ``spark.sql.files.maxPartitionBytes`` (session.py) keeps Arrow batches
+  uniform.
+- the expensive kernel runs AFTER any cheap relational filters the caller
+  applies (UDFs are pushdown barriers; callers filter first).
+- scrubbing runs only on kept docs by default (``scrub_all=False``) --
+  dropped docs carry null scrubbed_text; at a 25-30% drop rate this saves
+  the regex bank on a quarter of 10^12 docs.
+- training feedback is a broadcast variable (small table, J5 broadcast
+  nested-loop semantics -- detector.go:319-389).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernel.redact import RedactOptions
+from ..kernel.scrub import scrub_text
+from ..quality.decide import ALLOWED_LANGS, MAX_PERPLEXITY, MIN_LANG_SCORE, decide
+from .schema import SCRUB_OUTPUT_SCHEMA
+
+_WRAP_PREFIX = b"<html><body>"
+_WRAP_SUFFIX = b"</body></html>"
+_TAG = re.compile(r"<[^>]+>")
+
+
+def extract_text(html: bytes | None) -> str | None:
+    """Recover the extracted text from the html payload.
+
+    Fast path: strip the canonical wrapper (byte-identical round-trip --
+    the per-row invariant from BASELINE.json input_hint).  Fallback for
+    arbitrary html: strip tags.
+    """
+    if html is None:
+        return None
+    if html.startswith(_WRAP_PREFIX) and html.endswith(_WRAP_SUFFIX):
+        return html[len(_WRAP_PREFIX) : -len(_WRAP_SUFFIX)].decode("utf-8")
+    return _TAG.sub("", html.decode("utf-8", errors="replace"))
+
+
+def _scrub_batch(
+    pdf: pd.DataFrame,
+    options: RedactOptions,
+    feedback: Sequence[dict],
+    allowed_langs: frozenset[str],
+    min_lang_score: float,
+    max_perplexity: float,
+    scrub_all: bool,
+) -> pd.DataFrame:
+    n = len(pdf)
+    out: dict[str, list] = {
+        "url": pdf["url"].tolist(),
+        "warc_ts": pdf["warc_ts"].tolist(),
+        "lang": pdf["lang"].tolist(),
+        "lang_pred": [None] * n,
+        "lang_score": [0.0] * n,
+        "ppl": [0.0] * n,
+        "keep": [False] * n,
+        "drop_reason": [None] * n,
+        "n_words": [0] * n,
+        "extracted_ok": [False] * n,
+        "entities": [None] * n,
+        "n_entities": [0] * n,
+        "scrubbed_text": [None] * n,
+    }
+    htmls = pdf["html"].tolist()
+    texts = pdf["text"].tolist()
+    for i in range(n):
+        extracted = extract_text(htmls[i])
+        if extracted is None:
+            # No html payload: nothing to extract, fall back to the text
+            # column; the invariant is vacuously satisfied.
+            extracted = texts[i] or ""
+            out["extracted_ok"][i] = True
+        else:
+            out["extracted_ok"][i] = extracted == (texts[i] or "")
+        d = decide(
+            extracted,
+            allowed_langs=allowed_langs,
+            min_lang_score=min_lang_score,
+            max_perplexity=max_perplexity,
+        )
+        out["lang_pred"][i] = d.lang_pred
+        out["lang_score"][i] = d.lang_score
+        out["ppl"][i] = d.ppl
+        out["keep"][i] = d.keep
+        out["drop_reason"][i] = d.drop_reason
+        out["n_words"][i] = int(d.metrics["n_words"])
+        if d.keep or scrub_all:
+            r = scrub_text(extracted, options, feedback_history=feedback)
+            out["scrubbed_text"][i] = r.scrubbed_text
+            out["n_entities"][i] = len(r.entities)
+            out["entities"][i] = [e._asdict() for e in r.entities]
+    return pd.DataFrame(out)
+
+
+def run_scrub_pipeline(
+    pages: DataFrame,
+    options: RedactOptions = RedactOptions(),
+    feedback: Sequence[dict] = (),
+    allowed_langs: frozenset[str] = ALLOWED_LANGS,
+    min_lang_score: float = MIN_LANG_SCORE,
+    max_perplexity: float = MAX_PERPLEXITY,
+    scrub_all: bool = False,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> SCRUB_OUTPUT_SCHEMA rows."""
+    spark = pages.sparkSession
+    bc_feedback = spark.sparkContext.broadcast(list(feedback))
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb = bc_feedback.value
+        for pdf in batches:
+            if len(pdf):
+                yield _scrub_batch(
+                    pdf, options, fb, allowed_langs,
+                    min_lang_score, max_perplexity, scrub_all,
+                )
+
+    if repartition_to is not None:
+        # Round-robin repartition: uniform Arrow batches for the kernel
+        # regardless of upstream file-split skew.
+        pages = pages.repartition(repartition_to)
+    return pages.mapInPandas(fused, schema=SCRUB_OUTPUT_SCHEMA)
+
+
+def documents_as_pages(documents: DataFrame) -> DataFrame:
+    """Adapt the driver's ``documents`` testdata table (doc_id, text, lang,
+    source, n_chars) to the pages shape so the same pipeline runs on it."""
+    from pyspark.sql import functions as F
+
+    return documents.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def build_session(*args, **kwargs) -> SparkSession:  # convenience re-export
+    from .session import build_session as _b
+
+    return _b(*args, **kwargs)
