@@ -1,0 +1,153 @@
+"""Checkpointed resume via per-partition lineage (SURVEY.md T4).
+
+The reference checkpoints per ROW: ``INSERT ... ON CONFLICT
+(session_id,row_number) DO UPDATE`` (``file.go:740-772``) makes re-running a
+session idempotent.  Per-row round-trips cannot scale to 10^12 docs, so the
+unit of work here is a deterministic URL-hash BUCKET:
+
+- output is written ``partitionBy("part_bucket")`` with dynamic partition
+  overwrite (re-processing a bucket atomically replaces exactly that
+  bucket's files -- the parquet-native equivalent of Iceberg MERGE keyed by
+  (run_id, bucket); the writer is format-agnostic so an Iceberg catalog can
+  be slotted in where its jars exist).
+- a lineage row (run_id, part_bucket, counts, ts) is appended AFTER the
+  bucket's data commits; lineage is therefore the checkpoint marker.
+- resume = broadcast anti-join of the input against completed lineage
+  buckets: already-done buckets are never recomputed or rewritten.
+
+``part_bucket = pmod(xxhash64(url), n_buckets)`` is deterministic (no
+rand), so the same url always lands in the same bucket across runs --
+required for idempotent resume (SURVEY.md section 4 item 1: deterministic
+salt, reproducible runs).  ``n_buckets`` sizes the unit of loss on failure:
+at 10^12 docs one would use 10k-100k buckets so a retry redoes <=0.01% of
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "part_bucket",
+        F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def completed_buckets(
+    spark: SparkSession, lineage_path: str, run_id: str
+) -> DataFrame | None:
+    """Distinct completed bucket ids for a run; None if no lineage yet."""
+    try:
+        lineage = spark.read.parquet(lineage_path)
+    except Exception:
+        return None
+    return (
+        lineage.filter(F.col("run_id") == run_id)
+        .select("part_bucket")
+        .distinct()
+    )
+
+
+def filter_remaining(
+    pages: DataFrame,
+    lineage_path: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Anti-join input against completed lineage (resume primitive)."""
+    bucketed = with_bucket(pages, n_buckets)
+    done = completed_buckets(pages.sparkSession, lineage_path, run_id)
+    if done is None:
+        return bucketed
+    return bucketed.join(F.broadcast(done), "part_bucket", "left_anti")
+
+
+def write_scrub_output(
+    out: DataFrame,
+    output_path: str,
+    lineage_path: str,
+    run_id: str,
+    bucket_ids: list[int],
+) -> None:
+    """Write kernel output partitioned by bucket, then append lineage.
+
+    ``out`` must contain a ``part_bucket`` column.  ``bucket_ids`` is the
+    set of buckets in this invocation (computed from the INPUT, so deriving
+    it does not re-run the kernel).  Requires
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session.py) so
+    only these buckets are replaced.
+    """
+    out.write.mode("overwrite").partitionBy("part_bucket").parquet(output_path)
+    spark = out.sparkSession
+    # Lineage is computed from the files just committed (partition-pruned
+    # read), never from the pre-write plan -- avoids re-running the kernel.
+    written = spark.read.parquet(output_path).filter(
+        F.col("part_bucket").isin(bucket_ids)
+    )
+    lineage = (
+        written.groupBy("part_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum("n_entities").alias("n_entities"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("part_bucket").cast("int"),
+            "n_docs",
+            "n_kept",
+            "n_entities",
+            F.current_timestamp().alias("completed_ts"),
+        )
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+
+def run_checkpointed(
+    pages: DataFrame,
+    output_path: str,
+    lineage_path: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    **pipeline_kwargs,
+) -> int:
+    """Resume-aware end-to-end run.
+
+    Returns the number of docs processed by THIS invocation (0 when the
+    run was already complete -- re-running is a no-op, SURVEY.md section 5
+    "resume == cold run" invariant).
+
+    CONTRACT: ``output_path`` belongs to ONE ``run_id``.  Lineage rows are
+    run-keyed but bucket partitions are not; pointing a second run at the
+    same path would overwrite the first run's buckets.  Callers embed the
+    run id in the path (as bench.py and the tests do).
+    """
+    from .pipeline import run_scrub_pipeline
+
+    remaining = filter_remaining(pages, lineage_path, run_id, n_buckets)
+    bucket_ids = [
+        r.part_bucket
+        for r in remaining.select("part_bucket").distinct().collect()
+    ]
+    if not bucket_ids:
+        return 0
+    out = run_scrub_pipeline(remaining, **pipeline_kwargs)
+    # part_bucket is recomputed from url (deterministic), keeping the
+    # kernel output schema independent of checkpointing.
+    out = with_bucket(out, n_buckets)
+    write_scrub_output(out, output_path, lineage_path, run_id, bucket_ids)
+    spark = pages.sparkSession
+    n = (
+        spark.read.parquet(lineage_path)
+        .filter(
+            (F.col("run_id") == run_id)
+            & F.col("part_bucket").isin(bucket_ids)
+        )
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    return int(n or 0)

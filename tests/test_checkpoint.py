@@ -1,0 +1,135 @@
+"""Checkpoint/resume + lineage tests (SURVEY.md T4, section 5 item 4:
+resume == cold run)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from azure_based_pii_redactor_spark.engine.checkpoint import (
+    filter_remaining,
+    run_checkpointed,
+    with_bucket,
+)
+from azure_based_pii_redactor_spark.engine.metrics import (
+    domain_counts_salted,
+    drop_reason_counts,
+    entity_type_counts,
+    run_summary,
+)
+from azure_based_pii_redactor_spark.engine.pipeline import run_scrub_pipeline
+from azure_based_pii_redactor_spark.sources.pages import generate_pages
+
+N = 300
+BUCKETS = 8
+
+
+def read_sorted(spark, path):
+    return (
+        spark.read.parquet(path)
+        .select("url", "keep", "drop_reason", "scrubbed_text", "n_entities")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def test_resume_equals_cold_run(spark, tmp_path):
+    pages = generate_pages(spark, N, seed=42)
+
+    cold_out = str(tmp_path / "cold_out")
+    cold_lin = str(tmp_path / "cold_lin")
+    n = run_checkpointed(pages, cold_out, cold_lin, "r1", n_buckets=BUCKETS)
+    assert n == N
+
+    # Interrupted run: process only a subset of buckets first (simulate a
+    # crash after 3 buckets committed), then resume.
+    part_out = str(tmp_path / "part_out")
+    part_lin = str(tmp_path / "part_lin")
+    first = with_bucket(pages, BUCKETS).filter(F.col("part_bucket") < 3)
+    from azure_based_pii_redactor_spark.engine.checkpoint import (
+        write_scrub_output,
+    )
+    out1 = with_bucket(run_scrub_pipeline(first), BUCKETS)
+    write_scrub_output(out1, part_out, part_lin, "r2", [0, 1, 2])
+
+    n2 = run_checkpointed(pages, part_out, part_lin, "r2", n_buckets=BUCKETS)
+    assert 0 < n2 < N  # only the remaining buckets were processed
+
+    pd.testing.assert_frame_equal(
+        read_sorted(spark, part_out), read_sorted(spark, cold_out)
+    )
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    pages = generate_pages(spark, 100, seed=7)
+    out, lin = str(tmp_path / "o"), str(tmp_path / "l")
+    assert run_checkpointed(pages, out, lin, "r", n_buckets=4) == 100
+    assert run_checkpointed(pages, out, lin, "r", n_buckets=4) == 0  # no-op
+    # lineage has exactly one row per bucket
+    lineage = spark.read.parquet(lin)
+    assert lineage.count() == lineage.select("part_bucket").distinct().count()
+
+
+def test_filter_remaining_no_lineage(spark, tmp_path):
+    pages = generate_pages(spark, 50, seed=1)
+    rem = filter_remaining(pages, str(tmp_path / "missing"), "r", 4)
+    assert rem.count() == 50
+
+
+def test_lineage_counts_match_output(spark, tmp_path):
+    pages = generate_pages(spark, 200, seed=3)
+    out, lin = str(tmp_path / "o2"), str(tmp_path / "l2")
+    run_checkpointed(pages, out, lin, "r", n_buckets=BUCKETS)
+    lineage = spark.read.parquet(lin)
+    written = spark.read.parquet(out)
+    agg_l = lineage.agg(
+        F.sum("n_docs"), F.sum("n_kept"), F.sum("n_entities")
+    ).collect()[0]
+    agg_o = written.agg(
+        F.count("*"),
+        F.sum(F.col("keep").cast("long")),
+        F.sum("n_entities"),
+    ).collect()[0]
+    assert tuple(agg_l) == tuple(agg_o)
+
+
+# -- metrics -------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def scrubbed(spark):
+    return run_scrub_pipeline(generate_pages(spark, 400, seed=42)).cache()
+
+
+def test_drop_reason_counts(spark, scrubbed):
+    pdf = drop_reason_counts(scrubbed).toPandas()
+    assert pdf["n_docs"].sum() == 400
+    assert None in pdf["drop_reason"].tolist()  # kept docs bucket
+
+
+def test_entity_type_counts(spark, scrubbed):
+    pdf = entity_type_counts(scrubbed).toPandas()
+    assert (pdf["n"] > 0).all()
+    assert pdf["avg_confidence"].between(0, 1).all()
+
+
+def test_domain_counts_salted_matches_plain(spark, scrubbed):
+    salted = domain_counts_salted(scrubbed).toPandas()
+    from azure_based_pii_redactor_spark.engine.metrics import with_domain
+
+    plain = (
+        with_domain(scrubbed)
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+        .toPandas()
+    )
+    merged = salted.merge(plain, on="domain", suffixes=("_s", "_p"))
+    assert (merged["n_docs_s"] == merged["n_docs_p"]).all()
+    # Zipf skew sanity: the hottest domain dominates.
+    assert salted.iloc[0]["n_docs"] > salted.iloc[-1]["n_docs"]
+
+
+def test_run_summary(spark, scrubbed):
+    row = run_summary(scrubbed, "t").collect()[0]
+    assert row.n_docs == 400
+    assert 0 < row.n_kept < 400
+    assert 0 <= row.avg_entity_confidence <= 1
