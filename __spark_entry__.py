@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` -- flagship fused quality-filter + PII-scrub pipeline over
+the sf0.001 documents table.  ``queries()`` / ``oracle_sql()`` -- one entry
+per implemented operator from SURVEY.md section 2 plus the
+training-pipeline suites (dedup / similarity / text analysis); oracles are
+DuckDB SQL over the same parquet views.  Entries without an oracle are
+non-SQL-expressible (kernel/LSH/pipeline ops) and take the rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +14,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from azure_based_pii_redactor_spark.engine.operators import (
+    all_oracles,
+    all_queries,
+)
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (langid -> perplexity -> Gopher/C4 -> detect -> scrub)
+    over the documents table adapted to the pages shape."""
+    from azure_based_pii_redactor_spark.engine.pipeline import (
+        documents_as_pages,
+        run_scrub_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = run_scrub_pipeline(documents_as_pages(docs), scrub_all=True)
+    return out.select(
+        "url", "lang", "lang_pred", "keep", "drop_reason",
+        "n_words", "n_entities", "scrubbed_text",
+    ).orderBy("url")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(all_queries())
+    q["pipeline_scrub_documents"] = _flagship
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(all_oracles())

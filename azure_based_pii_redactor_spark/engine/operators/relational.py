@@ -1,0 +1,576 @@
+"""SURVEY.md section 2 relational operators over the driver testdata,
+each with a DuckDB oracle.
+
+Every aggregate/computed column is aliased IDENTICALLY in the Spark plan
+and the oracle SQL (driver compares sorted-by-name columns).  Floating
+aggregates are rounded to 4 decimals on both sides; money sums go through
+DECIMAL(18,2) so they are exact in both engines.
+
+Scale notes are inline per operator: what shuffles, what broadcasts, what
+would change at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY.md section 2.4)
+# --------------------------------------------------------------------------
+
+def agg_counts_by_type(spark, sf_dir):
+    """A1 -- entity-counts-by-type shape (``file_processor.go:87-91``):
+    one hash-agg, map-side partial combine, shuffle only the distinct
+    keys (|event_type| tiny) -- scales to any row count."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def agg_sum_coalesce(spark, sf_dir):
+    """A2 -- COALESCE(SUM(..),0) over a filtered slice (``file.go:775-789``)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .agg(
+            F.coalesce(
+                F.round(F.sum("value"), 4), F.lit(0.0)
+            ).alias("total_value"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def agg_analytics_rollup(spark, sf_dir):
+    """A3 -- analytics rollup (``pii.go:291-334``): COUNT(*), SUM,
+    success-rate = completed/total*100, filtered AVG."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .alias("sum_price"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            * 100.0
+            / F.count("*"),
+            4,
+        ).alias("success_rate"),
+        F.round(
+            F.avg(F.when(F.col("o_totalprice") > 1000, F.col("o_totalprice"))),
+            4,
+        ).alias("avg_big_price"),
+    )
+
+
+def agg_session_rollup(spark, sf_dir):
+    """A4 -- per-session viewer rollup (``file.go:1293-1310``), grouped by
+    user: hash-agg on user_id; at 10^12 events user_id is high-cardinality
+    so the shuffle is wide but balanced (no hot key by construction)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def agg_weighted_average(spark, sf_dir):
+    """A6 -- weighted signal average sum(v*w)/sum(w), 0.5 default on zero
+    weight, clamped [0,1]-free here (``confidence_scoring.go:321-335``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_sum = F.sum("l_discount")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.when(w_sum == 0, 0.5).otherwise(
+                    F.sum(F.col("l_extendedprice") * F.col("l_discount")) / w_sum
+                ),
+                4,
+            ).alias("weighted_avg_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_type_stats(spark, sf_dir):
+    """A7 -- per-type TP/FP running stats (``confidence_scoring.go:353-388``):
+    total, positives, accuracy=TP/total, average score."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("value") > 10, 1).otherwise(0)).alias("positives"),
+            F.round(
+                F.sum(F.when(F.col("value") > 10, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("accuracy"),
+            F.round(F.avg("value"), 4).alias("avg_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def agg_tpch_q1(spark, sf_dir):
+    """A9/batch-summary showcase -- TPC-H Q1 shape: 2-key hash agg with 6
+    aggregates; whole-stage codegen end-to-end, partial agg before the
+    shuffle means the exchange carries ~|flag x status| rows per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY.md section 2.3)
+# --------------------------------------------------------------------------
+
+def join_rows_history(spark, sf_dir):
+    """J1 -- rows x history equi-join (``file.go:1293-1302``): orders joined
+    to the small customer dim.  customer is BROADCAST (dim tables stay
+    <100MB even at SF where lineitem is 100TB) -- no shuffle of the big
+    side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def join_snowflake(spark, sf_dir):
+    """J2-style multi-key chain: customer -> nation -> region, both dims
+    broadcast; the probe side never shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def join_grouped_rollup(spark, sf_dir):
+    """J3 -- entities-grouped-by-row hand-rolled hash join
+    (``file.go:1446-1449``) as groupBy+collect_list; list sorted for
+    determinism.  In the scrub pipeline entities never leave their row, so
+    this shape only appears for export-style reshaping."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def join_latest_per_key(spark, sf_dir):
+    """J6/W6 -- correlated latest-row lookup (``pii.go:250-265``) as a rank
+    window: partitionBy customer, newest order wins.  At scale: window
+    shuffle on o_custkey; no skew (keys uniform); AQE splits stragglers."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts / limits (SURVEY.md section 2.5)
+# --------------------------------------------------------------------------
+
+def window_latest_feedback_wins(spark, sf_dir):
+    """W5 -- latest-feedback-wins (``confidence_scoring.go:211-236``):
+    newest row per (user_id, event_type) decides."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("value").alias("latest_value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+def window_pagination(spark, sf_dir):
+    """W3 -- LIMIT/OFFSET pagination (``file.go:828-869``), made
+    deterministic with a total order (ts, event_id).  NOTE: global
+    sort+offset is inherently driver-anchored; at 10^12 rows pagination is
+    done keyset-style (WHERE ts > last_seen) instead -- this operator
+    exists for reference parity."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .offset(50)
+        .limit(100)
+        .select("event_id", "ts", "value")
+    )
+
+
+def window_recent_first_limit(spark, sf_dir):
+    """W2 -- ORDER BY ts DESC LIMIT 50 (``pii.go:192-219``): Spark plans
+    this as TakeOrderedAndProject (per-partition top-k + driver merge),
+    no full sort."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+def window_topk_per_group(spark, sf_dir):
+    """Top-3 events by value per type -- rank window with deterministic
+    tiebreak (the reference has only global LIMIT; this is the per-group
+    generalization every pipeline needs)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+        .orderBy("event_type", "rnk")
+    )
+
+
+def window_time_bucket(spark, sf_dir):
+    """Event-time windowed aggregation (streaming shape, batch semantics):
+    1-hour tumbling buckets.  The streaming variant (readStream +
+    watermark) runs in tests/test_streaming.py; the bucketing logic is
+    identical."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops (SURVEY.md section 2.6) & scalar functions (section 2.7)
+# --------------------------------------------------------------------------
+
+def set_union_distinct(spark, sf_dir):
+    """unionByName + distinct (metrics-row assembly shape)."""
+    e = _t(spark, sf_dir, "events")
+    hot = e.filter(F.col("value") > 18).select("user_id")
+    err = e.filter(F.col("event_type") == "error").select("user_id")
+    return hot.unionByName(err).distinct().orderBy("user_id")
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}"
+
+
+def scalar_mask_email(spark, sf_dir):
+    """The SQL-expressible core of the scrub kernel: regex replacement
+    with the reference email pattern (``patterns.go:40``, quirk included)
+    over text constructed from customer names.  JVM-side regexp_replace --
+    the fast path the full kernel falls back from only when validators /
+    training are needed."""
+    c = _t(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace("c_name", " ", ".")),
+        F.lit("@corp.example.com or admin@corp.example.com now"),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.regexp_replace(text, _EMAIL_RE, "[EMAIL]").alias("masked"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def scalar_concat_project(spark, sf_dir):
+    """P1/F5 -- PII-enabled projection + space-join (``file.go:396-404``)
+    with P2 empty-cell passthrough (``file_processor.go:71-74``)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.concat_ws(" ", "p_brand", "p_type").alias("joined"),
+            F.when(F.length(F.trim(F.col("p_name"))) == 0, F.col("p_name"))
+            .otherwise(F.upper("p_name"))
+            .alias("name_or_upper"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def scalar_mask_repeat(spark, sf_dir):
+    """F3 -- mask mode '*' x len (``detector.go:503``)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.repeat(F.lit("*"), F.length("c_name")).alias("masked_name"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def scalar_json_extract(spark, sf_dir):
+    """F4 -- JSON decode of settings blobs (``file.go:2369-2383``)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def scalar_line_split(spark, sf_dir):
+    """F6 -- line/token split + per-doc token count (``file.go:2227``)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "agg_counts_by_type": agg_counts_by_type,
+    "agg_sum_coalesce": agg_sum_coalesce,
+    "agg_analytics_rollup": agg_analytics_rollup,
+    "agg_session_rollup": agg_session_rollup,
+    "agg_weighted_average": agg_weighted_average,
+    "agg_type_stats": agg_type_stats,
+    "agg_tpch_q1": agg_tpch_q1,
+    "join_rows_history": join_rows_history,
+    "join_snowflake": join_snowflake,
+    "join_grouped_rollup": join_grouped_rollup,
+    "join_latest_per_key": join_latest_per_key,
+    "window_latest_feedback_wins": window_latest_feedback_wins,
+    "window_pagination": window_pagination,
+    "window_recent_first_limit": window_recent_first_limit,
+    "window_topk_per_group": window_topk_per_group,
+    "window_time_bucket": window_time_bucket,
+    "set_union_distinct": set_union_distinct,
+    "scalar_mask_email": scalar_mask_email,
+    "scalar_concat_project": scalar_concat_project,
+    "scalar_mask_repeat": scalar_mask_repeat,
+    "scalar_json_extract": scalar_json_extract,
+    "scalar_line_split": scalar_line_split,
+}
+
+ORACLES = {
+    "agg_counts_by_type": """
+        SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "agg_sum_coalesce": """
+        SELECT coalesce(round(sum(value), 4), 0.0) AS total_value,
+               count(*) AS n_rows
+        FROM events WHERE event_type = 'error'
+    """,
+    "agg_analytics_rollup": """
+        SELECT count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     * 100.0 / count(*), 4) AS success_rate,
+               round(avg(CASE WHEN o_totalprice > 1000
+                              THEN o_totalprice END), 4) AS avg_big_price
+        FROM orders
+    """,
+    "agg_session_rollup": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "agg_weighted_average": """
+        SELECT l_returnflag,
+               round(CASE WHEN sum(l_discount) = 0 THEN 0.5
+                          ELSE sum(l_extendedprice * l_discount)
+                               / sum(l_discount) END, 4)
+                   AS weighted_avg_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "agg_type_stats": """
+        SELECT event_type, count(*) AS total,
+               CAST(sum(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+               round(sum(CASE WHEN value > 10 THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS accuracy,
+               round(avg(value), 4) AS avg_score
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "agg_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "join_rows_history": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "join_snowflake": """
+        SELECT r_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "join_grouped_rollup": """
+        SELECT l_orderkey,
+               array_agg(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+               count(*) AS n_lines
+        FROM lineitem WHERE l_orderkey <= 100
+        GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    "join_latest_per_key": """
+        SELECT o_custkey, latest_orderkey, latest_orderdate FROM (
+            SELECT o_custkey, o_orderkey AS latest_orderkey,
+                   o_orderdate AS latest_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    "window_latest_feedback_wins": """
+        SELECT user_id, event_type, latest_value FROM (
+            SELECT user_id, event_type, value AS latest_value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+    "window_pagination": """
+        SELECT event_id, ts, value FROM events
+        ORDER BY ts, event_id LIMIT 100 OFFSET 50
+    """,
+    "window_recent_first_limit": """
+        SELECT event_id, ts, event_type FROM events
+        ORDER BY ts DESC, event_id DESC LIMIT 50
+    """,
+    "window_topk_per_group": """
+        SELECT event_type, rnk, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS rnk
+            FROM events) WHERE rnk <= 3 ORDER BY event_type, rnk
+    """,
+    "window_time_bucket": """
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+    """,
+    "set_union_distinct": """
+        SELECT DISTINCT user_id FROM (
+            SELECT user_id FROM events WHERE value > 18
+            UNION ALL
+            SELECT user_id FROM events WHERE event_type = 'error'
+        ) ORDER BY user_id
+    """,
+    "scalar_mask_email": r"""
+        SELECT c_custkey,
+               regexp_replace(
+                   'contact ' || c_name || ' at ' ||
+                   lower(replace(c_name, ' ', '.')) ||
+                   '@corp.example.com or admin@corp.example.com now',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}',
+                   '[EMAIL]', 'g') AS masked
+        FROM customer ORDER BY c_custkey
+    """,
+    "scalar_concat_project": """
+        SELECT p_partkey,
+               concat_ws(' ', p_brand, p_type) AS joined,
+               CASE WHEN length(trim(p_name)) = 0 THEN p_name
+                    ELSE upper(p_name) END AS name_or_upper
+        FROM part ORDER BY p_partkey
+    """,
+    "scalar_mask_repeat": """
+        SELECT c_custkey, repeat('*', length(c_name)) AS masked_name
+        FROM customer ORDER BY c_custkey
+    """,
+    "scalar_json_extract": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events ORDER BY event_id
+    """,
+    "scalar_line_split": """
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents ORDER BY doc_id
+    """,
+}

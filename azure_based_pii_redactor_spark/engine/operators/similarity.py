@@ -1,0 +1,169 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d,
+unit-norm): brute-force cosine top-k baseline + LSH-bucketed scale path.
+
+Scale design: brute force is O(Q*N) -- correct baseline and the verifier
+for the approximate path.  At 10^12 vectors the LSH variant prunes the
+search space: sign-bit bucketing over D deterministic hyperplanes
+(random-hyperplane LSH, Charikar 2002), candidates searched only within
+the query's bucket.  Both paths keep the arithmetic in JVM-side
+``zip_with``/``aggregate`` over doubles (no Python in the hot loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOP_K = 5
+N_QUERIES = 10
+N_PLANES = 8
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    """Double-precision dot product of two float-array columns -- the
+    sequential fold matches DuckDB's list_dot_product on ::DOUBLE[]."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors (embeddings are
+    unit-norm, so cosine == dot).  Query side is broadcast; scores ranked
+    per query with deterministic tiebreak (score desc rounded, vec_id
+    asc)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (seeded; no numpy on
+    executors needed -- plain constants shipped in the plan)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence([1234])))
+    planes = rng.standard_normal((n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return planes.tolist()
+
+
+def _with_bucket(df: DataFrame, vec_col: str) -> DataFrame:
+    planes = _hyperplanes()
+    bits = [
+        F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in p])) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    return df.withColumn("bucket", sum(bits[1:], bits[0]))
+
+
+def knn_cosine_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: random-hyperplane sign buckets; neighbors searched
+    within the query's bucket only (the 10^12-scale path; recall measured
+    against the brute-force baseline in tests).  Rows-only check."""
+    e = _with_bucket(_emb(spark, sf_dir), "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def embedding_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.95) -- the
+    embedding leg of the dedup suite.  Self-join pruned by vec_id order;
+    at scale this is run per LSH bucket instead of all-pairs."""
+    e = _emb(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_dot(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.95)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+QUERIES = {
+    "knn_cosine_topk": knn_cosine_topk,
+    "knn_cosine_lsh": knn_cosine_lsh,
+    "embedding_cosine_neardup": embedding_cosine_neardup,
+}
+
+ORACLES = {
+    "knn_cosine_topk": f"""
+        SELECT query_id, rnk, neighbor_id, score FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(list_dot_product(q.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS score,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id ASC) AS rnk
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERIES})
+        WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
+    """,
+    "embedding_cosine_neardup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.95
+        ORDER BY vec_a, vec_b
+    """,
+}

@@ -1,0 +1,166 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID, fingerprinting (training-data-pipeline ops
+the task brief requires as first-class components)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def text_token_stats(spark, sf_dir):
+    """Per-language token statistics -- whitespace tokenization kept
+    JVM-side (split/size), aggregated with a tiny-key hash agg."""
+    d = _docs(spark, sf_dir)
+    toks = F.size(F.split("text", " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(toks).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def text_quality_sql(spark, sf_dir):
+    """SQL-expressible slice of the Gopher rules (word count, mean word
+    length, stopword presence) -- the full rule chain runs in the fused
+    kernel; this exercises the relational expression of the same math."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_len = (F.length("text") - n_words + 1) / n_words  # spaces removed
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mean_len, 4).alias("mean_word_len"),
+            (
+                (n_words >= 50)
+                & (n_words <= 100000)
+                & F.col("text").contains(" the ")
+            ).alias("keep_simple"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_fingerprint_md5(spark, sf_dir):
+    """Document fingerprint: md5 of normalized text (JVM-side md5; the
+    rolling-hash variant lives in dedup.simhash)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_ngram_top(spark, sf_dir):
+    """Top word bigrams per language (repetition-analysis shape):
+    explode bigrams -> two-key hash agg -> rank window."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))"
+    )
+    exploded = d.select("lang", F.explode(bigrams).alias("bigram"))
+    counts = exploded.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "rnk", "bigram", "n")
+        .orderBy("lang", "rnk")
+    )
+
+
+def text_langid_kernel(spark, sf_dir):
+    """Kernel language-ID over documents (vectorized mapInPandas; no SQL
+    oracle -- rows-only check).  The same langid the fused pipeline uses."""
+    from ...quality.langid import predict_language
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+
+    def run(batches):
+        for pdf in batches:
+            preds = [predict_language(t or "") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "lang_pred": [p[0] for p in preds],
+                    "lang_score": [p[1] for p in preds],
+                }
+            )
+
+    out = d.mapInPandas(
+        run, schema="doc_id long, lang string, lang_pred string, lang_score double"
+    )
+    return (
+        out.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_sql": text_quality_sql,
+    "text_fingerprint_md5": text_fingerprint_md5,
+    "text_ngram_top": text_ngram_top,
+    "text_langid_kernel": text_langid_kernel,
+}
+
+ORACLES = {
+    "text_token_stats": """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               round(avg(n_chars), 4) AS avg_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "text_quality_sql": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               round((length(text) - len(string_split(text, ' ')) + 1)
+                     * 1.0 / len(string_split(text, ' ')), 4)
+                   AS mean_word_len,
+               (len(string_split(text, ' ')) BETWEEN 50 AND 100000)
+                   AND contains(text, ' the ') AS keep_simple
+        FROM documents ORDER BY doc_id
+    """,
+    "text_fingerprint_md5": """
+        SELECT doc_id, md5(lower(text)) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "text_ngram_top": """
+        WITH toks AS (
+            SELECT lang, string_split(text, ' ') AS w FROM documents
+        ), grams AS (
+            SELECT lang, unnest([w[i] || ' ' || w[i+1]
+                                 for i in range(1, len(w))]) AS bigram
+            FROM toks
+        ), counts AS (
+            SELECT lang, bigram, count(*) AS n FROM grams GROUP BY 1, 2
+        )
+        SELECT lang, rnk, bigram, n FROM (
+            SELECT lang, bigram, n,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY n DESC, bigram ASC) AS rnk
+            FROM counts) WHERE rnk <= 5 ORDER BY lang, rnk
+    """,
+}

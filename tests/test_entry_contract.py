@@ -1,0 +1,83 @@
+"""Driver-contract tests: entry() smoke, queries()/oracle_sql() integrity,
+and spot oracle comparisons at sf0.001 (the full sf0.01 sweep runs via
+scripts/check_oracle.py and the driver)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.count() > 0
+    assert {"url", "keep", "drop_reason", "n_entities"} <= set(df.columns)
+    assert rows
+
+
+def test_every_oracle_has_query():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 30
+    # >= 75% of queries carry a SQL oracle
+    assert len(o) / len(q) >= 0.75
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_tpch_q1", "join_latest_per_key", "window_topk_per_group",
+     "dedup_exact_hash", "knn_cosine_topk", "scalar_mask_email"],
+)
+def test_spot_oracle(spark, duck, name):
+    got = (
+        entry_mod.queries()[name](spark, SF)
+        .toPandas()
+        .reindex(sorted(entry_mod.queries()[name](spark, SF).columns), axis=1)
+    )
+    want = duck.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    want = want.reindex(sorted(want.columns), axis=1)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+
+    def key(df):
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else str(v) for v in r)
+            for r in df.itertuples(index=False)
+        )
+
+    assert key(got) == key(want)
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """The ANN scale path must agree with the brute-force baseline on the
+    pairs it returns (scores identical; recall>0 by construction)."""
+    from azure_based_pii_redactor_spark.engine.operators.similarity import (
+        knn_cosine_lsh,
+        knn_cosine_topk,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in knn_cosine_topk(spark, SF).collect()
+    }
+    approx = knn_cosine_lsh(spark, SF).collect()
+    assert approx
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in brute:
+            assert abs(brute[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
