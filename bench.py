@@ -1,0 +1,127 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": <pipeline rate>}
+
+The flagship pipeline is benchmarked over a generated pages corpus sized
+500k * sf docs (deterministic seed), written to scratch parquet first so
+the timed section measures the pipeline, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".bench_scratch")
+
+HEADLINE = [
+    "agg_tpch_q1",
+    "agg_session_rollup",
+    "join_rows_history",
+    "join_latest_per_key",
+    "window_latest_feedback_wins",
+    "window_topk_per_group",
+    "window_time_bucket",
+    "scalar_mask_email",
+    "text_token_stats",
+    "text_ngram_top",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _materialize(df) -> int:
+    """Force full computation without driver collection."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from azure_based_pii_redactor_spark.engine.pipeline import run_scrub_pipeline
+    from azure_based_pii_redactor_spark.engine.session import build_session
+    from azure_based_pii_redactor_spark.sources.pages import generate_pages
+
+    sf = _sf_from_dir(SF_DIR)
+    n_pages = max(int(500_000 * sf), 2_000)
+    spark = build_session(app_name="bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+
+    # -- flagship pipeline over a pre-materialized pages corpus ------------
+    corpus = os.path.join(SCRATCH, f"pages_{n_pages}")
+    if not os.path.exists(corpus):
+        generate_pages(spark, n_pages, seed=42, parts=256).write.mode(
+            "overwrite").parquet(corpus)
+    total = sum(
+        os.path.getsize(os.path.join(corpus, f))
+        for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(total // (CPUS * 8), 1 << 20)),
+    )
+    pages = spark.read.parquet(corpus)
+    # warm-up (python worker + codegen spin-up), untimed
+    run_scrub_pipeline(pages.limit(2000)).write.format("noop").mode(
+        "overwrite").save()
+    t0 = time.time()
+    out = run_scrub_pipeline(pages)
+    out.write.format("noop").mode("overwrite").save()
+    pipeline_sec = time.time() - t0
+    timings["pipeline_scrub"] = round(pipeline_sec, 3)
+    docs_per_sec = round(n_pages / pipeline_sec, 1)
+
+    # -- operator headliners ------------------------------------------------
+    # Warm-up pass at sf0.001: JVM JIT + whole-stage-codegen compilation
+    # otherwise dominates small-SF timings and masks the steady-state rate
+    # that matters at 100 TB.
+    queries = entry_mod.queries()
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "n_pages": n_pages,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
