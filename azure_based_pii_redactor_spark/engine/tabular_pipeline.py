@@ -1,0 +1,132 @@
+"""Tabular (CSV-shaped) scrub flow: the reference's main batch path
+(SURVEY.md section 3.2) and review/export path (section 3.3) on Spark.
+
+Row scrub: PII-enabled cells joined with " " (P1, ``file.go:396-404``),
+one kernel pass per row text, per-row entity list kept WITH the row (the
+J3 group-join is free because entities never leave their row).
+
+Cell export: two modes --
+- ``canonical``: each enabled cell re-scrubbed independently through the
+  kernel (correct offsets per cell; SURVEY.md J4 recommendation).
+- ``compat``: the reference's containment splice (row-level offsets
+  against the cell string, quirks preserved -- kernel/export.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel.entities import Entity
+from ..kernel.export import redact_cell_value
+from ..kernel.redact import RedactOptions
+from ..kernel.scrub import scrub_text
+from .schema import ENTITY_TYPE
+
+ROW_TEXT_COL = "__row_text"
+
+
+def scrub_tabular(
+    df: DataFrame,
+    enabled_cols: Sequence[str],
+    options: RedactOptions = RedactOptions(),
+    feedback: Sequence[dict] = (),
+) -> DataFrame:
+    """Add (scrubbed_row_text, entities, n_entities) from the joined
+    PII-enabled cells.  All original columns pass through."""
+    spark = df.sparkSession
+    bc_feedback = spark.sparkContext.broadcast(list(feedback))
+    cols = list(df.columns)
+    enabled = [c for c in cols if c in set(enabled_cols)]
+    with_text = df.withColumn(
+        ROW_TEXT_COL,
+        F.concat_ws(" ", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                           for c in enabled]),
+    )
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(with_text.schema.fields)
+        + [
+            T.StructField("scrubbed_row_text", T.StringType()),
+            T.StructField("entities", T.ArrayType(ENTITY_TYPE)),
+            T.StructField("n_entities", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb = bc_feedback.value
+        for pdf in batches:
+            scrubbed, ents, counts = [], [], []
+            for t in pdf[ROW_TEXT_COL]:
+                r = scrub_text(t or "", options, feedback_history=fb)
+                scrubbed.append(r.scrubbed_text)
+                ents.append([e._asdict() for e in r.entities])
+                counts.append(len(r.entities))
+            yield pdf.assign(
+                scrubbed_row_text=scrubbed, entities=ents, n_entities=counts
+            )
+
+    return with_text.mapInPandas(run, schema=out_schema).drop(ROW_TEXT_COL)
+
+
+def export_tabular_cells(
+    scrubbed: DataFrame,
+    enabled_cols: Sequence[str],
+    redaction_mode: str = "replace",
+    custom_labels: dict | None = None,
+    skip_ids: frozenset[int] | None = None,
+    mode: str = "canonical",
+) -> DataFrame:
+    """Per-cell redacted output (the structured CSV export,
+    ``file.go:1866-1895``).  Entities come from the stored ``entities``
+    column; cells NOT in ``enabled_cols`` pass through untouched
+    (``file.go:1884-1886`` semantics)."""
+    if mode not in ("canonical", "compat"):
+        raise ValueError(f"unknown export mode: {mode}")
+    labels = dict(custom_labels or {})
+    enabled = list(enabled_cols)
+    cols = list(scrubbed.columns)
+    options = RedactOptions(redaction_mode=redaction_mode,
+                            custom_labels=labels,
+                            export_style_fallback=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_cols = {}
+            ent_rows = [
+                [
+                    Entity(e["type"], e["text"], e["start"], e["end"],
+                           e["confidence"], e["category"])
+                    for e in (ents if ents is not None else [])
+                ]
+                for ents in pdf["entities"]
+            ]
+            for c in enabled:
+                if c not in pdf.columns:
+                    continue
+                vals = []
+                for cell, ents in zip(pdf[c], ent_rows):
+                    cell = "" if cell is None else str(cell)
+                    if not cell.strip():
+                        vals.append(cell)  # P2 blank passthrough
+                    elif mode == "compat":
+                        vals.append(
+                            redact_cell_value(
+                                cell,
+                                [(e, i, True) for i, e in enumerate(ents)],
+                                redaction_mode,
+                                labels,
+                                skip_ids,
+                            )
+                        )
+                    else:
+                        vals.append(scrub_text(cell, options).scrubbed_text)
+                new_cols[c] = vals
+            yield pdf.assign(**new_cols)
+
+    return scrubbed.mapInPandas(run, schema=scrubbed.schema)

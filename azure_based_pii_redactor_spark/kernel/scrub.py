@@ -60,15 +60,67 @@ def scrub_text(
     options: RedactOptions = DEFAULT_OPTIONS,
     feedback_history: Sequence[FeedbackRecord] = (),
     column_config: ColumnConfig | None = None,
+    external_detector=None,
 ) -> ScrubResult:
     """End-to-end scrub of one document (``Detector.Redact`` --
     detector.go:192-243)."""
+    extra = external_detector(text) if external_detector is not None else ()
     entities = detect(
         text,
         feedback_history=feedback_history,
         use_training=options.use_training,
+        extra_entities=extra,
     )
     if column_config is not None:
         entities = column_config.apply_filtering(entities, text)
     scrubbed = apply_redaction(text, entities, options)
     return ScrubResult(scrubbed_text=scrubbed, entities=entities)
+
+
+def detect_with_column(
+    text: str,
+    column_config: ColumnConfig,
+    feedback_history: Sequence[FeedbackRecord] = (),
+    gpt_validator=None,
+    external_detector=None,
+) -> tuple[list[Entity], list]:
+    """``Detector.DetectWithColumn`` -- detector.go:138-191: detect ->
+    column filtering -> (optional) GPT validation with fail-open-to-redact
+    defaults -> confidence scoring (entity confidence updated to the
+    adjusted score) -> drop entities the validator says not to redact.
+
+    ``gpt_validator(text, entities)`` returns a list of
+    ``(is_real_pii, should_redact, confidence)`` triples or raises; on
+    error the reference defaults every entity to
+    ``(True, True, 0.8)`` (detector.go:153-164) -- fail-open means
+    everything surviving is redactable.
+
+    Returns ``(validated_entities, confidence_scores)``.
+    """
+    from .confidence import calculate_confidence
+
+    extra = external_detector(text) if external_detector is not None else ()
+    entities = detect(
+        text, feedback_history=feedback_history, extra_entities=extra
+    )
+    entities = column_config.apply_filtering(entities, text)
+
+    validations = None
+    if gpt_validator is not None and entities:
+        try:
+            validations = list(gpt_validator(text, entities))
+        except Exception:
+            validations = [(True, True, 0.8)] * len(entities)
+
+    scores = []
+    validated: list[Entity] = []
+    for i, entity in enumerate(entities):
+        gpt = validations[i] if validations and i < len(validations) else None
+        adjusted, signals = calculate_confidence(
+            entity, text, feedback_history=feedback_history, gpt_validation=gpt
+        )
+        scores.append((entity.text, entity.type, entity.confidence,
+                       adjusted, signals))
+        if gpt is None or gpt[1]:  # should_redact
+            validated.append(entity._replace(confidence=adjusted))
+    return validated, scores
