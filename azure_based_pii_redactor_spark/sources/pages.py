@@ -126,9 +126,15 @@ def generate_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
 
 
 def generate_pages(
-    spark: SparkSession, n_rows: int, seed: int = 42, parts: int | None = None
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    parts: int | None = None,
+    start_id: int = 0,
 ) -> DataFrame:
-    """Distributed generation: ``spark.range`` -> ``mapInPandas``."""
+    """Distributed generation: ``spark.range`` -> ``mapInPandas``.
+    ``start_id`` offsets the row-id range so incremental corpora get
+    disjoint urls."""
     parts = parts or spark.sparkContext.defaultParallelism
 
     def gen(iterator):
@@ -136,7 +142,7 @@ def generate_pages(
             yield generate_batch(pdf["id"].to_numpy(), seed)
 
     return (
-        spark.range(0, n_rows, numPartitions=parts)
+        spark.range(start_id, start_id + n_rows, numPartitions=parts)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
     )
 

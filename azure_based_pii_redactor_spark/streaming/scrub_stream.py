@@ -1,0 +1,69 @@
+"""Streaming scrub: identical kernel, micro-batch execution.
+
+Scale notes: the fused ``mapInPandas`` kernel is stateless, so it runs
+unchanged under Structured Streaming (narrow stage per micro-batch).
+Watermarked event-time windows bound state for the metrics aggregation;
+``availableNow`` gives exactly-once batch-backfill semantics with the
+same query (the production pattern for reprocessing an Iceberg snapshot
+while tailing new WARC drops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.pipeline import run_scrub_pipeline
+from ..engine.schema import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def scrub_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    **pipeline_kwargs,
+):
+    """readStream -> fused kernel -> parquet sink, availableNow trigger.
+    Returns the StreamingQuery (caller awaits/stops)."""
+    pages = read_pages_stream(spark, input_path)
+    out = run_scrub_pipeline(pages, **pipeline_kwargs)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_quality_metrics(pages_out: DataFrame) -> DataFrame:
+    """Event-time windowed keep/drop counts: 1-hour tumbling windows on
+    warc_ts with a 2-hour watermark for late pages (the streaming twin of
+    metrics.drop_reason_counts)."""
+    return (
+        pages_out.withWatermark("warc_ts", "2 hours")
+        .groupBy(
+            F.window("warc_ts", "1 hour").alias("win"),
+            "keep",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_entities").alias("n_entities"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "keep",
+            "n_docs",
+            "n_entities",
+        )
+    )

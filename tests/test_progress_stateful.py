@@ -1,0 +1,80 @@
+"""Progress observability (T1-T3) and stateful streaming operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_based_pii_redactor_spark.engine.pipeline import run_scrub_pipeline
+from azure_based_pii_redactor_spark.engine.progress import (
+    ProgressReporter,
+    ProgressSnapshot,
+    RunState,
+)
+from azure_based_pii_redactor_spark.sources.pages import generate_pages
+
+
+def test_progress_reporter_lifecycle(spark, tmp_path):
+    with ProgressReporter(spark, "runX", interval_s=0.05) as rep:
+        assert rep.state.status == "processing"
+        out = run_scrub_pipeline(generate_pages(spark, 300, seed=1))
+        out.write.mode("overwrite").parquet(str(tmp_path / "o"))
+    assert rep.state.status == "completed"
+    assert len(rep.state.snapshots) > 0
+    # at least one sample caught the job mid-flight (tasks active or
+    # already completed within a still-active stage)
+    assert any(
+        s.active_tasks > 0 or s.completed_tasks > 0
+        for s in rep.state.snapshots
+    )
+    assert rep.to_dataframe().count() == len(rep.state.snapshots)
+
+
+def test_progress_reporter_error_state(spark):
+    with pytest.raises(ValueError):
+        with ProgressReporter(spark, "runE") as rep:
+            raise ValueError("boom")
+    assert rep.state.status == "error"
+    assert "boom" in rep.state.error
+
+
+def test_bounded_snapshot_buffer():
+    st = RunState("r", max_snapshots=3)
+    for i in range(5):
+        st.record(ProgressSnapshot(float(i), 0, 0, 0, 0))
+    assert len(st.snapshots) == 3
+    assert st.dropped == 2  # T3 drop counter (websocket.go:35-39)
+
+
+def test_running_domain_counts_stateful(spark, tmp_path):
+    from azure_based_pii_redactor_spark.streaming.scrub_stream import (
+        read_pages_stream,
+    )
+    from azure_based_pii_redactor_spark.streaming.stateful import (
+        running_domain_counts,
+    )
+
+    src = str(tmp_path / "src")
+    generate_pages(spark, 200, seed=6, parts=4).write.mode(
+        "overwrite").parquet(src)
+    stream = read_pages_stream(spark, src, max_files_per_trigger=2)
+    counts = running_domain_counts(run_scrub_pipeline(stream))
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("domstate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # latest emitted totals per domain must equal the batch ground truth
+    got = spark.sql(
+        "SELECT domain, max(n_docs) AS n_docs FROM domstate GROUP BY domain"
+    ).toPandas().set_index("domain")["n_docs"]
+    from azure_based_pii_redactor_spark.engine.metrics import with_domain
+
+    want = (
+        with_domain(spark.read.parquet(src))
+        .groupBy("domain").agg(F.count("*").alias("n"))
+        .toPandas().set_index("domain")["n"]
+    )
+    for dom, n in want.items():
+        assert got.get(dom) == n, dom
