@@ -7,9 +7,9 @@ harness.  Names without an oracle entry are non-SQL-expressible and get
 the driver's rows-only check.
 """
 
-from . import dedup, relational, similarity, textstats
+from . import dedup, multimodal, relational, similarity, textstats
 
-ALL_MODULES = (relational, textstats, dedup, similarity)
+ALL_MODULES = (relational, textstats, dedup, similarity, multimodal)
 
 
 def all_queries():

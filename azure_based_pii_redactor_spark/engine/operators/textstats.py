@@ -117,7 +117,27 @@ def text_langid_kernel(spark, sf_dir):
     )
 
 
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def text_token_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenization count (GPT-2-style piece regex, simplified
+    to the RE2/Java-common subset): letter runs, single digits, single
+    punctuation -- JVM-side regexp_extract_all."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+                "n_bpe_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_token_bpe": text_token_bpe,
     "text_token_stats": text_token_stats,
     "text_quality_sql": text_quality_sql,
     "text_fingerprint_md5": text_fingerprint_md5,
@@ -126,6 +146,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_token_bpe": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                   AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
     "text_token_stats": """
         SELECT lang, count(*) AS n_docs,
                round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,

@@ -1,0 +1,97 @@
+"""Multimodal column tests: schema/partitioning/batch-shape are real even
+though decode is a deterministic stub (task brief: stub the decode, make
+the Spark plumbing real and tested)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from azure_based_pii_redactor_spark.engine.operators.multimodal import (
+    decode_media_metadata,
+    frame_sample,
+    generate_media,
+    media_features,
+    media_stats,
+    resize_images,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return generate_media(spark, 200, seed=42).cache()
+
+
+def test_media_generator_deterministic(spark):
+    a = generate_media(spark, 60, seed=9, parts=2).toPandas().sort_values("media_id")
+    b = generate_media(spark, 60, seed=9, parts=6).toPandas().sort_values("media_id")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_decode_metadata(spark, media):
+    decoded = decode_media_metadata(media)
+    pdf = decoded.toPandas()
+    assert len(pdf) == 200
+    kinds = set(pdf["kind"])
+    assert kinds == {"image", "audio", "video"}
+    img = pdf[pdf.kind == "image"]
+    assert (img["width"] >= 16).all() and (img["n_frames"] == 1).all()
+    aud = pdf[pdf.kind == "audio"]
+    assert (aud["sample_rate"] >= 8000).all()
+    vid = pdf[pdf.kind == "video"]
+    assert (vid["n_frames"] >= 2).all()
+
+
+def test_frame_sample(spark, media):
+    frames = frame_sample(media, every_n=2).toPandas()
+    assert len(frames) > 0
+    assert (frames["frame_idx"] % 2 == 0).all()
+    assert frames["frame"].map(len).gt(0).all()
+    # every sampled frame belongs to a video
+    decoded = decode_media_metadata(media).toPandas()
+    vids = set(decoded[decoded.kind == "video"]["media_id"])
+    assert set(frames["media_id"]) <= vids
+
+
+def test_resize_stub_shape(spark, media):
+    out = resize_images(media, 32, 32).toPandas()
+    decoded = decode_media_metadata(media).toPandas()
+    assert len(out) == (decoded.kind == "image").sum()
+    assert out["payload"].map(len).eq(10 + 32 * 32).all()
+
+
+def test_media_features_unit_norm(spark, media):
+    import numpy as np
+
+    feats = media_features(media, dim=16).toPandas()
+    assert len(feats) == 200
+    norms = feats["embedding"].map(
+        lambda v: float(np.linalg.norm(np.array(v)))
+    )
+    assert ((norms - 1).abs() < 1e-3).all()
+
+
+def test_media_stats_rollup(spark, media):
+    pdf = media_stats(media).toPandas()
+    assert pdf["n"].sum() == 200
+    assert set(pdf["kind"]) == {"audio", "image", "video"}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from azure_based_pii_redactor_spark.engine.operators.similarity import (
+        knn_cosine_ivf,
+        knn_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = knn_cosine_topk(spark, sf).toPandas()
+    ivf = knn_cosine_ivf(spark, sf).toPandas()
+    bpairs = set(zip(brute.query_id, brute.neighbor_id))
+    ipairs = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(bpairs & ipairs) / len(bpairs)
+    assert recall >= 0.5, recall  # n_probe=2/8 lists on random vectors
+    # scores for shared pairs identical to the brute-force double math
+    merged = brute.merge(ivf, on=["query_id", "neighbor_id"],
+                         suffixes=("_b", "_i"))
+    assert (merged["score_b"] == merged["score_i"]).all()
