@@ -252,6 +252,44 @@ def is_valid_match(pattern_type: str, text: str) -> bool:
     return validator(text) if validator is not None else True
 
 
+# Cheap pre-gates: a pattern cannot match unless one of these substrings
+# is present (derived from each regex's mandatory literals); pure
+# optimization -- the regex is the decider.  ``digit`` = needs any digit.
+_REQUIRES: dict[str, tuple[str, ...]] = {
+    "email": ("@",),
+    "url": ("http",),
+    "phone_international": ("+",),
+    "medical_record": ("MR", "MED"),
+    "mac_address": (":", "-"),
+    "bank_account": ("digit",),
+    "canada_sin": ("digit",),
+    "credit_card": ("digit",),
+    "date": ("digit",),
+    "driver_license": ("digit",),
+    "iban": ("digit",),
+    "passport": ("digit",),
+    "phone_us": ("digit",),
+    "ssn": ("digit",),
+    "uk_nino": ("digit",),
+    "bitcoin_address": ("digit",),  # both alternatives contain 1/3/bc1
+}
+
+_DIGITS = tuple(str(d) for d in range(10))
+
+
+def _may_match(name: str, text: str, has_digit: bool) -> bool:
+    req = _REQUIRES.get(name)
+    if req is None:
+        return True
+    for needle in req:
+        if needle == "digit":
+            if has_digit:
+                return True
+        elif needle in text:
+            return True
+    return False
+
+
 def detect_pii(text: str) -> list[Entity]:
     """Run all 18 patterns; leftmost non-overlapping matches per pattern,
     cross-pattern overlaps allowed -- patterns.go:199-224.
@@ -259,7 +297,10 @@ def detect_pii(text: str) -> list[Entity]:
     Output canonically sorted by (start, end, type); see entities.py.
     """
     entities: list[Entity] = []
+    has_digit = any(d in text for d in _DIGITS)
     for name in ENTITY_TYPES:
+        if not _may_match(name, text, has_digit):
+            continue
         cfg = PATTERNS[name]
         for m in cfg["pattern"].finditer(text):
             matched = m.group(0)

@@ -69,14 +69,34 @@ def resolve_replacement(entity: Entity, options: RedactOptions) -> str:
 def apply_redaction(
     text: str, entities: list[Entity], options: RedactOptions
 ) -> str:
-    """Reverse-start splice -- detector.go:433-473."""
+    """Reverse-start splice -- detector.go:433-473.
+
+    Fast path: when spans are valid and strictly non-overlapping (the
+    common case), a single-pass rebuild produces byte-identical output to
+    the reference's reverse splice in O(n) instead of O(n^2) string
+    copies.  Overlapping/invalid spans fall back to the exact splice loop
+    (order-dependent mutation semantics preserved)."""
     if not entities:
         return text
-    ordered = sorted(
-        entities, key=lambda e: (e.start, e.end, e.type), reverse=True
+    ordered = sorted(entities, key=lambda e: (e.start, e.end, e.type))
+    n = len(text)
+    non_overlapping = all(
+        0 <= e.start < e.end <= n for e in ordered
+    ) and all(
+        a.end <= b.start for a, b in zip(ordered, ordered[1:])
     )
+    if non_overlapping:
+        parts: list[str] = []
+        cursor = 0
+        for entity in ordered:
+            parts.append(text[cursor : entity.start])
+            parts.append(resolve_replacement(entity, options))
+            cursor = entity.end
+        parts.append(text[cursor:])
+        return "".join(parts)
+
     redacted = text
-    for entity in ordered:
+    for entity in reversed(ordered):
         # Bounds check against the CURRENT string (detector.go:454-461):
         # skip silently-invalid spans produced by earlier overlapping
         # splices.

@@ -35,14 +35,20 @@ def decide(
 ) -> QualityDecision:
     lang_pred, lang_score = predict_language(text)
     ppl = perplexity(text)
-    metrics = gopher_c4_metrics(text)
 
+    # Gate order is fixed; the (expensive) heuristic metrics are computed
+    # lazily -- docs dropped by the language/fluency gates only need the
+    # cheap word count for the output schema.
     if lang_pred not in allowed_langs:
-        return QualityDecision(False, "langid_lang", lang_pred, lang_score, ppl, metrics)
+        return QualityDecision(False, "langid_lang", lang_pred, lang_score,
+                               ppl, {"n_words": float(len(text.split()))})
     if lang_score < min_lang_score:
-        return QualityDecision(False, "langid_score", lang_pred, lang_score, ppl, metrics)
+        return QualityDecision(False, "langid_score", lang_pred, lang_score,
+                               ppl, {"n_words": float(len(text.split()))})
     if ppl > max_perplexity:
-        return QualityDecision(False, "perplexity", lang_pred, lang_score, ppl, metrics)
+        return QualityDecision(False, "perplexity", lang_pred, lang_score,
+                               ppl, {"n_words": float(len(text.split()))})
+    metrics = gopher_c4_metrics(text)
     reason = first_failing_rule(metrics)
     if reason is not None:
         return QualityDecision(False, reason, lang_pred, lang_score, ppl, metrics)

@@ -49,11 +49,14 @@ def _ngram_char_fractions(words: list[str], text_len: int) -> dict[str, float]:
     """Top n-gram (n=2..4) and duplicated n-gram (n=5..10) character
     fractions, per the Gopher repetition rules."""
     out: dict[str, float] = {}
+    # zip-based n-gram windows run at C speed (vs index-slice genexprs);
+    # word lengths are precomputed so char sums don't re-measure strings.
+    wlens = [len(w) for w in words]
     for n in (2, 3, 4):
         if len(words) < n:
             out[f"top_{n}gram_char_frac"] = 0.0
             continue
-        grams = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+        grams = Counter(zip(*(words[i:] for i in range(n))))
         gram, count = grams.most_common(1)[0]
         chars = sum(len(w) for w in gram)
         out[f"top_{n}gram_char_frac"] = (
@@ -64,11 +67,16 @@ def _ngram_char_fractions(words: list[str], text_len: int) -> dict[str, float]:
         if len(words) < n:
             out[key] = 0.0
             continue
-        grams = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+        counts = Counter(zip(*(words[i:] for i in range(n))))
+        if len(counts) == len(words) - n + 1:  # all unique: no dups
+            out[key] = 0.0
+            continue
         # chars covered by n-grams occurring more than once (upper-bound
         # estimate, duplicate-count weighted, as in common reimplementations)
         dup_chars = sum(
-            (c - 1) * sum(len(w) for w in g) for g, c in grams.items() if c > 1
+            (c - 1) * sum(len(w) for w in g)
+            for g, c in counts.items()
+            if c > 1
         )
         out[key] = dup_chars / text_len if text_len else 0.0
     return out

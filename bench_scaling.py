@@ -56,11 +56,16 @@ def run_at(cpus: int, corpus: str) -> float:
     # warm-up (JIT + codegen + python worker spin-up), untimed
     run_scrub_pipeline(pages.limit(2000)).write.format("noop").mode(
         "overwrite").save()
-    t0 = time.time()
-    run_scrub_pipeline(pages).write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
+    # best-of-N: wall-clock on a shared box is noisy (GC, page cache);
+    # the minimum is the closest estimate of the true pipeline cost
+    best = float("inf")
+    for _ in range(int(os.environ.get("SCALING_REPS", "2"))):
+        t0 = time.time()
+        run_scrub_pipeline(pages).write.format("noop").mode(
+            "overwrite").save()
+        best = min(best, time.time() - t0)
     spark.stop()
-    return dt
+    return best
 
 
 def main() -> None:
