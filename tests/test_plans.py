@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the plan shapes that matter at 100 TB
+(broadcast joins, filter/column pushdown into the parquet scan, top-k
+without global sort, partial aggregation before the exchange).
+
+These pin the OPTIMIZED plan, not just results -- a correct-but-shuffling
+plan is a regression even when values match."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dim_joins_are_broadcast(spark):
+    from azure_based_pii_redactor_spark.engine.operators.relational import (
+        join_rows_history,
+        join_snowflake,
+    )
+
+    p = plan_of(join_rows_history(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    p2 = plan_of(join_snowflake(spark, SF))
+    assert p2.count("BroadcastHashJoin") == 2
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_shipdate") <= "1995-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    p = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity" in p
+    assert "l_extendedprice" not in p  # untouched columns never read
+
+
+def test_global_limit_uses_take_ordered(spark):
+    from azure_based_pii_redactor_spark.engine.operators.relational import (
+        window_recent_first_limit,
+    )
+
+    p = plan_of(window_recent_first_limit(spark, SF))
+    # per-partition top-k + driver merge, NOT a full global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_aggregation_is_partial_then_final(spark):
+    from azure_based_pii_redactor_spark.engine.operators.relational import (
+        agg_tpch_q1,
+    )
+
+    p = plan_of(agg_tpch_q1(spark, SF))
+    # map-side combine: HashAggregate appears before AND after the exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in p
+
+
+def test_kernel_stage_is_narrow(spark):
+    from azure_based_pii_redactor_spark.engine.pipeline import run_scrub_pipeline
+    from azure_based_pii_redactor_spark.sources.pages import generate_pages
+
+    out = run_scrub_pipeline(generate_pages(spark, 10, seed=1, parts=2))
+    p = plan_of(out)
+    assert "Exchange" not in p  # no shuffle: scan -> kernel, nothing else
+    assert "MapInPandas" in p
+
+
+def test_resume_antijoin_is_broadcast(spark, tmp_path):
+    from azure_based_pii_redactor_spark.engine.checkpoint import (
+        filter_remaining,
+        run_checkpointed,
+    )
+    from azure_based_pii_redactor_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 50, seed=2, parts=2)
+    out, lin = str(tmp_path / "o"), str(tmp_path / "l")
+    run_checkpointed(pages, out, lin, "r", n_buckets=4)
+    rem = filter_remaining(pages, lin, "r", 4)
+    p = plan_of(rem)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_whole_stage_codegen_covers_relational_ops(spark):
+    from azure_based_pii_redactor_spark.engine.operators.relational import (
+        agg_session_rollup,
+    )
+
+    df = agg_session_rollup(spark, SF)
+    df.collect()  # AQE finalizes the physical plan on execution
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    # '*(N)' marks whole-stage-codegen'd stages in the plan string
+    assert "*(1)" in p and "partial_sum" in p
