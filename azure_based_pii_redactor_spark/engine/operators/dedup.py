@@ -80,14 +80,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "raw_j", F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+        )
+        .filter(F.col("raw_j") >= 0.4)  # threshold on RAW value (= oracle)
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 4
-            ).alias("jaccard"),
+            F.round(F.col("raw_j"), 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.4)
         .orderBy("doc_a", "doc_b")
     )
 

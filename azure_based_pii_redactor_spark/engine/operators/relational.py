@@ -202,7 +202,9 @@ def join_grouped_rollup(spark, sf_dir):
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.concat_ws(",",
+                        F.sort_array(F.collect_list("l_linenumber")))
+             .alias("line_numbers"),
             F.count("*").alias("n_lines"),
         )
         .orderBy("l_orderkey")
@@ -497,7 +499,7 @@ ORACLES = {
     """,
     "join_grouped_rollup": """
         SELECT l_orderkey,
-               array_agg(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+               string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_numbers,
                count(*) AS n_lines
         FROM lineitem WHERE l_orderkey <= 100
         GROUP BY l_orderkey ORDER BY l_orderkey

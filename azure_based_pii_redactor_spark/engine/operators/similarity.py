@@ -117,22 +117,24 @@ def knn_cosine_lsh(spark, sf_dir):
 
 
 def embedding_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (threshold 0.95) -- the
-    embedding leg of the dedup suite.  Self-join pruned by vec_id order;
-    at scale this is run per LSH bucket instead of all-pairs."""
+    """Embedding-cosine near-duplicate pairs -- the embedding leg of the
+    dedup suite.  Self-join pruned by vec_id order; at scale this runs per
+    LSH bucket instead of all-pairs.  Threshold 0.5 is tuned to the
+    synthetic random-vector corpus (real embeddings use ~0.95)."""
     e = _emb(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "raw_c", _dot(F.col("a.embedding"), F.col("b.embedding"))
+        )
+        .filter(F.col("raw_c") >= 0.5)  # threshold on RAW value (= oracle)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(_dot(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-                "cosine"
-            ),
+            F.round(F.col("raw_c"), 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.95)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -150,7 +152,7 @@ def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 2):
 
     e = _emb(spark, sf_dir)
     sample = np.array(
-        [r.embedding for r in e.limit(256).collect()], dtype=np.float64
+        [r.embedding for r in e.orderBy("vec_id").limit(256).collect()], dtype=np.float64
     )
     rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence([77])))
     centroids = sample[rng.choice(len(sample), n_lists, replace=False)]
@@ -247,7 +249,7 @@ ORACLES = {
                                       b.embedding::DOUBLE[]), 6) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.embedding::DOUBLE[],
-                               b.embedding::DOUBLE[]) >= 0.95
+                               b.embedding::DOUBLE[]) >= 0.5
         ORDER BY vec_a, vec_b
     """,
 }
