@@ -28,8 +28,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..kernel.column_config import ColumnConfig
 from ..kernel.redact import RedactOptions
-from ..kernel.scrub import scrub_text
+from ..kernel.scrub import scrub_text, scrub_text_advanced
 from ..quality.decide import ALLOWED_LANGS, MAX_PERPLEXITY, MIN_LANG_SCORE, decide
 from .schema import SCRUB_OUTPUT_SCHEMA
 
@@ -60,6 +61,9 @@ def _scrub_batch(
     min_lang_score: float,
     max_perplexity: float,
     scrub_all: bool,
+    column_config: "ColumnConfig | None" = None,
+    gpt_validator=None,
+    external_detector=None,
 ) -> pd.DataFrame:
     n = len(pdf)
     out: dict[str, list] = {
@@ -101,7 +105,18 @@ def _scrub_batch(
         out["drop_reason"][i] = d.drop_reason
         out["n_words"][i] = int(d.metrics["n_words"])
         if d.keep or scrub_all:
-            r = scrub_text(extracted, options, feedback_history=feedback)
+            if column_config is None and gpt_validator is None \
+                    and external_detector is None:
+                r = scrub_text(extracted, options, feedback_history=feedback)
+            else:
+                # advanced path: column filtering + external stages +
+                # confidence-adjusted entities (detector.go:138-191)
+                r = scrub_text_advanced(
+                    extracted, options, feedback_history=feedback,
+                    column_config=column_config,
+                    gpt_validator=gpt_validator,
+                    external_detector=external_detector,
+                )
             out["scrubbed_text"][i] = r.scrubbed_text
             out["n_entities"][i] = len(r.entities)
             out["entities"][i] = [e._asdict() for e in r.entities]
@@ -117,8 +132,16 @@ def run_scrub_pipeline(
     max_perplexity: float = MAX_PERPLEXITY,
     scrub_all: bool = False,
     repartition_to: int | None = None,
+    column_config: ColumnConfig | None = None,
+    gpt_validator=None,
+    external_detector=None,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> SCRUB_OUTPUT_SCHEMA rows."""
+    """pages(url, warc_ts, html, text, lang) -> SCRUB_OUTPUT_SCHEMA rows.
+
+    Passing ``column_config`` / ``gpt_validator`` / ``external_detector``
+    switches the scrub to the reference's advanced path
+    (``DetectWithColumn``): filtered, externally validated (fail-open),
+    confidence-adjusted entities.  Callables must be picklable."""
     spark = pages.sparkSession
     bc_feedback = spark.sparkContext.broadcast(list(feedback))
 
@@ -129,6 +152,7 @@ def run_scrub_pipeline(
                 yield _scrub_batch(
                     pdf, options, fb, allowed_langs,
                     min_lang_score, max_perplexity, scrub_all,
+                    column_config, gpt_validator, external_detector,
                 )
 
     if repartition_to is not None:

@@ -77,6 +77,31 @@ def scrub_text(
     return ScrubResult(scrubbed_text=scrubbed, entities=entities)
 
 
+def scrub_text_advanced(
+    text: str,
+    options: RedactOptions = DEFAULT_OPTIONS,
+    feedback_history: Sequence[FeedbackRecord] = (),
+    column_config: ColumnConfig | None = None,
+    gpt_validator=None,
+    external_detector=None,
+) -> ScrubResult:
+    """The reference's advanced path (``DetectWithColumn`` + redaction):
+    column filtering, optional external NER + GPT validation with
+    fail-open defaults, confidence adjustment baked into each surviving
+    entity, then the standard splice."""
+    entities, _scores = detect_with_column(
+        text,
+        column_config or ColumnConfig(),
+        feedback_history=feedback_history,
+        gpt_validator=gpt_validator,
+        external_detector=external_detector,
+    )
+    return ScrubResult(
+        scrubbed_text=apply_redaction(text, entities, options),
+        entities=entities,
+    )
+
+
 def detect_with_column(
     text: str,
     column_config: ColumnConfig,

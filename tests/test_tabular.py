@@ -200,3 +200,33 @@ def test_write_csv_roundtrip(spark, cells_df, tmp_path):
     assert "[REDACTED_EMAIL]" in "".join(
         r.email or "" for r in back.collect()
     )
+
+
+def test_pipeline_advanced_path(spark):
+    """Advanced (DetectWithColumn) path through the Spark pipeline:
+    column-config filtering + validator with fail-open + confidence
+    adjustment baked into entities."""
+    from azure_based_pii_redactor_spark.engine.pipeline import run_scrub_pipeline
+    from azure_based_pii_redactor_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 150, seed=42)
+    plain = run_scrub_pipeline(pages)
+    advanced = run_scrub_pipeline(
+        pages,
+        column_config=ColumnConfig(min_confidence=0.0,
+                                   detection_mode="aggressive"),
+        gpt_validator=ThresholdValidator(0.75),
+    )
+    p = {r.url: r for r in plain.filter("keep").collect()}
+    a = {r.url: r for r in advanced.filter("keep").collect()}
+    assert set(p) == set(a)  # quality decision unaffected
+    # validator drops low-confidence types; entity counts can only shrink
+    assert all(a[u].n_entities <= p[u].n_entities for u in a)
+    # surviving entities carry ADJUSTED confidences (weighted-average
+    # values, not the raw pattern priors)
+    raw_priors = {0.7, 0.75, 0.8, 0.85, 0.9, 0.95}
+    adjusted = [
+        e.confidence
+        for u in a for e in (a[u].entities or [])
+    ]
+    assert adjusted and not set(adjusted) <= raw_priors
