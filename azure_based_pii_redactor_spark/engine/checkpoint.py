@@ -72,6 +72,7 @@ def write_scrub_output(
     lineage_path: str,
     run_id: str,
     bucket_ids: list[int],
+    writer=None,
 ) -> None:
     """Write kernel output partitioned by bucket, then append lineage.
 
@@ -81,11 +82,14 @@ def write_scrub_output(
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session.py) so
     only these buckets are replaced.
     """
-    out.write.mode("overwrite").partitionBy("part_bucket").parquet(output_path)
+    from .tableio import default_writer
+
     spark = out.sparkSession
+    writer = writer or default_writer(spark)
+    writer.overwrite_buckets(out, output_path)
     # Lineage is computed from the files just committed (partition-pruned
     # read), never from the pre-write plan -- avoids re-running the kernel.
-    written = spark.read.parquet(output_path).filter(
+    written = writer.read(spark, output_path).filter(
         F.col("part_bucket").isin(bucket_ids)
     )
     lineage = (

@@ -1,0 +1,82 @@
+"""Table-format abstraction for the checkpointed writer.
+
+SURVEY.md section 7: "Iceberg availability -- the sandbox may lack Iceberg
+runtime jars; abstract the table format (same MERGE-equivalent semantics
+on parquet via partition-overwrite + lineage anti-join) and verify at
+build time."  This module is that thin seam:
+
+- ``ParquetBucketWriter`` (default): dynamic partition overwrite on plain
+  parquet -- replacing exactly the bucket partitions present in the batch
+  is the MERGE-equivalent idempotent write.
+- ``IcebergBucketWriter``: the production path.  ``available()`` probes
+  the session for an Iceberg catalog; writes use ``overwritePartitions``
+  on a table partitioned by ``bucket(url)``.  In this sandbox (no Iceberg
+  jars) construction raises with instructions.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class BucketTableWriter(Protocol):
+    """Idempotent bucket-partitioned writer (MERGE-equivalent)."""
+
+    def overwrite_buckets(self, df: DataFrame, target: str) -> None: ...
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame: ...
+
+
+class ParquetBucketWriter:
+    """Dynamic partition overwrite on parquet (requires
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` -- session.py)."""
+
+    def overwrite_buckets(self, df: DataFrame, target: str) -> None:
+        df.write.mode("overwrite").partitionBy("part_bucket").parquet(target)
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        return spark.read.parquet(target)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for an Iceberg catalog on the session."""
+    try:
+        java_import = spark.sparkContext._jvm.java.lang.Class
+        java_import.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergBucketWriter:
+    """Production writer: Iceberg table partitioned by ``bucket(N, url)``;
+    ``overwritePartitions`` replaces exactly the touched buckets (the same
+    idempotence contract as ParquetBucketWriter; a row-level
+    ``MERGE INTO ... ON t.url = s.url`` is the alternative when buckets
+    must interleave).  Requires iceberg-spark-runtime jars + a configured
+    catalog."""
+
+    def __init__(self, spark: SparkSession):
+        if not iceberg_available(spark):
+            raise NotImplementedError(
+                "Iceberg runtime not on the classpath. Add "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-4.0 "
+                "and a spark.sql.catalog.<name> config; then this writer's "
+                "overwritePartitions path is the production MERGE-equivalent."
+            )
+        self.spark = spark
+
+    def overwrite_buckets(self, df: DataFrame, target: str) -> None:  # pragma: no cover
+        df.writeTo(target).overwritePartitions()
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:  # pragma: no cover
+        return spark.read.table(target)
+
+
+def default_writer(spark: SparkSession) -> BucketTableWriter:
+    """Iceberg when available, parquet otherwise (build-time probe)."""
+    if iceberg_available(spark):  # pragma: no cover - not in sandbox
+        return IcebergBucketWriter(spark)
+    return ParquetBucketWriter()

@@ -164,3 +164,131 @@ class ColumnConfig:
 
 
 DEFAULT_COLUMN_CONFIG = ColumnConfig()
+
+
+class ColumnConfigManager:
+    """Per-column config registry with JSON (de)serialization -- mirrors
+    ``ColumnConfigManager`` (column_config.go:102-136, LoadFromJSON
+    :331-345, SaveToJSON :347-355).  Unknown columns get the balanced
+    default (column_config.go:126-136).  In Spark the manager is broadcast
+    (tiny JSON blob -- the reference persists it in ``csv_metadata``,
+    db.go:216 / F4)."""
+
+    def __init__(self) -> None:
+        self._configs: dict[str, ColumnConfig] = {}
+
+    def set_config(self, config: ColumnConfig) -> None:
+        self._configs[config.column_name] = config
+
+    def get_config(self, column_name: str) -> ColumnConfig:
+        return self._configs.get(column_name) or ColumnConfig(
+            column_name=column_name
+        )
+
+    def apply_column_filtering(
+        self, column_name: str, entities: list[Entity], text: str
+    ) -> list[Entity]:
+        return self.get_config(column_name).apply_filtering(entities, text)
+
+    # -- JSON round-trip ----------------------------------------------------
+
+    def to_json(self) -> str:
+        import json
+
+        out = []
+        for cfg in self._configs.values():
+            out.append(
+                {
+                    "column_name": cfg.column_name,
+                    "detection_mode": cfg.detection_mode,
+                    "min_confidence": cfg.min_confidence,
+                    "entity_rules": {
+                        k: {
+                            "enabled": r.enabled,
+                            "confidence_threshold": r.confidence_threshold,
+                            "custom_replacement": r.custom_replacement,
+                        }
+                        for k, r in cfg.entity_rules.items()
+                    },
+                    "whitelist_patterns": [
+                        {"pattern": p.pattern, "regex": p.is_regex,
+                         "case_sensitive": p.case_sensitive}
+                        for p in cfg.whitelist_patterns
+                    ],
+                    "blacklist_patterns": [
+                        {"pattern": p.pattern, "regex": p.is_regex,
+                         "case_sensitive": p.case_sensitive}
+                        for p in cfg.blacklist_patterns
+                    ],
+                    "excluded_entity_types": sorted(cfg.excluded_entity_types),
+                }
+            )
+        return json.dumps(out, indent=2)
+
+    @classmethod
+    def from_json(cls, data: str) -> "ColumnConfigManager":
+        import json
+
+        mgr = cls()
+        for c in json.loads(data):
+            mgr.set_config(
+                ColumnConfig(
+                    column_name=c.get("column_name", ""),
+                    detection_mode=c.get("detection_mode", "balanced"),
+                    min_confidence=c.get("min_confidence", 0.7),
+                    entity_rules={
+                        k: EntityRule(
+                            enabled=r.get("enabled", True),
+                            confidence_threshold=r.get(
+                                "confidence_threshold", 0.0),
+                            custom_replacement=r.get("custom_replacement"),
+                        )
+                        for k, r in (c.get("entity_rules") or {}).items()
+                    },
+                    whitelist_patterns=[
+                        ListPattern(p["pattern"], p.get("regex", False),
+                                    p.get("case_sensitive", False))
+                        for p in (c.get("whitelist_patterns") or [])
+                    ],
+                    blacklist_patterns=[
+                        ListPattern(p["pattern"], p.get("regex", False),
+                                    p.get("case_sensitive", False))
+                        for p in (c.get("blacklist_patterns") or [])
+                    ],
+                    excluded_entity_types=frozenset(
+                        c.get("excluded_entity_types") or ()
+                    ),
+                )
+            )
+        return mgr
+
+
+def default_config_for_data_type(
+    column_name: str, data_type: str
+) -> ColumnConfig:
+    """``GetDefaultConfigForDataType`` -- column_config.go:357-399."""
+    if data_type == "email":
+        return ColumnConfig(
+            column_name=column_name, detection_mode="aggressive",
+            entity_rules={"Email": EntityRule(confidence_threshold=0.9)},
+        )
+    if data_type == "phone":
+        return ColumnConfig(
+            column_name=column_name, detection_mode="aggressive",
+            entity_rules={"PhoneNumber": EntityRule(confidence_threshold=0.8)},
+        )
+    if data_type == "name":
+        return ColumnConfig(
+            column_name=column_name, detection_mode="balanced",
+            entity_rules={"Person": EntityRule(confidence_threshold=0.8)},
+        )
+    if data_type == "financial":
+        return ColumnConfig(
+            column_name=column_name, detection_mode="aggressive",
+            min_confidence=0.9,
+        )
+    if data_type in ("product_code", "reference"):
+        return ColumnConfig(
+            column_name=column_name, detection_mode="conservative"
+        )
+    return ColumnConfig(column_name=column_name, detection_mode="balanced")

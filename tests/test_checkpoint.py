@@ -133,3 +133,19 @@ def test_run_summary(spark, scrubbed):
     assert row.n_docs == 400
     assert 0 < row.n_kept < 400
     assert 0 <= row.avg_entity_confidence <= 1
+
+
+def test_table_writer_abstraction(spark, tmp_path):
+    """Format seam: parquet writer is the sandbox default; Iceberg writer
+    probes the classpath and raises with guidance when absent."""
+    from azure_based_pii_redactor_spark.engine.tableio import (
+        IcebergBucketWriter,
+        ParquetBucketWriter,
+        default_writer,
+        iceberg_available,
+    )
+
+    assert isinstance(default_writer(spark), ParquetBucketWriter)
+    assert not iceberg_available(spark)  # sandbox has no iceberg jars
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        IcebergBucketWriter(spark)

@@ -303,3 +303,33 @@ def test_scrub_deterministic_and_dedup_idempotent(text):
     r2 = scrub_text(text)
     assert r1 == r2
     assert deduplicate(r1.entities) == r1.entities
+
+
+# -- column config manager (column_config.go:102-136, :331-399) --------------
+
+def test_column_config_manager_roundtrip_and_defaults():
+    from azure_based_pii_redactor_spark.kernel.column_config import (
+        ColumnConfigManager,
+        default_config_for_data_type,
+    )
+
+    mgr = ColumnConfigManager()
+    mgr.set_config(ColumnConfig(column_name="email_col",
+                                detection_mode="aggressive",
+                                min_confidence=0.1,
+                                blacklist_patterns=[ListPattern("secret")]))
+    # unknown column -> balanced default (column_config.go:126-136)
+    assert mgr.get_config("other").detection_mode == "balanced"
+    assert mgr.get_config("other").min_confidence == 0.7
+
+    restored = ColumnConfigManager.from_json(mgr.to_json())
+    es = [ent("a", "x", 0, 1, 0.6)]
+    text = "has secret inside"
+    out1 = mgr.apply_column_filtering("email_col", es, text)
+    out2 = restored.apply_column_filtering("email_col", es, text)
+    assert out1 == out2
+    assert any(e.type == "blacklisted" for e in out1)
+
+    fin = default_config_for_data_type("amount", "financial")
+    assert fin.detection_mode == "aggressive" and fin.min_confidence == 0.9
+    assert default_config_for_data_type("sku", "product_code").detection_mode == "conservative"
