@@ -107,3 +107,39 @@ def test_whole_stage_codegen_covers_relational_ops(spark):
     assert "isFinalPlan=true" in p
     # '*(N)' marks whole-stage-codegen'd stages in the plan string
     assert "*(1)" in p and "partial_sum" in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing demo: pre-bucketed tables on the join key co-locate, so
+    the join plans with zero Exchange on either side -- the 100 TB pattern
+    for repeated joins on the same key (SURVEY.md section 4 / task brief
+    'bucketing for co-located joins')."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    suffix = uuid.uuid4().hex[:8]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable(f"li_b_{suffix}"))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(f"o_b_{suffix}"))
+    try:
+        lib = spark.table(f"li_b_{suffix}")
+        ob = spark.table(f"o_b_{suffix}")
+        # disable broadcast so the bucket co-location is what saves us
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = lib.join(ob, lib.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority").agg(F.count("*").alias("n"))
+        p = plan_of(joined)
+        # the JOIN itself needs no exchange (bucket-co-located scan);
+        # only the tiny post-join aggregation shuffles
+        join_part = p.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in join_part
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
