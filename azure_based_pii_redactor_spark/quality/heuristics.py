@@ -84,7 +84,7 @@ def _ngram_char_fractions(words: list[str], text_len: int) -> dict[str, float]:
 
 def gopher_c4_metrics(text: str) -> dict[str, float]:
     """Compute every heuristic metric for one document."""
-    words = _WORD.findall(text)
+    words = text.split()
     n_words = len(words)
     text_len = len(text)
     lines = [ln for ln in text.split("\n") if ln.strip()]
