@@ -41,9 +41,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return _flagship(spark, "/root/testdata/sf0.001")
 
 
+def _export_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review/export flow (SURVEY section 3.3) over documents: scrub, then
+    rebuild from stored entities; rows-only check."""
+    from azure_based_pii_redactor_spark.engine.export_flow import (
+        export_scrubbed,
+    )
+    from azure_based_pii_redactor_spark.engine.pipeline import (
+        documents_as_pages,
+        run_scrub_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = documents_as_pages(docs)
+    out = run_scrub_pipeline(pages, scrub_all=True)
+    return (
+        export_scrubbed(pages, out)
+        .select("url", "n_applied", "exported_text")
+        .orderBy("url")
+    )
+
+
+def _tabular_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular row-scrub flow (SURVEY section 3.2) over the customer table
+    (P1 projection + kernel); rows-only check."""
+    from azure_based_pii_redactor_spark.engine.tabular_pipeline import (
+        scrub_tabular,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = scrub_tabular(c, ["c_name", "c_mktsegment"])
+    return out.select(
+        "c_custkey", "n_entities", "scrubbed_row_text"
+    ).orderBy("c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(all_queries())
     q["pipeline_scrub_documents"] = _flagship
+    q["pipeline_export_rebuild"] = _export_rebuild
+    q["pipeline_tabular_scrub"] = _tabular_scrub
     return q
 
 

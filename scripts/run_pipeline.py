@@ -64,9 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     pages = spark.read.parquet(args.input)
     feedback = []
     if args.feedback:
-        feedback = [
-            r.asDict() for r in spark.read.parquet(args.feedback).collect()
-        ]
+        from azure_based_pii_redactor_spark.engine.feedback import (
+            load_training_feedback,
+        )
+
+        # ordered oldest->newest: latest-wins conflict resolution depends
+        # on list order (confidence_scoring.go:211-236)
+        feedback = load_training_feedback(spark, args.feedback)
 
     t0 = time.time()
     with ProgressReporter(spark, args.run_id) as rep:
