@@ -403,6 +403,147 @@ def scalar_line_split(spark, sf_dir):
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Advanced patterns beyond the reference (task brief: windows/sessionize/
+# as-of -- the ops a large-scale pipeline needs; each with a DuckDB oracle)
+# --------------------------------------------------------------------------
+
+def window_running_sum(spark, sf_dir):
+    """Cumulative per-user running sum (window frame: unbounded preceding
+    .. current row) -- frame-based windows are absent in the reference and
+    added here as a first-class op."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def window_sessionize(spark, sf_dir):
+    """Sessionization: a new session starts after a >30 min gap per user
+    (lag + cumsum-free counting); returns sessions per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def join_semi_exists(spark, sf_dir):
+    """LEFT SEMI (EXISTS): customers with at least one big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def join_anti_not_exists(spark, sf_dir):
+    """LEFT ANTI (NOT EXISTS): customers with no high-value order
+    (unfiltered anti is vacuous on this dataset -- every customer
+    orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (explicit value list keeps
+    the plan static -- no driver-side distinct scan)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "login"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    )
+
+
+def cube_order_stats(spark, sf_dir):
+    """CUBE over (status, priority): grouping-set totals with NULL
+    subtotal markers (absent in the reference; standard OLAP surface)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+def join_asof_latest_order(spark, sf_dir):
+    """AS-OF join (Spark has no native one): for every event, the latest
+    order date of the same key at-or-before the event time.  Implemented
+    with the scalable union+window pattern: tag both sides, sort within
+    key by (time, side), carry the last seen order date forward -- one
+    shuffle, no range explosion.  Oracle: DuckDB ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        F.lit(None).cast("date").alias("odate"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    # orders sort BEFORE events at the same instant => >= semantics
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("t"), F.desc("is_order"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = e.unionByName(o).withColumn(
+        "latest_order_date", F.last("odate", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("is_order") == 0)
+        .select("event_id", "latest_order_date")
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "agg_counts_by_type": agg_counts_by_type,
     "agg_sum_coalesce": agg_sum_coalesce,
@@ -426,6 +567,13 @@ QUERIES = {
     "scalar_mask_repeat": scalar_mask_repeat,
     "scalar_json_extract": scalar_json_extract,
     "scalar_line_split": scalar_line_split,
+    "window_running_sum": window_running_sum,
+    "window_sessionize": window_sessionize,
+    "join_semi_exists": join_semi_exists,
+    "join_anti_not_exists": join_anti_not_exists,
+    "pivot_event_counts": pivot_event_counts,
+    "cube_order_stats": cube_order_stats,
+    "join_asof_latest_order": join_asof_latest_order,
 }
 
 ORACLES = {
@@ -574,5 +722,65 @@ ORACLES = {
     "scalar_line_split": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         FROM documents ORDER BY doc_id
+    """,
+    "window_running_sum": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value
+        FROM events ORDER BY event_id
+    """,
+    "window_sessionize": """
+        WITH g AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events)
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    "join_semi_exists": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    "join_anti_not_exists": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 450000)
+        ORDER BY c_custkey
+    """,
+    "pivot_event_counts": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS BIGINT) AS n_login
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "cube_order_stats": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "join_asof_latest_order": """
+        SELECT e.event_id, o.o_orderdate AS latest_order_date
+        FROM events e ASOF LEFT JOIN
+             (SELECT o_custkey, o_orderdate,
+                     CAST(o_orderdate AS TIMESTAMP) AS odate_ts
+              FROM orders) o
+          ON e.user_id = o.o_custkey AND e.ts >= o.odate_ts
+        ORDER BY e.event_id
     """,
 }
