@@ -216,8 +216,89 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over candidate
+    pairs via iterative min-label propagation (the "large-star" style
+    fixpoint; each iteration is one join + one agg).
+
+    At 10^12 docs the component diameter of near-dup clusters is tiny
+    (dup clusters are dense), so the loop converges in a handful of
+    iterations; ``localCheckpoint`` cuts the lineage so the plan doesn't
+    grow with iterations.  Returns (doc_id, component) where component is
+    the min doc_id of the cluster -- the canonical keeper.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_minhash_clusters(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash-LSH candidates -> connected
+    components -> one keeper per cluster with its member list.  Rows-only
+    check (iterative algorithm)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_preview"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            F.col("component").alias("keeper_id"),
+            "n_members",
+            F.concat_ws(",", F.col("member_preview")).alias("members"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
 QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

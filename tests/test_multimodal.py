@@ -95,3 +95,29 @@ def test_ivf_recall_vs_brute_force(spark):
     merged = brute.merge(ivf, on=["query_id", "neighbor_id"],
                          suffixes=("_b", "_i"))
     assert (merged["score_b"] == merged["score_i"]).all()
+
+
+def test_connected_components_known_graph(spark):
+    from azure_based_pii_redactor_spark.engine.operators.dedup import (
+        connected_components,
+    )
+
+    # two components: {1,2,3,4} (chain) and {10,11}; 99 isolated never appears
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comps = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_minhash_clusters_end_to_end(spark):
+    from azure_based_pii_redactor_spark.engine.operators.dedup import (
+        dedup_minhash_clusters,
+    )
+
+    rows = dedup_minhash_clusters(spark, "/root/testdata/sf0.001").collect()
+    assert rows  # LSH candidates exist in documents
+    for r in rows:
+        members = [int(x) for x in r.members.split(",")]
+        assert r.keeper_id == min(members)
+        assert r.n_members == len(members) > 1
