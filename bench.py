@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "knn_cosine_topk",
+    "join_asof_latest_order",
+    "window_sessionize",
 ]
 
 
