@@ -10,7 +10,23 @@ non-SQL-expressible (kernel/LSH/pipeline ops) and take the rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The package lives next to this file; make imports robust to the harness
+# importing us from a different working directory.  The PYTHONPATH export
+# matters for the EXECUTOR side: python workers are spawned by the JVM
+# with the environment it inherited, not with the driver's runtime
+# sys.path -- without it, mapInPandas kernels would die with
+# ModuleNotFoundError when cwd != repo root.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 from pyspark.sql import DataFrame, SparkSession
 
