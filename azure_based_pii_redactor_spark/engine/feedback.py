@@ -27,5 +27,9 @@ def load_training_feedback(
         "entity_text", "entity_type", "original_score", "user_decision",
         "user_confidence", "context", "timestamp", "session_id",
     ) if c in df.columns]
-    rows = df.select(*cols).orderBy("timestamp").collect()
+    # deterministic total order: equal timestamps (batch inserts) must not
+    # flip latest-wins conflict resolution run-to-run
+    order = [c for c in ("timestamp", "session_id", "entity_text",
+                         "entity_type", "user_decision") if c in cols]
+    rows = df.select(*cols).orderBy(*order).collect()
     return [r.asDict() for r in rows]

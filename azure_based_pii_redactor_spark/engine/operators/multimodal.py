@@ -149,18 +149,25 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize stage: REAL image resize requires PIL (absent here).  The
-    stage keeps the production signature and raises per-batch unless the
-    deterministic fake is requested via meta -- demonstrating the
-    import-gated pattern."""
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32,
+    use_fake_decode: bool = True,
+) -> DataFrame:
+    """Resize stage.  ``use_fake_decode=True`` (default; the sandbox path)
+    applies a deterministic fake resize over the synthetic container.
+    ``use_fake_decode=False`` is the production path: it requires PIL and
+    raises a clear NotImplementedError when the library is MISSING (the
+    import-gated pattern; see sources/tabular.py:read_excel)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-            have_pil = True
-        except ImportError:
-            have_pil = False
+        if not use_fake_decode:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - sandbox path
+                raise NotImplementedError(
+                    "real image resize requires Pillow; install it or use "
+                    "use_fake_decode=True for the synthetic container"
+                ) from exc
         for pdf in batches:
             out_ids, blobs = [], []
             for mid, kind, blob in zip(
@@ -168,8 +175,10 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
             ):
                 if kind != "image":
                     continue
-                if have_pil:  # pragma: no cover - not in sandbox
-                    raise NotImplementedError("wire PIL resize here")
+                if not use_fake_decode:  # pragma: no cover - needs PIL
+                    raise NotImplementedError(
+                        "wire PIL decode->resize->encode here"
+                    )
                 # deterministic fake: re-header with the target size and
                 # truncate/pad the payload to w*h bytes
                 body = bytes(blob[10:])[: width * height]

@@ -49,7 +49,11 @@ def extract_text(html: bytes | None) -> str | None:
     if html is None:
         return None
     if html.startswith(_WRAP_PREFIX) and html.endswith(_WRAP_SUFFIX):
-        return html[len(_WRAP_PREFIX) : -len(_WRAP_SUFFIX)].decode("utf-8")
+        # tolerant decode: one malformed Common-Crawl payload must not
+        # kill the task; invalid bytes become U+FFFD and the byte-identity
+        # flag (extracted_ok) records the mismatch downstream
+        return html[len(_WRAP_PREFIX) : -len(_WRAP_SUFFIX)].decode(
+            "utf-8", errors="replace")
     return _TAG.sub("", html.decode("utf-8", errors="replace"))
 
 

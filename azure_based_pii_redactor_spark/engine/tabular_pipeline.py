@@ -5,11 +5,14 @@ Row scrub: PII-enabled cells joined with " " (P1, ``file.go:396-404``),
 one kernel pass per row text, per-row entity list kept WITH the row (the
 J3 group-join is free because entities never leave their row).
 
-Cell export: two modes --
-- ``canonical``: each enabled cell re-scrubbed independently through the
-  kernel (correct offsets per cell; SURVEY.md J4 recommendation).
+Cell export: three modes --
+- ``canonical`` (default): stored entities re-anchored to cell-local
+  offsets by substring search -- honors approvals/skip_ids, training-
+  injected entities and stored provenance with correct positions.
 - ``compat``: the reference's containment splice (row-level offsets
   against the cell string, quirks preserved -- kernel/export.py).
+- ``rescrub``: fresh per-cell kernel detection (ignores stored entities
+  and approvals by design -- a clean-slate re-run, not a review export).
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernel.entities import Entity
-from ..kernel.export import redact_cell_value
+from ..kernel.export import redact_cell_value, redact_cell_value_anchored
 from ..kernel.redact import RedactOptions
 from ..kernel.scrub import scrub_text
 from .schema import ENTITY_TYPE
@@ -84,10 +87,15 @@ def export_tabular_cells(
 ) -> DataFrame:
     """Per-cell redacted output (the structured CSV export,
     ``file.go:1866-1895``).  Entities come from the stored ``entities``
-    column; cells NOT in ``enabled_cols`` pass through untouched
-    (``file.go:1884-1886`` semantics)."""
-    if mode not in ("canonical", "compat"):
+    column (except ``rescrub``); cells NOT in ``enabled_cols`` pass
+    through untouched (``file.go:1884-1886`` semantics)."""
+    if mode not in ("canonical", "compat", "rescrub"):
         raise ValueError(f"unknown export mode: {mode}")
+    if mode == "rescrub" and skip_ids is not None:
+        raise ValueError(
+            "rescrub mode re-detects from scratch and cannot honor "
+            "skip_ids; use 'canonical' for approval-aware export"
+        )
     labels = dict(custom_labels or {})
     enabled = list(enabled_cols)
     cols = list(scrubbed.columns)
@@ -124,7 +132,17 @@ def export_tabular_cells(
                                 skip_ids,
                             )
                         )
-                    else:
+                    elif mode == "canonical":
+                        vals.append(
+                            redact_cell_value_anchored(
+                                cell,
+                                [(e, i, True) for i, e in enumerate(ents)],
+                                redaction_mode,
+                                labels,
+                                skip_ids,
+                            )
+                        )
+                    else:  # rescrub
                         vals.append(scrub_text(cell, options).scrubbed_text)
                 new_cols[c] = vals
             yield pdf.assign(**new_cols)

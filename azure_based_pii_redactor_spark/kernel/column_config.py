@@ -56,15 +56,19 @@ class ColumnConfig:
     excluded_entity_types: frozenset[str] = frozenset()
 
     def __post_init__(self) -> None:
-        # Compile once (column_config.go:199-230); per-process, not per-cell.
+        # Compile once (column_config.go:199-230); per-process, not
+        # per-cell.  re.ASCII mirrors Go RE2 class semantics (see
+        # patterns.py).
         self._wl_compiled = [
-            re.compile(p.pattern if p.case_sensitive else "(?i)" + p.pattern)
+            re.compile(p.pattern if p.case_sensitive else "(?i)" + p.pattern,
+                       re.ASCII)
             if p.is_regex
             else None
             for p in self.whitelist_patterns
         ]
         self._bl_compiled = [
-            re.compile(p.pattern if p.case_sensitive else "(?i)" + p.pattern)
+            re.compile(p.pattern if p.case_sensitive else "(?i)" + p.pattern,
+                       re.ASCII)
             if p.is_regex
             else None
             for p in self.blacklist_patterns

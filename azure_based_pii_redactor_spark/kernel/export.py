@@ -86,6 +86,46 @@ def build_row_redaction(
     return redacted, len(replacements)
 
 
+def redact_cell_value_anchored(
+    cell: str,
+    entities: Sequence[tuple[Entity, int, bool]],
+    redaction_mode: str = "replace",
+    custom_labels: Mapping[str, str] | None = None,
+    skip_ids: frozenset[int] | None = None,
+) -> str:
+    """Canonical per-cell export: stored entities RE-ANCHORED to the cell.
+
+    The reference's containment splice (below) applies ROW-level offsets to
+    the cell string -- correct only for the first cell.  The canonical mode
+    instead locates every occurrence of each approved entity's text within
+    the cell (case-sensitive, like the J4 containment test) and splices at
+    the CELL-local offsets -- so human approvals, training-injected
+    entities, and custom labels are all honored with correct positions.
+    """
+    anchored: list[tuple[Entity, int, bool]] = []
+    for entity, entity_id, approved in entities:
+        if skip_ids is not None:
+            approved = entity_id not in skip_ids
+        if not approved or not entity.text:
+            continue
+        start = 0
+        while True:
+            idx = cell.find(entity.text, start)
+            if idx == -1:
+                break
+            end = idx + len(entity.text)
+            anchored.append(
+                (entity._replace(start=idx, end=end), entity_id, True)
+            )
+            start = end
+    if not anchored:
+        return cell
+    redacted, _ = build_row_redaction(
+        cell, anchored, redaction_mode, custom_labels, None
+    )
+    return redacted
+
+
 def redact_cell_value(
     cell: str,
     entities: Sequence[tuple[Entity, int, bool]],

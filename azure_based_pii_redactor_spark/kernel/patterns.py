@@ -139,9 +139,14 @@ _PATTERN_TABLE: list[tuple[str, str, float, str, str]] = [
 
 # Compiled once per process (fixes the reference's per-cell recompilation,
 # detector.go:412-416).
+# re.ASCII: Go's RE2 character classes (\d, \w, \b) are ASCII-only;
+# Python defaults to Unicode semantics, which would both match non-ASCII
+# digits the reference never matches AND miss word boundaries adjacent to
+# accented letters.  ASCII mode restores span-identical behavior (tested
+# with Arabic-digit and accented-letter vectors).
 PATTERNS: dict[str, dict] = {
     name: {
-        "pattern": re.compile(rx),
+        "pattern": re.compile(rx, re.ASCII),
         "confidence": conf,
         "category": cat,
         "label": label,
@@ -156,7 +161,7 @@ ENTITY_TYPES: tuple[str, ...] = tuple(sorted(PATTERNS))
 # Post-match validators -- patterns.go:226-363.
 # ---------------------------------------------------------------------------
 
-_NON_DIGIT = re.compile(r"[^\d]")
+_NON_DIGIT = re.compile(r"[^\d]", re.ASCII)
 
 _INVALID_SSNS = frozenset(
     {

@@ -54,24 +54,20 @@ def _build_profiles() -> tuple[dict[str, list[float]], list[float]]:
             c.update(_trigrams(sentence))
         per_lang_counts[lang] = c
         vocab.update(c)
-    profiles: dict[str, list[float]] = {}
-    floors: list[float] = []
     v = len(vocab)
-    for lang in LANGUAGES:
-        c = per_lang_counts[lang]
-        total = sum(c.values())
-        denom = total + v + 1
-        floors.append(math.log(1.0 / denom))
-        profiles[lang] = [0.0] * 0  # placeholder, replaced below
+    denoms = {
+        lang: sum(per_lang_counts[lang].values()) + v + 1
+        for lang in LANGUAGES
+    }
+    floors = [math.log(1.0 / denoms[lang]) for lang in LANGUAGES]
     # trigram -> per-language log-prob vector (dense per key, tiny vocab)
-    table: dict[str, list[float]] = {}
-    for tg in vocab:
-        row = []
-        for lang in LANGUAGES:
-            c = per_lang_counts[lang]
-            denom = sum(c.values()) + v + 1
-            row.append(math.log((c.get(tg, 0) + 1.0) / denom))
-        table[tg] = row
+    table: dict[str, list[float]] = {
+        tg: [
+            math.log((per_lang_counts[lang].get(tg, 0) + 1.0) / denoms[lang])
+            for lang in LANGUAGES
+        ]
+        for tg in vocab
+    }
     return table, floors
 
 

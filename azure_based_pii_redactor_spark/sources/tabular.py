@@ -31,18 +31,27 @@ MAX_PROCESS_BYTES = 100 * 1024 * 1024  # processor cap, file_processor.go:199
 
 
 def sniff_delimiter(sample: str) -> str:
-    """file.go:262-292: first delimiter (in fixed order) whose parse yields
-    more than one record wins; fallback comma."""
+    """Delimiter sniff, reference order ``, ; \t |`` (file.go:262-292).
+
+    The reference accepts the first delimiter yielding >1 RECORD -- since
+    any 2-line sample parses as >=2 one-field records under ANY delimiter,
+    that heuristic effectively always picks comma (Go and Python csv
+    alike).  Documented resolution: prefer the first delimiter that also
+    yields >1 COLUMN in the header row; fall back to the reference rule
+    (first with >1 record, else comma) when no delimiter produces columns.
+    """
+    parsed: list[tuple[str, list[list[str]]]] = []
     for delim in SNIFF_DELIMITERS:
         try:
-            records = list(
-                csv.reader(io.StringIO(sample), delimiter=delim)
-            )
+            records = list(csv.reader(io.StringIO(sample), delimiter=delim))
         except csv.Error:
             continue
         if len(records) > 1:
+            parsed.append((delim, records))
+    for delim, records in parsed:
+        if len(records[0]) > 1:
             return delim
-    return ","
+    return parsed[0][0] if parsed else ","
 
 
 def validate_upload(filename: str, size_bytes: int) -> None:

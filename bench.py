@@ -52,11 +52,6 @@ def _sf_from_dir(d: str) -> float:
         return 0.0
 
 
-def _materialize(df) -> int:
-    """Force full computation without driver collection."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
-
-
 def main() -> None:
     import __spark_entry__ as entry_mod
     from azure_based_pii_redactor_spark.engine.pipeline import run_scrub_pipeline

@@ -41,23 +41,15 @@ CSV_SEMI = (
 
 def test_sniff_order_and_fallback():
     assert sniff_delimiter("a,b\n1,2\n") == ","
-    assert sniff_delimiter("a;b\n1;2\n") == ","  # comma parses 2 records of 1 field each -> comma wins first (reference order)
-    assert sniff_delimiter("single line only") == ","
-
-
-def test_sniff_tab_and_pipe():
-    assert sniff_delimiter("a\tb\n1\t2\n") == ","  # comma still yields 2 records
-    # The reference's sniff picks the FIRST delimiter yielding >1 RECORD --
-    # not >1 column -- so comma almost always wins.  Quirk preserved.
+    assert sniff_delimiter("single line only") == ","  # fallback
 
 
 def test_read_csv_sniffed(spark, tmp_path):
     p = tmp_path / "t.csv"
     p.write_text(CSV_SEMI)
     df, delim = read_csv_sniffed(spark, str(p))
-    # For this file comma parsing also yields >1 record (quirk) unless the
-    # quoted semicolon breaks it; assert the read round-trips rows.
-    assert df.count() == 2 or delim == ";"
+    assert delim == ";"
+    assert df.count() == 2 and len(df.columns) == 4
 
 
 def test_read_txt_lines(spark, tmp_path):
@@ -230,3 +222,66 @@ def test_pipeline_advanced_path(spark):
         for u in a for e in (a[u].entities or [])
     ]
     assert adjusted and not set(adjusted) <= raw_priors
+
+
+def test_export_cells_rescrub_and_skip_ids(spark, cells_df):
+    scrubbed = scrub_tabular(cells_df, ["email", "phone", "notes"])
+    # rescrub: fresh detection; refuses skip_ids
+    out = export_tabular_cells(
+        scrubbed, ["email", "phone", "notes"], mode="rescrub"
+    ).orderBy("row_number").collect()
+    assert "[REDACTED_SSN]" in out[1].notes
+    with pytest.raises(ValueError, match="rescrub"):
+        export_tabular_cells(scrubbed, ["email"], mode="rescrub",
+                             skip_ids=frozenset({0}))
+    # canonical honors skip_ids: skipping ALL entity ids -> untouched cells
+    out2 = export_tabular_cells(
+        scrubbed, ["email", "phone", "notes"],
+        skip_ids=frozenset(range(20)),
+    ).orderBy("row_number").collect()
+    assert out2[0].email == "alice@corp.example.com"
+    assert "536-90-4399" in out2[1].notes
+
+
+def test_redact_cell_value_anchored():
+    from azure_based_pii_redactor_spark.kernel.export import (
+        redact_cell_value_anchored,
+    )
+
+    # stored entity has ROW-level offsets (50..57) but is re-anchored to
+    # the cell, including multiple occurrences
+    ents = [(Entity("email", "a@b.com", 50, 57, 0.95, "P"), 1, True)]
+    assert (redact_cell_value_anchored("x a@b.com y a@b.com", ents)
+            == "x [REDACTED_EMAIL] y [REDACTED_EMAIL]")
+    # disapproved via skip set -> untouched
+    assert (redact_cell_value_anchored("x a@b.com", ents,
+                                       skip_ids=frozenset({1}))
+            == "x a@b.com")
+
+
+# -- RE2/ASCII parity (Go reference semantics) --------------------------------
+
+def test_ascii_regex_parity():
+    from azure_based_pii_redactor_spark.kernel.patterns import detect_pii
+
+    # non-ASCII digits never match (Go \d is ASCII)
+    assert detect_pii("id ٣٣٣-٣٣-٣٣٣٣ end") == []
+    # \b exists between accented letter and digit under ASCII semantics,
+    # exactly like Go RE2
+    types = {e.type for e in detect_pii("café123456789 x")}
+    assert "bank_account" in types
+
+
+def test_extract_text_malformed_utf8_tolerant():
+    from azure_based_pii_redactor_spark.engine.pipeline import extract_text
+
+    out = extract_text(b"<html><body>caf\xe9 latin-1</body></html>")
+    assert out == "caf� latin-1"  # no exception, replacement char
+
+
+def test_sniffer_detects_real_delimiters():
+    assert sniff_delimiter("a;b\n1;2\n") == ";"
+    assert sniff_delimiter("a\tb\n1\t2\n") == "\t"
+    assert sniff_delimiter("a|b\n1|2\n") == "|"
+    assert sniff_delimiter("a,b\n1,2\n") == ","
+    assert sniff_delimiter("one\ntwo\n") == ","  # no columns anywhere
