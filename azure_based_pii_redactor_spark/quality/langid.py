@@ -59,7 +59,12 @@ def _build_profiles() -> tuple[dict[str, list[float]], list[float]]:
         lang: sum(per_lang_counts[lang].values()) + v + 1
         for lang in LANGUAGES
     }
-    floors = [math.log(1.0 / denoms[lang]) for lang in LANGUAGES]
+    # NEUTRAL unknown-trigram penalty: a per-language floor of
+    # log(1/denom) would make out-of-vocabulary text drift toward the
+    # language with the smallest corpus; unseen trigrams carry no
+    # language evidence, so they get one shared floor.
+    shared_floor = math.log(1.0 / max(denoms.values()))
+    floors = [shared_floor] * len(LANGUAGES)
     # trigram -> per-language log-prob vector (dense per key, tiny vocab)
     table: dict[str, list[float]] = {
         tg: [
