@@ -1,0 +1,52 @@
+"""Streaming dedup + exactly-once foreachBatch sink tests."""
+
+from pyspark.sql import functions as F
+
+from azure_based_pii_redactor_spark.sources.pages import generate_pages
+from azure_based_pii_redactor_spark.streaming.dedup_stream import (
+    dedupe_stream,
+    write_stream_exactly_once,
+)
+from azure_based_pii_redactor_spark.streaming.scrub_stream import (
+    read_pages_stream,
+)
+
+
+def test_stream_dedup_drops_refetches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = generate_pages(spark, 80, seed=13, parts=2)
+    base.write.mode("overwrite").parquet(src)
+    base.limit(30).write.mode("append").parquet(src)  # re-fetched urls
+    assert spark.read.parquet(src).count() == 110
+
+    stream = dedupe_stream(read_pages_stream(spark, src, 99))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName("dedupq")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) n, count(DISTINCT url) d FROM dedupq").first()
+    assert got.n == got.d == 80
+
+
+def test_foreach_batch_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out")
+    mark = str(tmp_path / "mark")
+    ckpt = str(tmp_path / "ckpt")
+    generate_pages(spark, 60, seed=2, parts=2).write.mode(
+        "overwrite").parquet(src)
+
+    stream = read_pages_stream(spark, src, 99).select("url", "warc_ts")
+    q = write_stream_exactly_once(stream, out, mark, ckpt, "runE")
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 60
+
+    # restart on the same checkpoint: no new data, and any replayed epoch
+    # is suppressed by its marker
+    q2 = write_stream_exactly_once(stream, out, mark, ckpt, "runE")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 60  # unchanged
+    markers = spark.read.parquet(mark)
+    assert markers.count() == markers.select("epoch_id").distinct().count()
