@@ -209,7 +209,8 @@ def dedup_simhash(spark, sf_dir):
         .agg(
             F.min("doc_id").alias("keeper_id"),
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+            .alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("keeper_id")

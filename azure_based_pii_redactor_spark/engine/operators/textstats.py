@@ -136,7 +136,36 @@ def text_token_bpe(spark, sf_dir):
     )
 
 
+def text_lang_stopword_vote(spark, sf_dir):
+    """SQL-expressible language vote: count language-marker stopwords and
+    pick the majority (the relational cousin of the kernel langid; exact
+    oracle).  Ties resolve by fixed order en > es > de."""
+    d = _docs(spark, sf_dir)
+    low = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def hits(words):
+        expr = F.lit(0)
+        for w in words:
+            expr = expr + F.when(low.contains(f" {w} "), 1).otherwise(0)
+        return expr
+
+    en = hits(["the", "and", "with", "that"])
+    es = hits(["el", "la", "los", "que"])
+    de = hits(["der", "die", "und", "das"])
+    vote = (
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    return (
+        d.select("doc_id", en.alias("en_hits"), es.alias("es_hits"),
+                 de.alias("de_hits"), vote.alias("lang_vote"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_lang_stopword_vote": text_lang_stopword_vote,
     "text_token_bpe": text_token_bpe,
     "text_token_stats": text_token_stats,
     "text_quality_sql": text_quality_sql,
@@ -146,6 +175,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_lang_stopword_vote": """
+        WITH h AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS low FROM documents
+        ), v AS (
+            SELECT doc_id,
+                   (CASE WHEN contains(low, ' the ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' and ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' with ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' that ') THEN 1 ELSE 0 END)
+                       AS en_hits,
+                   (CASE WHEN contains(low, ' el ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' la ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' los ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' que ') THEN 1 ELSE 0 END)
+                       AS es_hits,
+                   (CASE WHEN contains(low, ' der ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' die ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' und ') THEN 1 ELSE 0 END +
+                    CASE WHEN contains(low, ' das ') THEN 1 ELSE 0 END)
+                       AS de_hits
+            FROM h)
+        SELECT doc_id, en_hits, es_hits, de_hits,
+               CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                    WHEN es_hits >= de_hits THEN 'es'
+                    ELSE 'de' END AS lang_vote
+        FROM v ORDER BY doc_id
+    """,
     "text_token_bpe": r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
