@@ -57,27 +57,40 @@ class ColumnConfig:
 
     def __post_init__(self) -> None:
         # Compile once (column_config.go:199-230); per-process, not
-        # per-cell.  re.ASCII mirrors Go RE2 class semantics (see
-        # patterns.py).
+        # per-cell.  USER patterns compile with Unicode case folding
+        # (Go RE2's (?i) folds Unicode too); the ASCII-class contract
+        # applies to the built-in bank only (patterns.py).
+        self._compile_lists()
+
+    def _compile_lists(self) -> None:
+        self._wl_src = tuple(self.whitelist_patterns)
+        self._bl_src = tuple(self.blacklist_patterns)
         self._wl_compiled = [
-            re.compile(p.pattern if p.case_sensitive else "(?i)" + p.pattern,
-                       re.ASCII)
+            re.compile(p.pattern if p.case_sensitive else "(?i)" + p.pattern)
             if p.is_regex
             else None
             for p in self.whitelist_patterns
         ]
         self._bl_compiled = [
-            re.compile(p.pattern if p.case_sensitive else "(?i)" + p.pattern,
-                       re.ASCII)
+            re.compile(p.pattern if p.case_sensitive else "(?i)" + p.pattern)
             if p.is_regex
             else None
             for p in self.blacklist_patterns
         ]
 
+    def _ensure_compiled(self) -> None:
+        # the dataclass is mutable: recompile if pattern lists were
+        # appended to after construction (silent drop would un-redact a
+        # blacklist term)
+        if (tuple(self.whitelist_patterns) != self._wl_src
+                or tuple(self.blacklist_patterns) != self._bl_src):
+            self._compile_lists()
+
     # -- predicates -------------------------------------------------------
 
     def _is_whitelisted(self, text: str) -> bool:
         """column_config.go:244-264."""
+        self._ensure_compiled()
         for pat, compiled in zip(self.whitelist_patterns, self._wl_compiled):
             if pat.is_regex:
                 if compiled is not None and compiled.search(text):
@@ -104,6 +117,7 @@ class ColumnConfig:
 
     def _blacklist_entities(self, text: str) -> list[Entity]:
         """column_config.go:286-329."""
+        self._ensure_compiled()
         out: list[Entity] = []
         for pat, compiled in zip(self.blacklist_patterns, self._bl_compiled):
             if pat.is_regex:

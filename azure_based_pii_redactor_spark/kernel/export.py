@@ -20,13 +20,6 @@ from .entities import Entity
 from .redact import DEFAULT_LABELS
 
 
-class StoredEntity(Entity):
-    """Entity + persistence fields (``detected_entities`` table,
-    db.go:186-199)."""
-
-    # NamedTuple subclassing keeps Entity's fields; extras travel separately.
-
-
 def resolve_replacement_export(
     entity: Entity, redaction_mode: str, custom_labels: Mapping[str, str]
 ) -> str:

@@ -144,9 +144,14 @@ _PATTERN_TABLE: list[tuple[str, str, float, str, str]] = [
 # digits the reference never matches AND miss word boundaries adjacent to
 # accented letters.  ASCII mode restores span-identical behavior (tested
 # with Arabic-digit and accented-letter vectors).
+# Go RE2 \s is [\t\n\f\r ] (no \v); Python ASCII \s includes \v.  All
+# \s uses in the bank sit inside character classes, so a literal
+# substitution restores span parity on vertical-tab inputs.
+_GO_WS = "\\t\\n\\f\\r "
+
 PATTERNS: dict[str, dict] = {
     name: {
-        "pattern": re.compile(rx, re.ASCII),
+        "pattern": re.compile(rx.replace("\\s", _GO_WS), re.ASCII),
         "confidence": conf,
         "category": cat,
         "label": label,

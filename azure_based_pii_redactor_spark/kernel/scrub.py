@@ -95,6 +95,7 @@ def scrub_text_advanced(
         feedback_history=feedback_history,
         gpt_validator=gpt_validator,
         external_detector=external_detector,
+        use_training=options.use_training,
     )
     return ScrubResult(
         scrubbed_text=apply_redaction(text, entities, options),
@@ -108,6 +109,7 @@ def detect_with_column(
     feedback_history: Sequence[FeedbackRecord] = (),
     gpt_validator=None,
     external_detector=None,
+    use_training: bool = True,
 ) -> tuple[list[Entity], list]:
     """``Detector.DetectWithColumn`` -- detector.go:138-191: detect ->
     column filtering -> (optional) GPT validation with fail-open-to-redact
@@ -126,7 +128,10 @@ def detect_with_column(
 
     extra = external_detector(text) if external_detector is not None else ()
     entities = detect(
-        text, feedback_history=feedback_history, extra_entities=extra
+        text,
+        feedback_history=feedback_history,
+        use_training=use_training,
+        extra_entities=extra,
     )
     entities = column_config.apply_filtering(entities, text)
 

@@ -30,34 +30,37 @@ FeedbackRecord = Mapping[str, object]
 def apply_training_feedback(
     text: str, feedback_history: Sequence[FeedbackRecord]
 ) -> list[Entity]:
-    """detector.go:319-389 -- inject entities for trained 'correct' texts."""
+    """detector.go:319-389 -- inject entities for trained 'correct' texts.
+
+    Offsets are found with a case-insensitive regex over the ORIGINAL
+    text, so spans are always valid in original-offset space.  (The
+    reference lowers both strings and reuses the lowered index against the
+    original -- for codepoints whose lowercase expands, e.g. Turkish
+    U+0130, that shifts every later offset and leaks/corrupts spans; Go
+    has the same defect.  Documented resolution: match in original space.
+    For ASCII text the two are identical.)"""
+    import re
+
     training_entities: list[Entity] = []
-    lower_text = text.lower()
     for feedback in feedback_history:
         if feedback.get("user_decision") != "correct":
             continue
         entity_text = str(feedback["entity_text"])
         entity_type = str(feedback["entity_type"])
-        lower_entity = entity_text.lower()
-        if not lower_entity:
+        if not entity_text:
             continue
-        start_index = 0
-        while True:
-            index = lower_text.find(lower_entity, start_index)
-            if index == -1:
-                break
-            end = index + len(entity_text)
+        pattern = re.compile(re.escape(entity_text), re.IGNORECASE)
+        for m in pattern.finditer(text):
             training_entities.append(
                 Entity(
                     type=entity_type,
-                    text=text[index:end],  # original case (detector.go:371)
-                    start=index,
-                    end=end,
+                    text=m.group(0),  # original case (detector.go:371)
+                    start=m.start(),
+                    end=m.end(),
                     confidence=0.95,
                     category=entity_type,
                 )
             )
-            start_index = end
     return training_entities
 
 

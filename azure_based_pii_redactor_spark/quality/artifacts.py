@@ -24,7 +24,14 @@ _ppl = importlib.import_module(f"{__package__}.perplexity")
 
 
 def langid_table() -> pd.DataFrame:
+    """Trigram log-prob rows PLUS the unknown-trigram floor row (stored
+    with the empty-string key) -- without it a loaded artifact has no
+    defined score for OOV trigrams."""
     rows = [
+        {"trigram": "",
+         **{f"logp_{lang}": _langid._MATRIX[0][i]
+            for i, lang in enumerate(_langid.LANGUAGES)}}
+    ] + [
         {"trigram": tg,
          **{f"logp_{lang}": _langid._MATRIX[idx][i]
             for i, lang in enumerate(_langid.LANGUAGES)}}
@@ -59,9 +66,9 @@ def save_models(spark: SparkSession, base_path: str) -> None:
 def verify_roundtrip(spark: SparkSession, base_path: str) -> bool:
     """Exported artifact == live in-memory model (exactness check)."""
     lt = spark.read.parquet(f"{base_path}/langid_trigrams").toPandas()
-    ok = len(lt) == len(_langid._INDEX)
+    ok = len(lt) == len(_langid._INDEX) + 1  # + the floor row
     for r in lt.itertuples(index=False):
-        idx = _langid._INDEX[r.trigram]
+        idx = _langid._INDEX.get(r.trigram, 0)  # "" -> floor row 0
         for i, lang in enumerate(_langid.LANGUAGES):
             ok = ok and getattr(r, f"logp_{lang}") == _langid._MATRIX[idx][i]
             if not ok:

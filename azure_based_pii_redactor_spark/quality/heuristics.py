@@ -14,10 +14,8 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-_WORD = re.compile(r"\S+")
 _ALPHA = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]")
 _BULLET_PREFIXES = ("- ", "* ", "• ", "· ")
-_SYMBOLS = ("#", "…", "...")
 
 # Gopher word-count bounds.
 MIN_WORDS = 50
@@ -35,6 +33,13 @@ MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
 MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# word-boundary matchers: stopwords adjacent to newlines/punctuation count
+# (space-padded containment missed them and wrongly dropped line-formatted
+# docs); same for toxicity terms (substring matching had the classic
+# Scunthorpe false-positive problem)
+_STOPWORD_RES = tuple(
+    re.compile(rf"\b{sw}\b", re.ASCII) for sw in GOPHER_STOPWORDS
+)
 
 # C4-style content filters.
 C4_BAD_SUBSTRINGS = ("lorem ipsum", "{")
@@ -43,6 +48,9 @@ MIN_SENTENCES = 3
 # A small toxicity blocklist (C4 uses the public "List of Dirty, Naughty ...";
 # here a deterministic embedded subset -- swap for the full list in prod).
 TOXICITY_WORDS = ("fuck", "shit", "bitch", "asshole", "bastard", "dickhead")
+_TOXICITY_RES = tuple(
+    re.compile(rf"\b{w}\b", re.ASCII) for w in TOXICITY_WORDS
+)
 
 
 def _ngram_char_fractions(words: list[str], text_len: int) -> dict[str, float]:
@@ -106,7 +114,7 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
     alpha_word_frac = (
         sum(1 for w in words if _ALPHA.search(w)) / n_words if n_words else 0.0
     )
-    stopword_hits = sum(1 for sw in GOPHER_STOPWORDS if f" {sw} " in f" {lower} ")
+    stopword_hits = sum(1 for rx in _STOPWORD_RES if rx.search(lower))
 
     line_counts = Counter(lines)
     dup_line_frac = (
@@ -119,7 +127,7 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
     )
 
     sentences = len(re.findall(r"[.!?。!?]", text))
-    toxicity_hits = sum(1 for w in TOXICITY_WORDS if w in lower)
+    toxicity_hits = sum(1 for rx in _TOXICITY_RES if rx.search(lower))
 
     metrics: dict[str, float] = {
         "n_words": float(n_words),

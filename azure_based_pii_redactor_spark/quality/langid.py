@@ -91,9 +91,14 @@ _CJK = re.compile(r"[一-鿿㐀-䶿]")
 
 
 def cjk_fraction(text: str) -> float:
-    if not text:
+    """CJK codepoint fraction of the document HEAD (same
+    ``LANGID_MAX_CHARS`` cap as trigram scoring -- language is decided on
+    the head everywhere, and a 1 MB doc must not pay a full-text scan for
+    the zh gate)."""
+    head = text[:LANGID_MAX_CHARS]
+    if not head:
         return 0.0
-    return len(_CJK.findall(text)) / len(text)
+    return len(_CJK.findall(head)) / len(head)
 
 
 def predict_language(text: str) -> tuple[str, float]:

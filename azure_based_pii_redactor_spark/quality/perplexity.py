@@ -46,14 +46,19 @@ def _train() -> tuple[Counter, Counter, int, float]:
 _UNI, _BI, _TOTAL, _FLOOR = _train()
 
 
+# true worst case: every word hits only the interpolation floor term
+WORST_PERPLEXITY = 1.0 / (_L_FLOOR * _FLOOR)
+
+
 def perplexity(text: str) -> float:
     """Interpolated bigram perplexity; ``inf``-safe (capped by the floor).
 
-    Empty/wordless documents return the floor perplexity (worst case).
+    Empty/wordless documents return ``WORST_PERPLEXITY`` (the score of
+    all-OOV text -- they must never outscore gibberish).
     """
     words = tokenize(text)
     if not words:
-        return 1.0 / _FLOOR
+        return WORST_PERPLEXITY
     prev = BOS
     log_sum = 0.0
     for w in words:

@@ -140,3 +140,34 @@ def test_decide_language_gate_first():
 def test_decide_deterministic():
     for text in [GOOD_EN, "", "short", " ".join(CORPORA["de"][:5])]:
         assert decide(text) == decide(text)
+
+
+# -- regression: max-effort review findings ------------------------------------
+
+def test_stopwords_count_across_newlines_and_punct():
+    m = gopher_c4_metrics("word the\nword of,\nword and.\n")
+    assert m["stopword_hits"] == 3
+
+
+def test_toxicity_word_boundaries_no_scunthorpe():
+    clean = GOOD_EN + " Matsushita mishit the ball."
+    assert gopher_c4_metrics(clean)["toxicity_hits"] == 0
+    assert gopher_c4_metrics(GOOD_EN + " what a shit day")["toxicity_hits"] == 1
+
+
+def test_empty_doc_is_true_worst_perplexity():
+    from azure_based_pii_redactor_spark.quality.perplexity import (
+        WORST_PERPLEXITY,
+    )
+
+    gib = perplexity("zxq qzk jxw vkq " * 20)
+    assert perplexity("") == WORST_PERPLEXITY
+    # all-OOV gibberish sits at the same ceiling (up to float ulp)
+    assert abs(gib - WORST_PERPLEXITY) / WORST_PERPLEXITY < 1e-9
+
+
+def test_cjk_gate_uses_document_head():
+    head_en = " ".join(CORPORA["en"]) * 2  # > 1000 chars of English
+    tail_zh = "中文" * 2000
+    lang, _ = predict_language(head_en[:1200] + tail_zh)
+    assert lang == "en"  # head decides, tail ignored

@@ -333,3 +333,58 @@ def test_column_config_manager_roundtrip_and_defaults():
     fin = default_config_for_data_type("amount", "financial")
     assert fin.detection_mode == "aggressive" and fin.min_confidence == 0.9
     assert default_config_for_data_type("sku", "product_code").detection_mode == "conservative"
+
+
+# -- regression: max-effort review findings ------------------------------------
+
+def test_training_unicode_offsets_safe():
+    """Lowercase-expanding codepoints (Turkish U+0130) must not shift
+    offsets: entities are matched in original-offset space."""
+    text = "İİİ Ahmet lives here with Ahmet Bey today"
+    fb = [{"entity_text": "Ahmet", "entity_type": "Person",
+           "user_decision": "correct"}]
+    ents = apply_training_feedback(text, fb)
+    assert [text[e.start:e.end] for e in ents] == ["Ahmet", "Ahmet"]
+    r = scrub_text(text, feedback_history=fb)
+    assert "Ahmet" not in r.scrubbed_text
+    assert r.scrubbed_text.count("[REDACTED_NAME]") == 2
+
+
+def test_go_whitespace_class_parity():
+    """Go RE2 \\s excludes \\v: url runs through it, phone/MRN separators
+    reject it."""
+    ents = [e for e in detect_pii("see https://a.com/x\x0bsecret now")
+            if e.type == "url"]
+    assert ents and ents[0].text == "https://a.com/x\x0bsecret"
+    assert all(e.type != "medical_record"
+               for e in detect_pii("MRN\x0b123456 x"))
+
+
+def test_unicode_case_folding_in_config_patterns():
+    cfg = ColumnConfig(
+        whitelist_patterns=[ListPattern("café", is_regex=True,
+                                        case_sensitive=False)])
+    es = [ent("a", "CAFÉ@x.com", 0, 10, 0.99)]
+    assert cfg.apply_filtering(es, "") == []  # whitelisted despite case
+
+
+def test_mutable_config_recompiles():
+    cfg = ColumnConfig()
+    cfg.blacklist_patterns.append(ListPattern("secret", is_regex=True))
+    out = cfg.apply_filtering([], "a secret b")
+    assert len(out) == 1 and out[0].type == "blacklisted"
+
+
+def test_advanced_path_honors_use_training():
+    from azure_based_pii_redactor_spark.kernel.scrub import scrub_text_advanced
+
+    fb = [{"entity_text": "Acme Corp", "entity_type": "org",
+           "user_decision": "correct"}]
+    cfg = ColumnConfig(min_confidence=0.0, detection_mode="aggressive")
+    on = scrub_text_advanced("work at Acme Corp now",
+                             feedback_history=fb, column_config=cfg)
+    off = scrub_text_advanced("work at Acme Corp now",
+                              RedactOptions(use_training=False),
+                              feedback_history=fb, column_config=cfg)
+    assert any(e.type == "org" for e in on.entities)
+    assert all(e.type != "org" for e in off.entities)
