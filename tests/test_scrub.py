@@ -388,3 +388,49 @@ def test_advanced_path_honors_use_training():
                               feedback_history=fb, column_config=cfg)
     assert any(e.type == "org" for e in on.entities)
     assert all(e.type != "org" for e in off.entities)
+
+
+# -- fuzz: export paths + wide-unicode kernel ----------------------------------
+
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+               max_size=120),
+       st.text(min_size=1, max_size=12))
+@settings(max_examples=150, deadline=None)
+def test_anchored_redaction_removes_all_approved_occurrences(cell, needle):
+    from azure_based_pii_redactor_spark.kernel.export import (
+        redact_cell_value_anchored,
+    )
+
+    ents = [(Entity("custom_x", needle, 0, len(needle), 0.9, "T"), 1, True)]
+    out = redact_cell_value_anchored(cell, ents)
+    # every literal occurrence is replaced (the replacement itself may
+    # textually contain the needle only if the needle is a substring of
+    # the label -- exclude that case)
+    if needle not in "[REDACTED_CUSTOM_X]":
+        assert needle not in out
+    # disapproved -> untouched
+    assert redact_cell_value_anchored(
+        cell, ents, skip_ids=frozenset({1})) == cell
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                                      exclude_categories=("Cs",)),
+               max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_scrub_never_crashes_on_arbitrary_unicode(text):
+    r1 = scrub_text(text)
+    r2 = scrub_text(text, RedactOptions(redaction_mode="mask"))
+    assert r1 == scrub_text(text)  # deterministic
+    for e in r1.entities:
+        assert 0 <= e.start < e.end <= len(text)
+    assert isinstance(r2.scrubbed_text, str)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_decide_never_crashes(text):
+    from azure_based_pii_redactor_spark.quality import decide
+
+    d = decide(text)
+    assert isinstance(d.keep, bool)
+    assert d.keep == (d.drop_reason is None)
