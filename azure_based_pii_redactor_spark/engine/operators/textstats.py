@@ -164,7 +164,35 @@ def text_lang_stopword_vote(spark, sf_dir):
     )
 
 
+def text_c4_clean_lines(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020): keep lines with >= 5
+    words that end in terminal punctuation; rejoin.  Pure JVM array
+    lambdas -- the transform stage that precedes doc-level filtering in a
+    C4-style pipeline."""
+    d = _docs(spark, sf_dir)
+    cleaned = F.expr(
+        """array_join(
+               filter(split(text, '\n'),
+                      l -> size(split(trim(l), ' ')) >= 5
+                           AND trim(l) rlike '[.!?\"]$'),
+               '\n')"""
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.expr(
+                """filter(split(text, '\n'),
+                          l -> size(split(trim(l), ' ')) >= 5
+                               AND trim(l) rlike '[.!?\"]$')"""
+            )).alias("n_kept_lines"),
+            F.length(cleaned).alias("cleaned_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "text_c4_clean_lines": text_c4_clean_lines,
     "text_lang_stopword_vote": text_lang_stopword_vote,
     "text_token_bpe": text_token_bpe,
     "text_token_stats": text_token_stats,
@@ -175,6 +203,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_c4_clean_lines": """
+        WITH k AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                       l -> len(string_split(trim(l), ' ')) >= 5
+                            AND regexp_matches(trim(l), '[.!?"]$'))
+                       AS kept
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               CAST(coalesce(length(array_to_string(kept, chr(10))), 0)
+                    AS INT) AS cleaned_len
+        FROM k ORDER BY doc_id
+    """,
     "text_lang_stopword_vote": """
         WITH h AS (
             SELECT doc_id, ' ' || lower(text) || ' ' AS low FROM documents

@@ -29,6 +29,8 @@ MIN_ALPHA_WORD_FRAC = 0.80
 MIN_STOPWORD_HITS = 2
 MAX_DUP_LINE_FRAC = 0.30
 MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_DUP_PARA_FRAC = 0.30
+MAX_DUP_PARA_CHAR_FRAC = 0.20
 MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
 MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
@@ -125,6 +127,20 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
         if text_len
         else 0.0
     )
+    # paragraph twins of the line rules (Gopher has both levels)
+    paras = [p for p in text.split("\n\n") if p.strip()]
+    n_paras = len(paras)
+    para_counts = Counter(paras)
+    dup_para_frac = (
+        sum(c - 1 for c in para_counts.values() if c > 1) / n_paras
+        if n_paras else 0.0
+    )
+    dup_para_char_frac = (
+        sum((c - 1) * len(pp) for pp, c in para_counts.items() if c > 1)
+        / text_len
+        if text_len
+        else 0.0
+    )
 
     sentences = len(re.findall(r"[.!?。!?]", text))
     toxicity_hits = sum(1 for rx in _TOXICITY_RES if rx.search(lower))
@@ -139,6 +155,8 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
         "stopword_hits": float(stopword_hits),
         "dup_line_frac": dup_line_frac,
         "dup_line_char_frac": dup_line_char_frac,
+        "dup_para_frac": dup_para_frac,
+        "dup_para_char_frac": dup_para_char_frac,
         "n_sentences": float(sentences),
         "toxicity_hits": float(toxicity_hits),
         "has_lorem_ipsum": float("lorem ipsum" in lower),
@@ -162,6 +180,10 @@ RULES: tuple[tuple[str, object], ...] = (
     ("repetition_dup_lines", lambda m: m["dup_line_frac"] > MAX_DUP_LINE_FRAC),
     ("repetition_dup_line_chars",
      lambda m: m["dup_line_char_frac"] > MAX_DUP_LINE_CHAR_FRAC),
+    ("repetition_dup_paragraphs",
+     lambda m: m["dup_para_frac"] > MAX_DUP_PARA_FRAC),
+    ("repetition_dup_paragraph_chars",
+     lambda m: m["dup_para_char_frac"] > MAX_DUP_PARA_CHAR_FRAC),
     *(
         (f"repetition_top_{n}gram",
          (lambda n: lambda m: m[f"top_{n}gram_char_frac"] > MAX_TOP_NGRAM_CHAR_FRAC[n])(n))

@@ -64,6 +64,7 @@ def test_rule_order_pinned():
         "gopher_word_count", "gopher_mean_word_length", "gopher_symbol_ratio",
         "gopher_bullet_lines", "gopher_ellipsis_lines", "gopher_alpha_words",
         "gopher_stopwords", "repetition_dup_lines", "repetition_dup_line_chars",
+        "repetition_dup_paragraphs", "repetition_dup_paragraph_chars",
         "repetition_top_2gram", "repetition_top_3gram", "repetition_top_4gram",
         "repetition_dup_5gram", "repetition_dup_6gram", "repetition_dup_7gram",
         "repetition_dup_8gram", "repetition_dup_9gram", "repetition_dup_10gram",
@@ -104,6 +105,23 @@ def test_dup_lines():
     m = gopher_c4_metrics(rep)
     assert m["dup_line_frac"] > 0.3
     assert first_failing_rule(m) == "repetition_dup_lines"
+
+
+def test_dup_paragraphs():
+    # 5 copies of a single-line paragraph among 5 unique MULTI-line
+    # paragraphs: paragraph dup fraction 0.4 while line dup fraction
+    # stays under the line threshold -- isolates the paragraph rule.
+    rep_para = "A paragraph that repeats itself in the document body."
+    uniq_paras = [
+        "\n".join(f"unique paragraph {p} line {i} of the body text"
+                  for i in range(10))
+        for p in range(5)
+    ]
+    doc = GOOD_EN + "\n\n" + "\n\n".join(uniq_paras + [rep_para] * 5)
+    m = gopher_c4_metrics(doc)
+    assert m["dup_para_frac"] > 0.3
+    assert m["dup_line_frac"] <= 0.3
+    assert first_failing_rule(m) == "repetition_dup_paragraphs"
 
 
 def test_top_ngram_repetition():
