@@ -129,10 +129,58 @@ ZH_SENTENCES: tuple[str, ...] = (
     "大多数游客喜欢在海滩上散步,看渔船归来。",
 )
 
+IT_SENTENCES: tuple[str, ...] = (
+    "La rapida volpe marrone salta sopra il cane pigro vicino al fiume.",
+    "È andata al mercato presto la mattina per comprare pane fresco e latte.",
+    "Gli scienziati hanno scoperto una nuova specie di farfalla nei boschi di montagna.",
+    "L'azienda ha annunciato risultati trimestrali solidi nonostante il mercato difficile.",
+    "Ai bambini piace giocare fuori quando il tempo è caldo e soleggiato.",
+    "Ha passato tutto il fine settimana a leggere libri sulla storia di Roma antica.",
+    "Il governo prevede di investire più denaro nei trasporti pubblici il prossimo anno.",
+    "La nostra squadra ha lavorato molto duramente per finire il progetto in tempo.",
+    "Il ristorante all'angolo serve la migliore pasta di tutta la città.",
+    "Molte persone credono che l'esercizio regolare migliori la salute e l'umore.",
+    "La maestra ha spiegato la lezione chiaramente così che ogni studente potesse capire.",
+    "Dopo la tempesta il cielo si è schiarito e un arcobaleno è apparso sulle colline.",
+    "Stiamo pianificando un lungo viaggio attraverso i parchi nazionali questa estate.",
+    "Il museo ha aperto una nuova mostra sull'arte del ventesimo secolo.",
+    "Gli ingegneri hanno testato il ponte con attenzione prima di aprirlo al traffico.",
+    "La vecchia biblioteca conserva migliaia di manoscritti rari nelle sue sale silenziose.",
+    "I contadini della valle coltivano grano, mais e molti tipi di verdure.",
+    "Il comitato si riunirà giovedì per discutere la nuova proposta di bilancio.",
+    "Un vento gentile muoveva gli alberi mentre il sole tramontava dietro le montagne.",
+    "La maggior parte dei visitatori ama passeggiare lungo la spiaggia al tramonto.",
+)
+
+PT_SENTENCES: tuple[str, ...] = (
+    "A rápida raposa marrom salta sobre o cão preguiçoso perto do rio.",
+    "Ela foi ao mercado cedo de manhã para comprar pão fresco e leite.",
+    "Os cientistas descobriram uma nova espécie de borboleta nas florestas da montanha.",
+    "A empresa anunciou resultados trimestrais fortes apesar do mercado difícil.",
+    "As crianças adoram brincar lá fora quando o tempo está quente e ensolarado.",
+    "Ele passou o fim de semana inteiro lendo livros sobre a história da Roma antiga.",
+    "O governo planeja investir mais dinheiro no transporte público no próximo ano.",
+    "A nossa equipe trabalhou muito para terminar o projeto antes do prazo.",
+    "O restaurante da esquina serve a melhor massa de toda a cidade.",
+    "Muitas pessoas acreditam que o exercício regular melhora a saúde e o humor.",
+    "A professora explicou a lição claramente para que todos os alunos entendessem.",
+    "Depois da tempestade o céu clareou e um arco-íris apareceu sobre as colinas.",
+    "Estamos planejando uma longa viagem pelos parques nacionais neste verão.",
+    "O museu abriu uma nova exposição sobre a arte do século vinte.",
+    "Os engenheiros testaram a ponte com cuidado antes de abri-la ao tráfego.",
+    "A velha biblioteca guarda milhares de manuscritos raros em suas salas silenciosas.",
+    "Os agricultores do vale cultivam trigo, milho e muitos tipos de legumes.",
+    "O comitê vai se reunir na quinta-feira para discutir a nova proposta de orçamento.",
+    "Um vento suave movia as árvores enquanto o sol se punha atrás das montanhas.",
+    "A maioria dos visitantes gosta de caminhar pela praia ao pôr do sol.",
+)
+
 CORPORA: dict[str, tuple[str, ...]] = {
     "en": EN_SENTENCES,
     "es": ES_SENTENCES,
     "de": DE_SENTENCES,
     "fr": FR_SENTENCES,
+    "it": IT_SENTENCES,
+    "pt": PT_SENTENCES,
     "zh": ZH_SENTENCES,
 }

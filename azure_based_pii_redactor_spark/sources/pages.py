@@ -28,8 +28,8 @@ from .piigen import GENERATORS, PII_TEMPLATES
 N_DOMAINS = 500
 ZIPF_A = 1.2
 
-_LANGS = ("en", "es", "de", "fr", "zh", "gib")
-_LANG_P = (0.68, 0.08, 0.07, 0.05, 0.05, 0.07)
+_LANGS = ("en", "es", "de", "fr", "it", "pt", "zh", "gib")
+_LANG_P = (0.64, 0.07, 0.06, 0.04, 0.04, 0.04, 0.05, 0.06)
 
 # Quality-drop axes (FIXTURES.md: one axis per drop-reason family).
 _AXES = ("none", "short", "symbols", "repetition", "bullets",

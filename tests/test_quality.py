@@ -189,3 +189,16 @@ def test_cjk_gate_uses_document_head():
     tail_zh = "中文" * 2000
     lang, _ = predict_language(head_en[:1200] + tail_zh)
     assert lang == "en"  # head decides, tail ignored
+
+
+def test_langid_romance_discrimination():
+    held = {
+        "it": "I bambini giocavano vicino al vecchio ponte mentre il comitato discuteva i piani per l'estate.",
+        "pt": "As crianças brincavam perto da ponte velha enquanto o comitê discutia os planos para o verão.",
+        "es": "Los niños jugaban cerca del puente viejo mientras el comité discutía los planes para el verano.",
+        "fr": "Les enfants jouaient près du vieux pont pendant que le comité discutait des projets pour l'été.",
+    }
+    for truth, text in held.items():
+        lang, score = predict_language(text)
+        assert lang == truth, (truth, lang)
+        assert score > 0.9
