@@ -85,7 +85,7 @@ def write_scrub_output(
     from .tableio import default_writer
 
     spark = out.sparkSession
-    writer = writer or default_writer(spark)
+    writer = writer or default_writer(spark, output_path)
     writer.overwrite_buckets(out, output_path)
     # Lineage is computed from the files just committed (partition-pruned
     # read), never from the pre-write plan -- avoids re-running the kernel.

@@ -53,6 +53,11 @@ def export_scrubbed(
     ``approvals`` columns: url, start, end, type, approved(boolean).
     """
     labels = dict(custom_labels or {})
+    # export ONLY scrubbed rows: under the default scrub_all=False the
+    # quality-dropped docs were never scrubbed, and exporting them would
+    # emit their RAW text (with all PII intact) indistinguishable from
+    # clean rows
+    scrub_out = scrub_out.filter(F.col("scrubbed_text").isNotNull())
     exploded = (
         scrub_out.filter(F.col("n_entities") > 0)
         .select("url", F.explode("entities").alias("e"))
@@ -67,6 +72,13 @@ def export_scrubbed(
         )
     )
     if approvals is not None:
+        # conflicting verdicts for one entity (append-shaped review table)
+        # must not multiply the exploded row and double-splice; collapse
+        # conservatively -- any disapproval wins
+        approvals = (
+            approvals.groupBy("url", "start", "end", "type")
+            .agg(F.min(F.col("approved").cast("boolean")).alias("approved"))
+        )
         exploded = (
             exploded.join(
                 F.broadcast(
@@ -92,7 +104,11 @@ def export_scrubbed(
                      "category", "approved")
         ).alias("stored")
     )
-    src = pages.select("url", "html", "text").join(regrouped, "url", "left")
+    src = (
+        pages.select("url", "html", "text")
+        .join(scrub_out.select("url"), "url", "left_semi")  # scrubbed only
+        .join(regrouped, "url", "left")
+    )
 
     def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -80,12 +80,16 @@ def run_summary(out: DataFrame, run_id: str = "run") -> DataFrame:
         ).alias("keep_rate_pct"),
         F.sum("n_entities").alias("total_entities"),
         F.avg("ppl").alias("avg_ppl"),
-        F.avg(
-            F.aggregate(
-                F.coalesce(F.col("entities"), F.array()),
-                F.lit(0.0),
-                lambda acc, e: acc + e["confidence"],
+        # mean over ENTITIES, not over docs (per-doc averaging counted
+        # every zero-entity doc as 0.0 and diluted the metric to noise)
+        (
+            F.sum(
+                F.aggregate(
+                    F.coalesce(F.col("entities"), F.array()),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e["confidence"],
+                )
             )
-            / F.greatest(F.col("n_entities"), F.lit(1))
+            / F.greatest(F.sum("n_entities"), F.lit(1))
         ).alias("avg_entity_confidence"),
     )

@@ -30,14 +30,19 @@ def _docs(spark, sf_dir):
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) word n-gram pairs, distinct per doc."""
+    """(doc_id, shingle) word n-gram pairs, distinct per doc.
+
+    ``split`` is bound to a column ONCE: higher-order-function lambdas are
+    interpreted without common-subexpression elimination, so referencing
+    ``split(text)`` inside the lambda re-splits the document per element
+    (measured O(words^2), 90x slower on a 20k-word doc)."""
+    with_words = df.withColumn("__words", F.split("text", " "))
     grams = F.expr(
-        f"transform(slice(split(text, ' '), 1, "
-        f"greatest(size(split(text, ' ')) - {n - 1}, 0)),"
-        f" (w, i) -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        f"transform(slice(__words, 1, greatest(size(__words) - {n - 1}, 0)),"
+        f" (w, i) -> concat_ws(' ', slice(__words, i + 1, {n})))"
     )
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return with_words.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -98,14 +103,12 @@ def _minhash_signatures(spark, sf_dir) -> DataFrame:
     entirely JVM-side column expressions."""
     d = _docs(spark, sf_dir)
     sh = _shingles(d)
-    # deterministic affine coefficients (public textbook construction);
-    # hash reduced to 31 bits first so multiply stays within long under
-    # ANSI overflow checking
-    h = F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1))
+    # K INDEPENDENT hash functions via seeded xxhash64(shingle, i): affine
+    # transforms that never wrap the modulus are monotone in h, which
+    # collapses every signature position to argmin(h) -- a degenerate
+    # signature equal to a function of the single minimum shingle hash.
     mins = [
-        F.min(
-            F.pmod(h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)), F.lit(MERSENNE))
-        ).alias(f"m{i}")
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}")
         for i in range(K_MINHASH)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
@@ -245,6 +248,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -271,7 +275,15 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the budget) -- raise "
+            "max_iterations; returning partial labels would split real "
+            "duplicate clusters"
+        )
     return labels
 
 

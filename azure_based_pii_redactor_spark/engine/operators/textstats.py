@@ -71,11 +71,12 @@ def text_ngram_top(spark, sf_dir):
     explode bigrams -> two-key hash agg -> rank window."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
-    words = F.split("text", " ")
+    d = _docs(spark, sf_dir).withColumn("__words", F.split("text", " "))
+    # split bound once: re-evaluating split() inside the lambda is
+    # O(words^2) (no CSE in interpreted higher-order functions)
     bigrams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-        " (w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))"
+        "transform(slice(__words, 1, size(__words) - 1),"
+        " (w, i) -> concat(w, ' ', element_at(__words, i + 2)))"
     )
     exploded = d.select("lang", F.explode(bigrams).alias("bigram"))
     counts = exploded.groupBy("lang", "bigram").agg(F.count("*").alias("n"))

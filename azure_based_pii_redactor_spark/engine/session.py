@@ -33,7 +33,11 @@ def build_session(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if n in ("", "*") else max(int(n), 1)
+        n = n.split(",")[0]  # legal syntax: local[N,maxFailures]
+        try:
+            shuffle_partitions = max(int(n), 1)
+        except ValueError:
+            shuffle_partitions = cpus
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -34,7 +34,15 @@ class ParquetBucketWriter:
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` -- session.py)."""
 
     def overwrite_buckets(self, df: DataFrame, target: str) -> None:
-        df.write.mode("overwrite").partitionBy("part_bucket").parquet(target)
+        # the dynamic mode is pinned PER WRITE: relying on the session
+        # default would silently truncate all previously completed bucket
+        # partitions under Spark's STATIC default on foreign sessions
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_bucket")
+            .parquet(target)
+        )
 
     def read(self, spark: SparkSession, target: str) -> DataFrame:
         return spark.read.parquet(target)
@@ -75,8 +83,16 @@ class IcebergBucketWriter:
         return spark.read.table(target)
 
 
-def default_writer(spark: SparkSession) -> BucketTableWriter:
-    """Iceberg when available, parquet otherwise (build-time probe)."""
-    if iceberg_available(spark):  # pragma: no cover - not in sandbox
+def _looks_like_path(target: str) -> bool:
+    return "/" in target or target.startswith(".") or "://" in target
+
+
+def default_writer(spark: SparkSession, target: str = "/") -> BucketTableWriter:
+    """Writer selection is TARGET-AWARE: a filesystem path always gets the
+    parquet writer (an Iceberg writer would misparse it as a table
+    identifier, so merely having the jars on the classpath must not break
+    path-based runs); Iceberg is chosen only for catalog table names when
+    the runtime is present."""
+    if not _looks_like_path(target) and iceberg_available(spark):  # pragma: no cover
         return IcebergBucketWriter(spark)
     return ParquetBucketWriter()

@@ -43,6 +43,11 @@ def scrub_tabular(
     spark = df.sparkSession
     bc_feedback = spark.sparkContext.broadcast(list(feedback))
     cols = list(df.columns)
+    unknown = [c for c in enabled_cols if c not in cols]
+    if unknown:
+        # a typo'd PII-enabled column silently disabling scrubbing is a
+        # PII leak; fail loudly instead
+        raise ValueError(f"enabled_cols not in DataFrame: {unknown}")
     enabled = [c for c in cols if c in set(enabled_cols)]
     with_text = df.withColumn(
         ROW_TEXT_COL,
@@ -82,26 +87,44 @@ def export_tabular_cells(
     enabled_cols: Sequence[str],
     redaction_mode: str = "replace",
     custom_labels: dict | None = None,
-    skip_ids: frozenset[int] | None = None,
+    skip_entities: frozenset[tuple] | None = None,
+    row_key: str | None = None,
     mode: str = "canonical",
 ) -> DataFrame:
     """Per-cell redacted output (the structured CSV export,
     ``file.go:1866-1895``).  Entities come from the stored ``entities``
     column (except ``rescrub``); cells NOT in ``enabled_cols`` pass
-    through untouched (``file.go:1884-1886`` semantics)."""
+    through untouched (``file.go:1884-1886`` semantics).
+
+    Review overrides: ``skip_entities`` is a set of
+    ``(row_key_value, start, end, type)`` tuples addressing ONE entity of
+    ONE row (the reference's skip set holds globally-unique DB ids;
+    per-row indexes would select the i-th entity of EVERY row).
+    ``row_key`` names the unique row-id column and is required with
+    ``skip_entities``."""
     if mode not in ("canonical", "compat", "rescrub"):
         raise ValueError(f"unknown export mode: {mode}")
-    if mode == "rescrub" and skip_ids is not None:
-        raise ValueError(
-            "rescrub mode re-detects from scratch and cannot honor "
-            "skip_ids; use 'canonical' for approval-aware export"
-        )
+    if skip_entities is not None:
+        if mode == "rescrub":
+            raise ValueError(
+                "rescrub mode re-detects from scratch and cannot honor "
+                "skip_entities; use 'canonical' for approval-aware export"
+            )
+        if row_key is None or row_key not in scrubbed.columns:
+            raise ValueError(
+                "skip_entities requires row_key naming a unique column"
+            )
     labels = dict(custom_labels or {})
     enabled = list(enabled_cols)
     cols = list(scrubbed.columns)
+    unknown = [c for c in enabled if c not in cols]
+    if unknown:
+        raise ValueError(f"enabled_cols not in DataFrame: {unknown}")
     options = RedactOptions(redaction_mode=redaction_mode,
                             custom_labels=labels,
                             export_style_fallback=True)
+
+    skips = skip_entities or frozenset()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,32 +137,30 @@ def export_tabular_cells(
                 ]
                 for ents in pdf["entities"]
             ]
+            keys = pdf[row_key] if row_key is not None else [None] * len(pdf)
             for c in enabled:
                 if c not in pdf.columns:
                     continue
                 vals = []
-                for cell, ents in zip(pdf[c], ent_rows):
+                for cell, ents, rk in zip(pdf[c], ent_rows, keys):
                     cell = "" if cell is None else str(cell)
+                    triples = [
+                        (e, i,
+                         (rk, e.start, e.end, e.type) not in skips)
+                        for i, e in enumerate(ents)
+                    ]
                     if not cell.strip():
                         vals.append(cell)  # P2 blank passthrough
                     elif mode == "compat":
                         vals.append(
                             redact_cell_value(
-                                cell,
-                                [(e, i, True) for i, e in enumerate(ents)],
-                                redaction_mode,
-                                labels,
-                                skip_ids,
+                                cell, triples, redaction_mode, labels
                             )
                         )
                     elif mode == "canonical":
                         vals.append(
                             redact_cell_value_anchored(
-                                cell,
-                                [(e, i, True) for i, e in enumerate(ents)],
-                                redaction_mode,
-                                labels,
-                                skip_ids,
+                                cell, triples, redaction_mode, labels
                             )
                         )
                     else:  # rescrub
@@ -147,4 +168,19 @@ def export_tabular_cells(
                 new_cols[c] = vals
             yield pdf.assign(**new_cols)
 
-    return scrubbed.mapInPandas(run, schema=scrubbed.schema)
+    # enabled cells become redaction STRINGS: cast their schema slots to
+    # string or Arrow rejects "[REDACTED_*]" written into typed columns
+    from pyspark.sql import types as T
+
+    out_fields = [
+        T.StructField(f.name, T.StringType(), True)
+        if f.name in set(enabled) else f
+        for f in scrubbed.schema.fields
+    ]
+    casted = scrubbed.select(
+        *[
+            F.col(c).cast("string").alias(c) if c in set(enabled) else F.col(c)
+            for c in cols
+        ]
+    )
+    return casted.mapInPandas(run, schema=T.StructType(out_fields))

@@ -33,20 +33,29 @@ def test_stream_dedup_drops_refetches(spark, tmp_path):
 def test_foreach_batch_exactly_once(spark, tmp_path):
     src = str(tmp_path / "src2")
     out = str(tmp_path / "out")
-    mark = str(tmp_path / "mark")
     ckpt = str(tmp_path / "ckpt")
     generate_pages(spark, 60, seed=2, parts=2).write.mode(
         "overwrite").parquet(src)
 
     stream = read_pages_stream(spark, src, 99).select("url", "warc_ts")
-    q = write_stream_exactly_once(stream, out, mark, ckpt, "runE")
+    q = write_stream_exactly_once(stream, out, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 60
 
-    # restart on the same checkpoint: no new data, and any replayed epoch
-    # is suppressed by its marker
-    q2 = write_stream_exactly_once(stream, out, mark, ckpt, "runE")
+    # replayed epoch: re-running the SAME sink body for an epoch id that
+    # already committed must REWRITE its partition, not append duplicates
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(src).select("url", "warc_ts")
+    (
+        batch.withColumn("epoch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id").parquet(out)
+    )
+    assert spark.read.parquet(out).count() == 60  # unchanged (idempotent)
+
+    # restart on the same checkpoint with no new data: nothing appended
+    q2 = write_stream_exactly_once(stream, out, ckpt)
     q2.awaitTermination(120)
-    assert spark.read.parquet(out).count() == 60  # unchanged
-    markers = spark.read.parquet(mark)
-    assert markers.count() == markers.select("epoch_id").distinct().count()
+    assert spark.read.parquet(out).count() == 60

@@ -226,21 +226,34 @@ def test_pipeline_advanced_path(spark):
 
 def test_export_cells_rescrub_and_skip_ids(spark, cells_df):
     scrubbed = scrub_tabular(cells_df, ["email", "phone", "notes"])
-    # rescrub: fresh detection; refuses skip_ids
+    # rescrub: fresh detection; refuses skip_entities
     out = export_tabular_cells(
         scrubbed, ["email", "phone", "notes"], mode="rescrub"
     ).orderBy("row_number").collect()
     assert "[REDACTED_SSN]" in out[1].notes
     with pytest.raises(ValueError, match="rescrub"):
         export_tabular_cells(scrubbed, ["email"], mode="rescrub",
-                             skip_ids=frozenset({0}))
-    # canonical honors skip_ids: skipping ALL entity ids -> untouched cells
+                             skip_entities=frozenset({(1, 0, 1, "x")}),
+                             row_key="row_number")
+    # canonical honors per-row skip keys: disapprove ONLY row 2's ssn
+    ssn_row2 = [
+        (2, e.start, e.end, e.type)
+        for r in scrubbed.filter("row_number = 2").collect()
+        for e in (r.entities or []) if e.type == "ssn"
+    ]
+    assert ssn_row2
     out2 = export_tabular_cells(
         scrubbed, ["email", "phone", "notes"],
-        skip_ids=frozenset(range(20)),
+        skip_entities=frozenset(ssn_row2), row_key="row_number",
     ).orderBy("row_number").collect()
-    assert out2[0].email == "alice@corp.example.com"
-    assert "536-90-4399" in out2[1].notes
+    assert "536-90-4399" in out2[1].notes  # disapproved -> survives
+    assert "[REDACTED_EMAIL]" in out2[1].email  # same row, other entity
+    assert "[REDACTED_EMAIL]" in out2[0].email  # other rows unaffected
+    # unknown enabled column fails loudly (silent no-op = PII leak)
+    with pytest.raises(ValueError, match="enabled_cols"):
+        export_tabular_cells(scrubbed, ["Email"])
+    with pytest.raises(ValueError, match="enabled_cols"):
+        scrub_tabular(cells_df, ["Email"])
 
 
 def test_redact_cell_value_anchored():
