@@ -6,8 +6,9 @@ re-hosted on Spark readers/writers (SURVEY.md section 2.1 S1-S8).
   small head sample (the reference reads the whole file into memory;
   at scale only the head is needed -- delimiters don't change mid-file).
 - S2 strict CSV: ``spark.read.csv`` PERMISSIVE with explicit options.
-- S3 Excel: plumbing present, decode gated behind import-try (sandbox has
-  no xlsx lib) -- ``file.go:2127-2184``.
+- S3 Excel: full stdlib decode (zipfile + xml.etree -- an xlsx is a zip
+  of XML), sheets -> rows -> stringified cells, header row skipped per
+  sheet -- ``file.go:2127-2184``.
 - S4 TXT lines: each non-blank line one document (``file.go:2220-2251``).
 - S5 base64 payload decode (``file.go:224-229``).
 - S6 upload validation: extension allowlist + size caps (``file.go:104-114``,
@@ -103,21 +104,100 @@ def decode_base64_column(df: DataFrame, col: str = "file_content") -> DataFrame:
     return df.withColumn(col, F.unbase64(F.col(col)))
 
 
-def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    """S3 -- Excel scan plumbing (sheets -> rows -> stringified cells,
-    first row per sheet skipped, ``file.go:2127-2184``).  The xlsx decode
-    itself needs openpyxl, absent in this sandbox -- the scan shape
-    (binary in, (sheet, row_number, cells array) out via mapInPandas) is
-    real; decode raises until the lib exists."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - sandbox path
-        raise NotImplementedError(
-            "Excel decode requires openpyxl (not in this sandbox); "
-            "the mapInPandas scan shape is implemented in "
-            "sources/tabular.py:read_excel"
-        ) from exc
+_XLSX_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_REL_NS = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
+_PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
+
+def _cell_col_index(ref: str) -> int:
+    """0-based column index from an A1-style cell ref ('C7' -> 2)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1 if idx else 0
+
+
+def _si_text(si) -> str:
+    """Text of a sharedStrings <si>: plain <t> or rich-text <r><t> runs."""
+    t = si.find(f"{_XLSX_MAIN_NS}t")
+    if t is not None:
+        return t.text or ""
+    return "".join(
+        (r.text or "")
+        for r in si.iter(f"{_XLSX_MAIN_NS}t")
+    )
+
+
+def _stringify_cell(cell, shared: list[str]) -> str:
+    """Stringify one <c> element the way the reference's excelize
+    ``GetRows`` does (``file.go:2127-2184`` consumes rows of strings):
+    shared/inline/formula strings verbatim, booleans TRUE/FALSE, numbers
+    as their stored lexical form."""
+    ctype = cell.get("t", "n")
+    if ctype == "inlineStr":
+        is_el = cell.find(f"{_XLSX_MAIN_NS}is")
+        return _si_text(is_el) if is_el is not None else ""
+    v = cell.find(f"{_XLSX_MAIN_NS}v")
+    if v is None or v.text is None:
+        return ""
+    if ctype == "s":
+        return shared[int(v.text)]
+    if ctype == "b":
+        return "TRUE" if v.text.strip() == "1" else "FALSE"
+    return v.text
+
+
+def parse_xlsx(blob: bytes) -> list[tuple[str, int, list[str]]]:
+    """Pure-stdlib xlsx decode (zipfile + xml.etree): workbook sheet order,
+    sharedStrings table, sparse-cell padding via A1 refs.  Yields
+    ``(sheet_title, row_index, cells)`` for every row INCLUDING row 0 --
+    the header skip is the scan's job, mirroring excelize ``GetRows``
+    returning all rows and ``file.go:2160`` skipping the first."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        shared = [_si_text(si) for si in root.iter(f"{_XLSX_MAIN_NS}si")]
+
+    # rid -> worksheet part path (workbook rels), then workbook sheet order.
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_target = {
+        rel.get("Id"): rel.get("Target")
+        for rel in rels.iter(f"{_PKG_REL_NS}Relationship")
+    }
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    out: list[tuple[str, int, list[str]]] = []
+    for sheet in wb.iter(f"{_XLSX_MAIN_NS}sheet"):
+        title = sheet.get("name") or ""
+        target = rid_target.get(sheet.get(f"{_XLSX_REL_NS}id"), "")
+        part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+        ws = ET.fromstring(zf.read(part))
+        for i, row in enumerate(ws.iter(f"{_XLSX_MAIN_NS}row")):
+            cells: list[str] = []
+            for cell in row.findall(f"{_XLSX_MAIN_NS}c"):
+                ref = cell.get("r")
+                col = _cell_col_index(ref) if ref else len(cells)
+                while len(cells) <= col:
+                    cells.append("")
+                cells[col] = _stringify_cell(cell, shared)
+            out.append((title, i, cells))
+    return out
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """S3 -- distributed Excel scan (sheets -> rows -> stringified cells,
+    first row per sheet skipped, ``file.go:2127-2184``).  Decode is the
+    pure-stdlib ``parse_xlsx`` (zipfile + xml.etree) so no xlsx library is
+    needed; each file decodes inside one Arrow-batched mapInPandas task --
+    at scale many files parallelize across the binaryFile scan's tasks."""
     import pandas as pd
 
     binary = spark.read.format("binaryFile").load(path)
@@ -126,15 +206,10 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out = []
             for blob in pdf["content"]:
-                wb = openpyxl.load_workbook(io.BytesIO(blob), read_only=True)
-                for sheet in wb.worksheets:
-                    for i, row in enumerate(sheet.iter_rows(values_only=True)):
-                        if i == 0:
-                            continue  # skip header per sheet (file.go:2160)
-                        out.append(
-                            (sheet.title, i,
-                             [str(c) if c is not None else "" for c in row])
-                        )
+                for title, i, cells in parse_xlsx(bytes(blob)):
+                    if i == 0:
+                        continue  # skip header per sheet (file.go:2160)
+                    out.append((title, i, cells))
             yield pd.DataFrame(
                 out, columns=["sheet", "row_number", "cells"]
             )

@@ -298,3 +298,163 @@ def test_sniffer_detects_real_delimiters():
     assert sniff_delimiter("a|b\n1|2\n") == "|"
     assert sniff_delimiter("a,b\n1,2\n") == ","
     assert sniff_delimiter("one\ntwo\n") == ","  # no columns anywhere
+
+
+# -- S3 Excel decode (stdlib zipfile + xml.etree) -------------------------------
+
+def _make_xlsx(sheets):
+    """Build a minimal valid xlsx in memory: sheets is
+    [(title, rows_xml)] where rows_xml is the <sheetData> inner XML.
+    Shared strings table is fixed by the caller via the global list below."""
+    import io as _io
+    import zipfile
+
+    buf = _io.BytesIO()
+    n = len(sheets)
+    with zipfile.ZipFile(buf, "w") as zf:
+        overrides = "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.worksheet+xml"/>'
+            for i in range(n)
+        )
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxml'
+            'formats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/sharedStrings.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+            'sharedStrings+xml"/>' + overrides + "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>',
+        )
+        sheet_els = "".join(
+            f'<sheet name="{title}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+            for i, (title, _) in enumerate(sheets)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheets>{sheet_els}</sheets></workbook>",
+        )
+        rels = "".join(
+            f'<Relationship Id="rId{i+1}" Type="http://schemas.openxml'
+            'formats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(n)
+        ) + (
+            f'<Relationship Id="rId{n+1}" Type="http://schemas.openxml'
+            'formats.org/officeDocument/2006/relationships/sharedStrings" '
+            'Target="sharedStrings.xml"/>'
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            f'xmlformats.org/package/2006/relationships">{rels}'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.'
+            'org/spreadsheetml/2006/main" count="4" uniqueCount="4">'
+            "<si><t>name</t></si><si><t>Alice</t></si>"
+            "<si><r><t>Bo</t></r><r><t>b</t></r></si>"  # rich-text runs
+            "<si><t>email</t></si></sst>",
+        )
+        for i, (_, rows_xml) in enumerate(sheets):
+            zf.writestr(
+                f"xl/worksheets/sheet{i+1}.xml",
+                '<?xml version="1.0"?><worksheet xmlns="http://schemas.open'
+                'xmlformats.org/spreadsheetml/2006/main">'
+                f"<sheetData>{rows_xml}</sheetData></worksheet>",
+            )
+    return buf.getvalue()
+
+
+_SHEET1 = (
+    '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>3</v></c></row>'
+    '<row r="2"><c r="A2" t="s"><v>1</v></c>'
+    '<c r="B2" t="inlineStr"><is><t>alice@corp.example.com</t></is></c>'
+    '<c r="C2"><v>42</v></c></row>'
+    # sparse row: B3 missing entirely, D3 present -> pad with ""
+    '<row r="3"><c r="A3" t="s"><v>2</v></c>'
+    '<c r="C3"><v>3.14</v></c><c r="D3" t="b"><v>1</v></c></row>'
+)
+_SHEET2 = (
+    '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+    '<row r="2"><c r="A2" t="str"><v>formula-result</v></c>'
+    '<c r="B2" t="b"><v>0</v></c></row>'
+)
+
+
+def test_parse_xlsx_stdlib():
+    from azure_based_pii_redactor_spark.sources.tabular import parse_xlsx
+
+    blob = _make_xlsx([("People", _SHEET1), ("Misc", _SHEET2)])
+    rows = parse_xlsx(blob)
+    assert rows == [
+        ("People", 0, ["name", "email"]),
+        ("People", 1, ["Alice", "alice@corp.example.com", "42"]),
+        ("People", 2, ["Bob", "", "3.14", "TRUE"]),
+        ("Misc", 0, ["name"]),
+        ("Misc", 1, ["formula-result", "FALSE"]),
+    ]
+
+
+def test_read_excel_spark_scan(spark, tmp_path):
+    from azure_based_pii_redactor_spark.sources.tabular import read_excel
+
+    p = tmp_path / "book.xlsx"
+    p.write_bytes(_make_xlsx([("People", _SHEET1), ("Misc", _SHEET2)]))
+    df = read_excel(spark, str(p))
+    rows = sorted(
+        (r.sheet, r.row_number, list(r.cells)) for r in df.collect()
+    )
+    # header row (row 0) of each sheet is skipped, file.go:2160
+    assert rows == [
+        ("Misc", 1, ["formula-result", "FALSE"]),
+        ("People", 1, ["Alice", "alice@corp.example.com", "42"]),
+        ("People", 2, ["Bob", "", "3.14", "TRUE"]),
+    ]
+
+
+# -- S5 / S8 one-liner sources ---------------------------------------------------
+
+def test_decode_base64_column(spark):
+    import base64
+
+    from azure_based_pii_redactor_spark.sources.tabular import (
+        decode_base64_column,
+    )
+
+    payload = base64.b64encode(b"name,email\nAlice,a@b.com\n").decode()
+    df = spark.createDataFrame([(payload,)], "file_content string")
+    out = decode_base64_column(df).collect()[0]
+    assert bytes(out.file_content) == b"name,email\nAlice,a@b.com\n"
+
+
+def test_write_json_roundtrip(spark, tmp_path):
+    from azure_based_pii_redactor_spark.sources.tabular import write_json
+
+    df = spark.createDataFrame(
+        [(1, "a@b.com"), (2, None)], "id int, email string"
+    )
+    out_dir = str(tmp_path / "j")
+    write_json(df, out_dir)
+    back = spark.read.json(out_dir)
+    got = {(r.id, r.email if hasattr(r, "email") else None)
+           for r in back.collect()}
+    assert (1, "a@b.com") in got and len(got) == 2
