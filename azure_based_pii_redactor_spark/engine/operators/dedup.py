@@ -23,6 +23,13 @@ MERSENNE = (1 << 61) - 1
 K_MINHASH = 32
 BANDS = 8
 ROWS_PER_BAND = 4
+# Stop-shingle guard for the Jaccard self-join: a shingle shared by df
+# documents produces df^2/2 join rows, so one stop-shingle ("click here
+# to") at web scale is a quadratic blow-up.  Shingles with document
+# frequency above this cap carry no near-dup signal and are dropped from
+# the shingle SETS (numerator and denominator alike -- Jaccard over
+# non-stop shingles), bounding per-shingle fan-out to DF_MAX^2.
+DF_MAX = 128
 
 
 def _docs(spark, sf_dir):
@@ -65,10 +72,20 @@ def dedup_exact_hash(spark, sf_dir):
 
 def dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard similarity pairs (threshold 0.4): explode
-    shingles, self-equi-join on shingle, count intersections, join doc
-    shingle-set sizes, Jaccard = i / (|a|+|b|-i)."""
+    shingles, drop stop-shingles (document frequency > DF_MAX), self-
+    equi-join on the kept shingles, count intersections, join doc
+    shingle-set sizes, Jaccard = i / (|a|+|b|-i).  The df guard bounds
+    the self-join fan-out to DF_MAX^2 rows per shingle -- without it one
+    hot shingle shared by k docs emits k^2 rows (the 100 TB killer)."""
     d = _docs(spark, sf_dir)
-    sh = _shingles(d).cache()
+    raw = _shingles(d)
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_MAX)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -323,15 +340,20 @@ ORACLES = {
                min(doc_id) AS keeper_id, count(*) AS n_copies
         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper_id
     """,
-    "dedup_ngram_jaccard": """
+    "dedup_ngram_jaccard": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        ), sh AS (
+        ), sh_all AS (
             SELECT doc_id,
                    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                          for i in range(1, len(w) - 1)]))
                        AS shingle
             FROM toks
+        ), sh AS (
+            -- stop-shingle guard, mirrored from dedup_ngram_jaccard
+            SELECT * FROM sh_all WHERE shingle NOT IN (
+                SELECT shingle FROM sh_all GROUP BY 1
+                HAVING count(*) > {DF_MAX})
         ), sizes AS (
             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
         ), inter AS (

@@ -60,6 +60,53 @@ def knn_cosine_topk(spark, sf_dir):
     )
 
 
+def _band_params(
+    threshold: float, target_recall: float = 0.9999
+) -> tuple[int, int]:
+    """Banded random-hyperplane LSH parameters for a cosine threshold.
+
+    Per-plane agreement probability for a pair at exactly the threshold
+    is p = 1 - acos(t)/pi (Charikar 2002).  Bits per band is chosen so a
+    band collides with probability ~>= 0.4 at the threshold (b grows as
+    the threshold tightens -- t=0.5 -> 2 bits, t=0.95 -> 8 bits, which is
+    where the pruning gets strong); the number of bands then drives the
+    union recall to ``target_recall``."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    bits = max(2, int(math.log(0.4) / math.log(p)))
+    n_bands = math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - p**bits)
+    )
+    return bits, n_bands
+
+
+def _banded_buckets(df: DataFrame, vec_col: str, threshold: float) -> DataFrame:
+    """Explode each vector into (band, bucket) rows under banded
+    hyperplane LSH -- deterministic planes, all arithmetic JVM-side."""
+    bits, n_bands = _band_params(threshold)
+    planes = _hyperplanes(n_planes=bits * n_bands)
+    signs = [
+        F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in p])) >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in planes
+    ]
+    bands = [
+        F.struct(
+            F.lit(t).alias("band"),
+            sum(
+                (signs[t * bits + i] * F.lit(1 << i) for i in range(1, bits)),
+                signs[t * bits],
+            ).alias("bucket"),
+        )
+        for t in range(n_bands)
+    ]
+    exploded = df.select("*", F.explode(F.array(*bands)).alias("bb"))
+    return exploded.select(*df.columns, "bb.band", "bb.bucket")
+
+
 def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (seeded; no numpy on
     executors needed -- plain constants shipped in the plan)."""
@@ -116,11 +163,56 @@ def knn_cosine_lsh(spark, sf_dir):
     )
 
 
-def embedding_cosine_neardup(spark, sf_dir):
+NEARDUP_THRESHOLD = 0.5  # tuned to the synthetic random-vector corpus;
+# real embedding near-dup uses ~0.95, where the banding prunes hardest.
+
+
+def embedding_cosine_neardup(spark, sf_dir, threshold: float = NEARDUP_THRESHOLD):
     """Embedding-cosine near-duplicate pairs -- the embedding leg of the
-    dedup suite.  Self-join pruned by vec_id order; at scale this runs per
-    LSH bucket instead of all-pairs.  Threshold 0.5 is tuned to the
-    synthetic random-vector corpus (real embeddings use ~0.95)."""
+    dedup suite.  Candidate pairs come from banded hyperplane-LSH bucket
+    equality (NO all-pairs join: each vector lands in ``n_bands`` small
+    buckets and only bucket-mates meet), then candidates are exactly
+    re-scored and filtered on the RAW cosine, so every emitted pair is
+    exact.  Recall is governed by ``_band_params`` (union over bands,
+    target 0.9999 at the threshold); the all-pairs form survives as the
+    pytest recall oracle (``embedding_cosine_neardup_exact``)."""
+    e = _emb(spark, sf_dir)
+    bb = _banded_buckets(e.select("vec_id", "embedding"), "embedding", threshold)
+    a = bb.select("vec_id", "band", "bucket").alias("a")
+    b = bb.select("vec_id", "band", "bucket").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("raw_c", _dot(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("raw_c") >= threshold)  # RAW threshold (= oracle)
+        .select(
+            "vec_a", "vec_b", F.round(F.col("raw_c"), 6).alias("cosine")
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_cosine_neardup_exact(spark, sf_dir, threshold: float = NEARDUP_THRESHOLD):
+    """All-pairs exact form -- O(N^2), the recall oracle for the banded
+    query above (pytest only; never registered as a driver query)."""
     e = _emb(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
@@ -129,7 +221,7 @@ def embedding_cosine_neardup(spark, sf_dir):
         .withColumn(
             "raw_c", _dot(F.col("a.embedding"), F.col("b.embedding"))
         )
-        .filter(F.col("raw_c") >= 0.5)  # threshold on RAW value (= oracle)
+        .filter(F.col("raw_c") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

@@ -81,3 +81,48 @@ def test_lsh_recall_vs_brute_force(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in brute:
             assert abs(brute[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+
+
+def test_neardup_banded_recall_is_total(spark):
+    """The banded-LSH near-dup query must return EXACTLY the all-pairs
+    result on the fixed testdata (deterministic hyperplanes; band count
+    sized for union recall 0.9999 at the threshold)."""
+    from azure_based_pii_redactor_spark.engine.operators.similarity import (
+        embedding_cosine_neardup,
+        embedding_cosine_neardup_exact,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = [(r.vec_a, r.vec_b, r.cosine)
+           for r in embedding_cosine_neardup(spark, sf).collect()]
+    want = [(r.vec_a, r.vec_b, r.cosine)
+            for r in embedding_cosine_neardup_exact(spark, sf).collect()]
+    assert got == want and len(got) >= 1
+
+
+def test_jaccard_hot_shingle_guard(spark, tmp_path):
+    """One stop-shingle phrase shared by every doc must not create pairs
+    (and must not blow up the join): docs sharing ONLY hot shingles score
+    0; genuine near-dups keep their Jaccard over non-stop shingles."""
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+
+    hot = "click here now please subscribe today"  # 6 words -> 4 shingles
+    docs = [(i, f"{hot} unique{i} filler{i} token{i}") for i in range(40)]
+    # two genuine near-dups sharing a distinctive tail
+    tail = "alpha beta gamma delta epsilon zeta eta theta"
+    docs += [(100, f"{hot} {tail}"), (101, f"{hot} {tail} iota")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    orig, dd.DF_MAX = dd.DF_MAX, 8  # hot shingles (df=42) > 8 -> dropped
+    try:
+        pairs = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dd.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+        }
+    finally:
+        dd.DF_MAX = orig
+    # only the genuine near-dup pair survives; its Jaccard counts the
+    # tail shingles only (hot shingles removed from both sets)
+    assert set(pairs) == {(100, 101)}
+    assert pairs[(100, 101)] > 0.4

@@ -143,3 +143,27 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
+
+
+def test_neardup_plan_has_no_cartesian(spark):
+    """embedding_cosine_neardup must generate candidates via banded LSH
+    bucket equality -- an all-pairs nested-loop join is the 100 TB
+    killer this guards against."""
+    from azure_based_pii_redactor_spark.engine.operators.similarity import (
+        embedding_cosine_neardup,
+    )
+
+    plan = plan_of(embedding_cosine_neardup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_jaccard_plan_has_stop_shingle_guard(spark):
+    """dedup_ngram_jaccard's shingle self-join must run behind the
+    document-frequency anti-join (stop-shingle guard)."""
+    from azure_based_pii_redactor_spark.engine.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    plan = optimized_of(dedup_ngram_jaccard(spark, SF))
+    assert "LeftAnti" in plan, plan
