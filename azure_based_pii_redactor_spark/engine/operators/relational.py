@@ -252,16 +252,52 @@ def window_latest_feedback_wins(spark, sf_dir):
 
 
 def window_pagination(spark, sf_dir):
-    """W3 -- LIMIT/OFFSET pagination (``file.go:828-869``), made
-    deterministic with a total order (ts, event_id).  NOTE: global
-    sort+offset is inherently driver-anchored; at 10^12 rows pagination is
-    done keyset-style (WHERE ts > last_seen) instead -- this operator
-    exists for reference parity."""
+    """W3 (reference-parity form) -- LIMIT/OFFSET pagination
+    (``file.go:828-869``), made deterministic with a total order
+    (ts, event_id).  Global sort+offset is inherently driver-anchored;
+    the PRIMARY scale form is ``window_pagination_keyset`` below."""
     return (
         _t(spark, sf_dir, "events")
         .orderBy("ts", "event_id")
         .offset(50)
         .limit(100)
+        .select("event_id", "ts", "value")
+    )
+
+
+def page_after(df, last_ts, last_id, page_size: int = 100):
+    """Keyset pagination page: rows strictly after the (ts, event_id)
+    cursor in the total order, first ``page_size`` of them.  The cursor
+    arrives as LITERALS (the client echoes back the last row it saw), so
+    the ts bound is a pushed-down parquet range predicate and the limit
+    plans as TakeOrderedAndProject -- no global sort, no offset skip, no
+    driver anchor.  This is W3's 10^12-row form."""
+    return (
+        df.filter(
+            (F.col("ts") > F.lit(last_ts))
+            | ((F.col("ts") == F.lit(last_ts))
+               & (F.col("event_id") > F.lit(last_id)))
+        )
+        .orderBy("ts", "event_id")
+        .limit(page_size)
+    )
+
+
+def window_pagination_keyset(spark, sf_dir):
+    """W3 (primary form) -- keyset pagination: page 2 fetched via the
+    cursor of page 1's last row.  The cursor fetch is a bounded 1-row
+    collect (TakeOrderedAndProject), same class as the CSV sniff sample;
+    production clients pass the cursor back themselves."""
+    e = _t(spark, sf_dir, "events")
+    cur = (
+        e.orderBy("ts", "event_id")
+        .offset(49)
+        .limit(1)
+        .select("ts", "event_id")
+        .collect()[0]
+    )
+    return (
+        page_after(e, cur.ts, cur.event_id)
         .select("event_id", "ts", "value")
     )
 
@@ -558,6 +594,7 @@ QUERIES = {
     "join_latest_per_key": join_latest_per_key,
     "window_latest_feedback_wins": window_latest_feedback_wins,
     "window_pagination": window_pagination,
+    "window_pagination_keyset": window_pagination_keyset,
     "window_recent_first_limit": window_recent_first_limit,
     "window_topk_per_group": window_topk_per_group,
     "window_time_bucket": window_time_bucket,
@@ -670,6 +707,15 @@ ORACLES = {
     "window_pagination": """
         SELECT event_id, ts, value FROM events
         ORDER BY ts, event_id LIMIT 100 OFFSET 50
+    """,
+    "window_pagination_keyset": """
+        WITH cur AS (
+            SELECT ts, event_id FROM events
+            ORDER BY ts, event_id LIMIT 1 OFFSET 49)
+        SELECT e.event_id, e.ts, e.value FROM events e, cur
+        WHERE e.ts > cur.ts
+           OR (e.ts = cur.ts AND e.event_id > cur.event_id)
+        ORDER BY e.ts, e.event_id LIMIT 100
     """,
     "window_recent_first_limit": """
         SELECT event_id, ts, event_type FROM events

@@ -167,3 +167,15 @@ def test_jaccard_plan_has_stop_shingle_guard(spark):
 
     plan = optimized_of(dedup_ngram_jaccard(spark, SF))
     assert "LeftAnti" in plan, plan
+
+
+def test_keyset_pagination_plan(spark):
+    """page_after must plan as a pushed-down range filter + top-k
+    (TakeOrderedAndProject), never a global sort with offset skip."""
+    from azure_based_pii_redactor_spark.engine.operators.relational import (
+        window_pagination_keyset,
+    )
+
+    plan = plan_of(window_pagination_keyset(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters: []" not in plan, plan
