@@ -175,7 +175,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
-    return (
+    est = (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -193,7 +193,61 @@ def dedup_minhash_lsh(spark, sf_dir):
             ).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
+    )
+    truth = _true_jaccard_for(est.select("doc_a", "doc_b"), _docs(spark, sf_dir))
+    return (
+        est.join(truth, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "true_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 4)
+            .alias("abs_err"),
+        )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _true_jaccard_for(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard for a SMALL set of candidate pairs: shingles
+    are semi-joined down to the candidate docs before the intersection
+    join, so the cost is bounded by candidates, not corpus.  Makes the
+    estimate error driver-visible -- a signature regression now changes
+    the row values of dedup_minhash_lsh, not only pytest assertions."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(docs).join(F.broadcast(ids), "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("sa.sz") + F.col("sb.sz")
+                   - F.coalesce(F.col("i"), F.lit(0))),
+                4,
+            ).alias("true_jaccard"),
+        )
     )
 
 

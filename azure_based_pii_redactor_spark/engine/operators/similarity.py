@@ -32,6 +32,34 @@ def _dot(a, b):
     )
 
 
+def _with_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Append a per-query ``recall_vs_exact`` column: the fraction of the
+    exact top-k neighbors the approximate result retrieved.  Computed
+    in-Spark so an ANN quality regression changes the driver-visible row
+    values, not just pytest assertions.  The recall frame is tiny
+    (one row per query) -- broadcast back onto the result."""
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hit = (
+        approx.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    rec = (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_vs_exact"),
+        )
+    )
+    return approx.join(F.broadcast(rec), "query_id")
+
+
 def knn_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for the first 10 vectors (embeddings are
     unit-norm, so cosine == dot).  Query side is broadcast; scores ranked
@@ -155,10 +183,15 @@ def knn_cosine_lsh(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
-    return (
+    approx = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "neighbor_id", "score")
+    )
+    return (
+        _with_recall_vs_exact(approx, knn_cosine_topk(spark, sf_dir))
+        .select("query_id", "rnk", "neighbor_id", "score",
+                "recall_vs_exact")
         .orderBy("query_id", "rnk")
     )
 
@@ -306,10 +339,15 @@ def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 2):
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
-    return (
+    approx = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "neighbor_id", "score")
+    )
+    return (
+        _with_recall_vs_exact(approx, knn_cosine_topk(spark, sf_dir))
+        .select("query_id", "rnk", "neighbor_id", "score",
+                "recall_vs_exact")
         .orderBy("query_id", "rnk")
     )
 
