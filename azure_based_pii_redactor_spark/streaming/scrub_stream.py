@@ -31,11 +31,12 @@ def scrub_stream(
     input_path: str,
     output_path: str,
     checkpoint_path: str,
+    max_files_per_trigger: int = 8,
     **pipeline_kwargs,
 ):
     """readStream -> fused kernel -> parquet sink, availableNow trigger.
     Returns the StreamingQuery (caller awaits/stops)."""
-    pages = read_pages_stream(spark, input_path)
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
     out = run_scrub_pipeline(pages, **pipeline_kwargs)
     return (
         out.writeStream.format("parquet")

@@ -102,6 +102,26 @@ def main() -> None:
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # -- streaming twin: same kernel under availableNow micro-batches -------
+    # Tracks the structured-streaming overhead (checkpointing + per-batch
+    # planning) round-over-round; 64 files/trigger -> 4 micro-batches over
+    # the 256-part corpus.
+    from azure_based_pii_redactor_spark.streaming.scrub_stream import (
+        scrub_stream,
+    )
+
+    stream_out = os.path.join(SCRATCH, "stream_out")
+    stream_ckpt = os.path.join(SCRATCH, "stream_ckpt")
+    for d in (stream_out, stream_ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    t0 = time.time()
+    q = scrub_stream(spark, corpus, stream_out, stream_ckpt,
+                     max_files_per_trigger=64)
+    q.awaitTermination()
+    stream_sec = time.time() - t0
+    timings["scrub_stream"] = round(stream_sec, 3)
+    stream_docs_per_sec = round(n_pages / stream_sec, 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -112,6 +132,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
+                "stream_docs_per_sec": stream_docs_per_sec,
                 "n_pages": n_pages,
                 "cpus": CPUS,
             }

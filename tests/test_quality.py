@@ -202,3 +202,53 @@ def test_langid_romance_discrimination():
         lang, score = predict_language(text)
         assert lang == truth, (truth, lang)
         assert score > 0.9
+
+
+def test_langid_code_switched_confusion_matrix():
+    """Confusion matrix over code-switched documents at the decision
+    threshold: for every ordered language pair (dominant, minority) a
+    3:1 sentence mix must either predict the DOMINANT language or land
+    under MIN_LANG_SCORE (uncertain -> dropped by decide()).  A
+    confident prediction of the minority language is the real-world
+    failure this pins down."""
+    from azure_based_pii_redactor_spark.quality.decide import MIN_LANG_SCORE
+
+    held = {
+        "en": ["The committee met near the old bridge to discuss plans.",
+               "A quiet road follows the river past the northern farms.",
+               "Students finished their essays before the winter break."],
+        "es": ["Los niños jugaban cerca del puente viejo por la tarde.",
+               "Un camino tranquilo sigue el río hasta las granjas.",
+               "Los estudiantes terminaron sus ensayos antes del invierno."],
+        "de": ["Die Kinder spielten am Nachmittag in der Nähe der Brücke.",
+               "Ein ruhiger Weg folgt dem Fluss zu den nördlichen Höfen.",
+               "Die Studenten beendeten ihre Aufsätze vor dem Winter."],
+        "fr": ["Les enfants jouaient près du vieux pont l'après-midi.",
+               "Un chemin tranquille longe la rivière vers les fermes.",
+               "Les étudiants ont terminé leurs essais avant l'hiver."],
+        "it": ["I bambini giocavano vicino al vecchio ponte nel pomeriggio.",
+               "Una strada tranquilla segue il fiume verso le fattorie.",
+               "Gli studenti hanno finito i loro saggi prima dell'inverno."],
+        "pt": ["As crianças brincavam perto da ponte velha à tarde.",
+               "Um caminho tranquilo segue o rio até as fazendas do norte.",
+               "Os estudantes terminaram seus ensaios antes do inverno."],
+        "zh": ["孩子们下午在旧桥附近玩耍，天气很好。",
+               "一条安静的小路沿着河流通向北方的农场。",
+               "学生们在冬天之前完成了他们的文章。"],
+    }
+    confident_wrong = []
+    correct = 0
+    total = 0
+    for dom, dom_sents in held.items():
+        for minor, minor_sents in held.items():
+            if dom == minor:
+                continue
+            text = " ".join(dom_sents) + " " + minor_sents[0]
+            lang, score = predict_language(text)
+            total += 1
+            if lang == dom:
+                correct += 1
+            elif score >= MIN_LANG_SCORE:
+                confident_wrong.append((dom, minor, lang, round(score, 3)))
+    assert not confident_wrong, confident_wrong
+    assert correct / total >= 0.85, (correct, total)
