@@ -32,6 +32,7 @@ from ..kernel.column_config import ColumnConfig
 from ..kernel.redact import RedactOptions
 from ..kernel.scrub import scrub_text, scrub_text_advanced
 from ..quality.decide import ALLOWED_LANGS, MAX_PERPLEXITY, MIN_LANG_SCORE, decide
+from ..quality.langid import predict_language_batch
 from .schema import SCRUB_OUTPUT_SCHEMA
 
 _WRAP_PREFIX = b"<html><body>"
@@ -87,6 +88,7 @@ def _scrub_batch(
     }
     htmls = pdf["html"].tolist()
     texts = pdf["text"].tolist()
+    extracted_all: list[str] = [""] * n
     for i in range(n):
         extracted = extract_text(htmls[i])
         if extracted is None:
@@ -96,11 +98,17 @@ def _scrub_batch(
             out["extracted_ok"][i] = True
         else:
             out["extracted_ok"][i] = extracted == (texts[i] or "")
+        extracted_all[i] = extracted
+    # language ID for the whole Arrow batch in one vectorized pass
+    langs = predict_language_batch(extracted_all)
+    for i in range(n):
+        extracted = extracted_all[i]
         d = decide(
             extracted,
             allowed_langs=allowed_langs,
             min_lang_score=min_lang_score,
             max_perplexity=max_perplexity,
+            lang=langs[i],
         )
         out["lang_pred"][i] = d.lang_pred
         out["lang_score"][i] = d.lang_score

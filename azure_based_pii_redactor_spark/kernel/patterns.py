@@ -285,6 +285,7 @@ _REQUIRES: dict[str, tuple[str, ...]] = {
 }
 
 _DIGITS = tuple(str(d) for d in range(10))
+_DIGIT_RE = re.compile(r"[0-9]")
 
 
 def _may_match(name: str, text: str, has_digit: bool) -> bool:
@@ -307,7 +308,7 @@ def detect_pii(text: str) -> list[Entity]:
     Output canonically sorted by (start, end, type); see entities.py.
     """
     entities: list[Entity] = []
-    has_digit = any(d in text for d in _DIGITS)
+    has_digit = _DIGIT_RE.search(text) is not None
     for name in ENTITY_TYPES:
         if not _may_match(name, text, has_digit):
             continue

@@ -32,8 +32,13 @@ def decide(
     allowed_langs: frozenset[str] = ALLOWED_LANGS,
     min_lang_score: float = MIN_LANG_SCORE,
     max_perplexity: float = MAX_PERPLEXITY,
+    lang: "tuple[str, float] | None" = None,
 ) -> QualityDecision:
-    lang_pred, lang_score = predict_language(text)
+    """``lang`` may carry a precomputed ``(lang_pred, lang_score)`` -- the
+    Arrow-batch kernel scores whole batches via
+    ``predict_language_batch`` and passes each result through here, so
+    the decision logic has exactly one home."""
+    lang_pred, lang_score = lang if lang is not None else predict_language(text)
     ppl = perplexity(text)
 
     # Gate order is fixed; the (expensive) heuristic metrics are computed

@@ -15,6 +15,10 @@ import re
 from collections import Counter
 
 _ALPHA = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]")
+# one C-level pass counting whitespace-tokens that contain an alpha char
+# (same segmentation as str.split) -- replaces a per-word Python loop
+# with ~75 re.search calls per document
+_ALPHA_WORD = re.compile(r"\S*[A-Za-zÀ-ÖØ-öø-ÿ]\S*")
 _BULLET_PREFIXES = ("- ", "* ", "• ", "· ")
 
 # Gopher word-count bounds.
@@ -61,26 +65,38 @@ def _ngram_char_fractions(words: list[str], text_len: int) -> dict[str, float]:
 
     zip-tuple Counters are the fastest formulation measured here: they
     beat both index-slice genexprs and np.unique(axis=0) row-counting
-    (whose lexsort overhead loses even at 20k-word docs)."""
+    (whose lexsort overhead loses even at 20k-word docs).
+
+    Uniqueness cascades: two equal (n+1)-grams contain two equal n-grams,
+    so once every n-gram is unique all longer n-grams are unique too and
+    their fractions are exactly 0.0 -- most clean documents build ONE
+    Counter instead of nine (measured ~3x on this stage)."""
+    from itertools import islice
+
     out: dict[str, float] = {}
+    nw = len(words)
+    all_unique = False
     for n in (2, 3, 4):
-        if len(words) < n:
+        if nw < n or all_unique:
             out[f"top_{n}gram_char_frac"] = 0.0
             continue
-        grams = Counter(zip(*(words[i:] for i in range(n))))
+        grams = Counter(zip(*(islice(words, i, None) for i in range(n))))
         gram, count = grams.most_common(1)[0]
+        if count == 1:
+            all_unique = True  # all longer n-grams unique as well
         chars = sum(len(w) for w in gram)
         out[f"top_{n}gram_char_frac"] = (
             (count * chars) / text_len if count > 1 and text_len else 0.0
         )
     for n in range(5, 11):
         key = f"dup_{n}gram_char_frac"
-        if len(words) < n:
+        if nw < n or all_unique:
             out[key] = 0.0
             continue
-        counts = Counter(zip(*(words[i:] for i in range(n))))
-        if len(counts) == len(words) - n + 1:  # all unique: no dups
+        counts = Counter(zip(*(islice(words, i, None) for i in range(n))))
+        if len(counts) == nw - n + 1:  # all unique: no dups
             out[key] = 0.0
+            all_unique = True
             continue
         dup_chars = sum(
             (c - 1) * sum(len(w) for w in g)
@@ -100,7 +116,7 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
     n_lines = len(lines)
     lower = text.lower()
 
-    mean_word_len = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    mean_word_len = (sum(map(len, words)) / n_words) if n_words else 0.0
     symbol_hits = sum(lower.count(s) for s in ("#", "…")) + lower.count("...")
     symbol_ratio = symbol_hits / n_words if n_words else 0.0
     bullet_frac = (
@@ -114,7 +130,7 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
         else 0.0
     )
     alpha_word_frac = (
-        sum(1 for w in words if _ALPHA.search(w)) / n_words if n_words else 0.0
+        len(_ALPHA_WORD.findall(text)) / n_words if n_words else 0.0
     )
     stopword_hits = sum(1 for rx in _STOPWORD_RES if rx.search(lower))
 

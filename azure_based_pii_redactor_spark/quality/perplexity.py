@@ -46,6 +46,33 @@ def _train() -> tuple[Counter, Counter, int, float]:
 _UNI, _BI, _TOTAL, _FLOOR = _train()
 
 
+def _vectorize_model():
+    """Integer-keyed scoring tables: one dict hash per WORD instead of
+    three string hashes plus a tuple build (the profiled hot spot).  OOV
+    words map to id 0; ids are shifted by 1 so the packed bigram key
+    (prev_id * stride + w_id) never collides across the OOV boundary.
+    Bigram counts live in a SORTED key array looked up via one
+    vectorized searchsorted per document (no per-word Python)."""
+    import numpy as np
+
+    words = sorted(_UNI)
+    wid = {w: i + 1 for i, w in enumerate(words)}
+    stride = len(words) + 1
+    uni_counts = np.zeros(stride, dtype=np.float64)
+    for w, c in _UNI.items():
+        uni_counts[wid[w]] = c
+    bi_keys = np.array(
+        [wid[p] * stride + wid[w] for (p, w) in _BI], dtype=np.int64
+    )
+    bi_vals = np.array([float(c) for c in _BI.values()], dtype=np.float64)
+    order = np.argsort(bi_keys)
+    return wid, stride, uni_counts, bi_keys[order], bi_vals[order]
+
+
+_WID, _STRIDE, _UNI_ARR, _BI_KEYS, _BI_VALS = _vectorize_model()
+_BOS_ID = _WID[BOS]
+
+
 # true worst case: every word hits only the interpolation floor term
 WORST_PERPLEXITY = 1.0 / (_L_FLOOR * _FLOOR)
 
@@ -54,8 +81,33 @@ def perplexity(text: str) -> float:
     """Interpolated bigram perplexity; ``inf``-safe (capped by the floor).
 
     Empty/wordless documents return ``WORST_PERPLEXITY`` (the score of
-    all-OOV text -- they must never outscore gibberish).
+    all-OOV text -- they must never outscore gibberish).  Scoring is
+    vectorized (id-array gathers + one ``np.log`` over the batch); the
+    scalar reference formulation survives as ``perplexity_scalar`` and
+    the two are pinned equal-decision in tests.
     """
+    import numpy as np
+
+    words = tokenize(text)
+    if not words:
+        return WORST_PERPLEXITY
+    wid_get = _WID.get
+    ids = np.fromiter((wid_get(w, 0) for w in words), np.int64, len(words))
+    prev = np.empty_like(ids)
+    prev[0] = _BOS_ID
+    prev[1:] = ids[:-1]
+    keys = prev * _STRIDE + ids
+    pos = np.minimum(np.searchsorted(_BI_KEYS, keys), len(_BI_KEYS) - 1)
+    bi = np.where(_BI_KEYS[pos] == keys, _BI_VALS[pos], 0.0)
+    c_prev = _UNI_ARR[prev]
+    p_bi = np.divide(bi, c_prev, out=np.zeros_like(bi), where=c_prev > 0)
+    p = _L_BI * p_bi + _L_UNI * (_UNI_ARR[ids] / _TOTAL) + _L_FLOOR * _FLOOR
+    return float(math.exp(-np.log(p).sum() / len(words)))
+
+
+def perplexity_scalar(text: str) -> float:
+    """Reference formulation (the semantics contract; tests assert the
+    vectorized path matches it)."""
     words = tokenize(text)
     if not words:
         return WORST_PERPLEXITY

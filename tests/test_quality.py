@@ -252,3 +252,64 @@ def test_langid_code_switched_confusion_matrix():
                 confident_wrong.append((dom, minor, lang, round(score, 3)))
     assert not confident_wrong, confident_wrong
     assert correct / total >= 0.85, (correct, total)
+
+
+def test_perplexity_vectorized_matches_scalar():
+    """The vectorized scorer is pinned to the scalar reference
+    formulation: same decisions, relative difference at float noise."""
+    from azure_based_pii_redactor_spark.quality.perplexity import (
+        perplexity,
+        perplexity_scalar,
+    )
+
+    docs = [
+        GOOD_EN,
+        "",
+        "zxq qqq jjj kkw pp zz",
+        "the committee met near the old bridge and discussed plans",
+        "word " * 500,
+        "completely unseen tokens frobnicate zanzibar quux",
+    ]
+    for t in docs:
+        a, b = perplexity(t), perplexity_scalar(t)
+        assert abs(a - b) <= 1e-9 * max(abs(b), 1.0), (t[:40], a, b)
+
+
+def test_langid_int_key_matches_string_trigrams():
+    """The int-key searchsorted scorer must reproduce the string-trigram
+    dict formulation exactly (same rows summed in the same order)."""
+    import numpy as np
+
+    from azure_based_pii_redactor_spark.quality import langid as L
+
+    texts = [
+        "The committee met near the old bridge to discuss summer plans.",
+        "Les enfants jouaient près du vieux pont pendant l'été.",
+        "Die Kinder spielten in der Nähe der alten Brücke im Sommer.",
+        "Los niños jugaban cerca del puente viejo en el verano.",
+    ]
+    for t in texts:
+        grams = L._trigrams(t)
+        ref_rows = [L._INDEX.get(tg, 0) for tg in grams]
+        got_rows = L._rows_for(L._trigram_keys(t))
+        assert list(got_rows) == ref_rows
+
+
+def test_langid_batch_matches_per_doc():
+    from azure_based_pii_redactor_spark.quality.langid import (
+        predict_language,
+        predict_language_batch,
+    )
+
+    texts = [
+        "The committee met near the old bridge to discuss summer plans.",
+        "hi",  # unk: too short
+        "孩子们在旧桥附近玩耍，委员会讨论夏天的旅行计划。",  # zh gate
+        "Les enfants jouaient près du vieux pont pendant l'été.",
+        "",
+    ]
+    batch = predict_language_batch(texts)
+    for t, (lang, score) in zip(texts, batch):
+        lang1, score1 = predict_language(t)
+        assert lang == lang1
+        assert abs(score - score1) < 1e-9
