@@ -51,6 +51,9 @@ def run_at(cpus: int, corpus: str) -> float:
         for f in os.listdir(corpus) if f.endswith(".parquet")
     )
     mpb = max(total // (cpus * TASKS_PER_CORE), 1 << 20)
+    # zero the per-file open cost so maxPartitionBytes actually packs the
+    # small corpus files (the 4 MB default pins one task per file)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
     pages = spark.read.parquet(corpus)
     # warm-up (JIT + codegen + python worker spin-up), untimed
