@@ -109,10 +109,19 @@ def _band_params(
     return bits, n_bands
 
 
-def _banded_buckets(df: DataFrame, vec_col: str, threshold: float) -> DataFrame:
+def _banded_buckets(
+    df: DataFrame,
+    vec_col: str,
+    threshold: float | None = None,
+    bits: int | None = None,
+    n_bands: int | None = None,
+) -> DataFrame:
     """Explode each vector into (band, bucket) rows under banded
-    hyperplane LSH -- deterministic planes, all arithmetic JVM-side."""
-    bits, n_bands = _band_params(threshold)
+    hyperplane LSH -- deterministic planes, all arithmetic JVM-side.
+    Band geometry comes from ``threshold`` (recall-targeted via
+    ``_band_params``) or explicitly via ``bits``/``n_bands``."""
+    if bits is None or n_bands is None:
+        bits, n_bands = _band_params(threshold)
     planes = _hyperplanes(n_planes=bits * n_bands)
     signs = [
         F.when(
@@ -158,20 +167,30 @@ def _with_bucket(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn("bucket", sum(bits[1:], bits[0]))
 
 
-def knn_cosine_lsh(spark, sf_dir):
-    """LSH-bucketed ANN: random-hyperplane sign buckets; neighbors searched
-    within the query's bucket only (the 10^12-scale path; recall measured
-    against the brute-force baseline in tests).  Rows-only check."""
-    e = _with_bucket(_emb(spark, sf_dir), "embedding")
+def knn_cosine_lsh(spark, sf_dir, bits: int = 4, tables: int = 8):
+    """Multi-table LSH ANN: each vector lands in ``tables`` banded
+    hyperplane-sign buckets; a query's candidates are the union of its
+    buckets' occupants, exactly re-scored (the 10^12-scale path; recall
+    measured against the brute-force baseline in tests AND exposed as a
+    driver-visible column).  bits/tables trade candidate volume against
+    recall -- on real embeddings (neighbor cosine ~0.8+) larger ``bits``
+    prunes hard; the synthetic random-vector corpus sits near the ANN
+    no-free-lunch floor, so the defaults favor recall.  Rows-only
+    check."""
+    e = _banded_buckets(
+        _emb(spark, sf_dir), "embedding", bits=bits, n_bands=tables
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("band").alias("qband"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
         e.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("band") == F.col("qband"))
+            & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -179,6 +198,7 @@ def knn_cosine_lsh(spark, sf_dir):
             F.col("vec_id").alias("neighbor_id"),
             F.round(_dot(F.col("qv"), F.col("embedding")), 6).alias("score"),
         )
+        .distinct()  # a neighbor may collide in several tables
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")

@@ -81,6 +81,10 @@ def test_lsh_recall_vs_brute_force(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in brute:
             assert abs(brute[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+    # multi-table candidates: mean recall floor on the random-vector
+    # corpus (driver-visible recall_vs_exact column)
+    rec = {r.query_id: r.recall_vs_exact for r in approx}
+    assert sum(rec.values()) / len(rec) >= 0.4, rec
 
 
 def test_neardup_banded_recall_is_total(spark):
