@@ -149,3 +149,49 @@ def test_table_writer_abstraction(spark, tmp_path):
     assert not iceberg_available(spark)  # sandbox has no iceberg jars
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         IcebergBucketWriter(spark)
+
+
+def test_spark_submit_py_files_packaging(tmp_path):
+    """The north-rule operational contract: the pipeline runs under real
+    ``spark-submit --py-files app.zip`` (fresh JVM, package imported from
+    the zip on driver AND executors), writing output + per-partition
+    lineage."""
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    app_zip = tmp_path / "app.zip"
+    pkg = os.path.join(repo, "azure_based_pii_redactor_spark")
+    with zipfile.ZipFile(app_zip, "w") as zf:
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    r = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--py-files", str(app_zip),
+         os.path.join(repo, "scripts", "run_pipeline.py"),
+         "--input", str(tmp_path / "pages"),
+         "--output", str(tmp_path / "out"),
+         "--lineage", str(tmp_path / "lineage"),
+         "--run-id", "subtest", "--generate", "400"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob
+
+    # output is hash-bucket partitioned (part_bucket=N dirs)
+    assert glob.glob(str(tmp_path / "out" / "**" / "*.parquet"),
+                     recursive=True)
+    assert glob.glob(str(tmp_path / "lineage" / "**" / "*.parquet"),
+                     recursive=True)
