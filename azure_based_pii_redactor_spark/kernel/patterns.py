@@ -282,6 +282,8 @@ _REQUIRES: dict[str, tuple[str, ...]] = {
     "ssn": ("digit",),
     "uk_nino": ("digit",),
     "bitcoin_address": ("digit",),  # both alternatives contain 1/3/bc1
+    "ip_address": ("digit",),  # every IPv4 octet is digits
+    # NOT vin: [A-HJ-NPR-Z0-9]{17} admits all-letter strings
 }
 
 _DIGITS = tuple(str(d) for d in range(10))

@@ -458,3 +458,47 @@ def test_write_json_roundtrip(spark, tmp_path):
     got = {(r.id, r.email if hasattr(r, "email") else None)
            for r in back.collect()}
     assert (1, "a@b.com") in got and len(got) == 2
+
+
+def test_parse_xlsx_edge_cases():
+    """xlsx without sharedStrings; cells lacking r= refs fall back to
+    positional append; empty <v/>."""
+    import io as _io
+    import zipfile
+
+    from azure_based_pii_redactor_spark.sources.tabular import parse_xlsx
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+            "</workbook>",
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main"><sheetData>'
+            "<row><c><v>1</v></c><c><v>2</v></c></row>"  # no r= refs
+            '<row><c r="B2"><v/></c></row>'  # empty v, sparse
+            "</sheetData></worksheet>",
+        )
+    rows = parse_xlsx(buf.getvalue())
+    assert rows == [("S", 0, ["1", "2"]), ("S", 1, ["", ""])]
