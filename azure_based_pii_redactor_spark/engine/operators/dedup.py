@@ -70,6 +70,41 @@ def dedup_exact_hash(spark, sf_dir):
     )
 
 
+def _shingle_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, raw_j) word-shingle Jaccard: count intersections via
+    a shingle equi-join, join per-doc set sizes, raw_j = i/(|a|+|b|-i).
+
+    With ``pairs`` the result is restricted to (and completed for) exactly
+    those pairs -- pairs sharing no shingle score 0.0; without it, every
+    pair sharing at least one shingle is scored (the caller bounds the
+    fan-out before calling, e.g. the DF_MAX stop-shingle guard)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    if pairs is not None:
+        inter = pairs.join(inter, ["doc_a", "doc_b"], "left")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    i = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (i / (F.col("sa.sz") + F.col("sb.sz") - i)).alias("raw_j"),
+        )
+    )
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard similarity pairs (threshold 0.4): explode
     shingles, drop stop-shingles (document frequency > DF_MAX), self-
@@ -86,25 +121,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select("shingle")
     )
     sh = raw.join(F.broadcast(hot), "shingle", "left_anti").cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "raw_j", F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
-        )
+        _shingle_jaccard(sh)
         .filter(F.col("raw_j") >= 0.4)  # threshold on RAW value (= oracle)
         .select(
             "doc_a",
@@ -134,11 +152,13 @@ def _minhash_signatures(spark, sf_dir) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark, sf_dir):
+def _minhash_est_pairs(spark, sf_dir) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard (fraction of
-    agreeing signature positions).  Banded 8x4: pairs agreeing on all 4
-    rows of any band become candidates; est >= 0.5 reported.  Rows-only
-    check (not SQL-expressible)."""
+    agreeing signature positions), banded 8x4: pairs agreeing on all 4
+    rows of any band become candidates; est >= 0.5 kept.  The shared
+    core of ``dedup_minhash_lsh`` (which adds exact-verification
+    columns) and ``dedup_minhash_clusters`` (which needs only the
+    pairs)."""
     sig = _minhash_signatures(spark, sf_dir).cache()
     bands = sig.select(
         "doc_id",
@@ -193,11 +213,21 @@ def dedup_minhash_lsh(spark, sf_dir):
             ).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
-        .localCheckpoint()  # tiny (candidate pairs); materialized once,
-        # read twice below -- the truth computation's id set and the
-        # final join (plain .cache() re-plans the subtree per consumer
-        # and measured 2.4x slower here)
     )
+    return est
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH pairs with DRIVER-VISIBLE verification columns: the
+    exact shingle Jaccard of every emitted pair (computed only over
+    candidate docs -- bounded by candidates, not corpus) and the
+    estimate's absolute error, so a signature regression changes the
+    query's row values, not only pytest assertions.  Rows-only check
+    (not SQL-expressible)."""
+    est = _minhash_est_pairs(spark, sf_dir).localCheckpoint()
+    # ^ tiny (candidate pairs); materialized once, read twice below --
+    # the truth computation's id set and the final join (plain .cache()
+    # re-plans the subtree per consumer and measured 2.4x slower here)
     truth = _true_jaccard_for(est.select("doc_a", "doc_b"), _docs(spark, sf_dir))
     return (
         est.join(truth, ["doc_a", "doc_b"])
@@ -216,44 +246,18 @@ def dedup_minhash_lsh(spark, sf_dir):
 def _true_jaccard_for(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """Exact shingle-Jaccard for a SMALL set of candidate pairs: shingles
     are semi-joined down to the candidate docs before the intersection
-    join, so the cost is bounded by candidates, not corpus.  Makes the
-    estimate error driver-visible -- a signature regression now changes
-    the row values of dedup_minhash_lsh, not only pytest assertions."""
+    join (shingling the corpus first tripled the query's wall-clock)."""
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # semi-join BEFORE shingling: only candidate docs pay the explode
-    # (shingling the corpus first tripled this query's wall-clock)
     cand_docs = docs.join(F.broadcast(ids), "doc_id", "left_semi")
-    sh = _shingles(cand_docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        _shingle_jaccard(_shingles(cand_docs), pairs)
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.coalesce(F.col("i"), F.lit(0))
-                / (F.col("sa.sz") + F.col("sb.sz")
-                   - F.coalesce(F.col("i"), F.lit(0))),
-                4,
-            ).alias("true_jaccard"),
+            "doc_a", "doc_b",
+            F.round(F.col("raw_j"), 4).alias("true_jaccard"),
         )
     )
 
@@ -369,7 +373,7 @@ def dedup_minhash_clusters(spark, sf_dir):
     """End-to-end near-dup dedup: MinHash-LSH candidates -> connected
     components -> one keeper per cluster with its member list.  Rows-only
     check (iterative algorithm)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = _minhash_est_pairs(spark, sf_dir)
     comps = connected_components(pairs)
     return (
         comps.groupBy("component")

@@ -289,13 +289,16 @@ def window_pagination_keyset(spark, sf_dir):
     collect (TakeOrderedAndProject), same class as the CSV sniff sample;
     production clients pass the cursor back themselves."""
     e = _t(spark, sf_dir, "events")
-    cur = (
+    cur_rows = (
         e.orderBy("ts", "event_id")
         .offset(49)
         .limit(1)
         .select("ts", "event_id")
-        .collect()[0]
+        .collect()
     )
+    if not cur_rows:  # table shorter than one page: nothing after it
+        return e.filter(F.lit(False)).select("event_id", "ts", "value")
+    cur = cur_rows[0]
     return (
         page_after(e, cur.ts, cur.event_id)
         .select("event_id", "ts", "value")

@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 TOP_K = 5
 N_QUERIES = 10
-N_PLANES = 8
 
 
 def _emb(spark, sf_dir):
@@ -57,7 +56,11 @@ def _with_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
             ).alias("recall_vs_exact"),
         )
     )
-    return approx.join(F.broadcast(rec), "query_id")
+    # LEFT join from the recall frame: a query whose approximate result is
+    # EMPTY (total candidate loss -- the regression this column exists to
+    # catch) still emits one row with null neighbor and recall 0.0 instead
+    # of vanishing from the output.
+    return F.broadcast(rec).join(approx, "query_id", "left")
 
 
 def knn_cosine_topk(spark, sf_dir):
@@ -102,9 +105,14 @@ def _band_params(
     import math
 
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    bits = max(2, int(math.log(0.4) / math.log(p)))
-    n_bands = math.ceil(
-        math.log(1.0 - target_recall) / math.log(1.0 - p**bits)
+    # clamp away the degenerate boundaries: threshold=1.0 (p=1, use an
+    # exact-hash dedup instead) and threshold<=-1 (p=0, everything
+    # collides); caps keep the plane count plan-friendly
+    p = min(max(p, 1e-9), 0.98)
+    bits = min(max(2, int(math.log(0.4) / math.log(p))), 32)
+    n_bands = min(
+        math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p**bits)),
+        64,
     )
     return bits, n_bands
 
@@ -121,6 +129,11 @@ def _banded_buckets(
     Band geometry comes from ``threshold`` (recall-targeted via
     ``_band_params``) or explicitly via ``bits``/``n_bands``."""
     if bits is None or n_bands is None:
+        if threshold is None:
+            raise ValueError(
+                "_banded_buckets needs either threshold or both "
+                "bits and n_bands"
+            )
         bits, n_bands = _band_params(threshold)
     planes = _hyperplanes(n_planes=bits * n_bands)
     signs = [
@@ -144,7 +157,7 @@ def _banded_buckets(
     return exploded.select(*df.columns, "bb.band", "bb.bucket")
 
 
-def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
+def _hyperplanes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (seeded; no numpy on
     executors needed -- plain constants shipped in the plan)."""
     import numpy as np
@@ -153,18 +166,6 @@ def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
     planes = rng.standard_normal((n_planes, dim))
     planes /= np.linalg.norm(planes, axis=1, keepdims=True)
     return planes.tolist()
-
-
-def _with_bucket(df: DataFrame, vec_col: str) -> DataFrame:
-    planes = _hyperplanes()
-    bits = [
-        F.when(
-            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in p])) >= 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    return df.withColumn("bucket", sum(bits[1:], bits[0]))
 
 
 def knn_cosine_lsh(spark, sf_dir, bits: int = 4, tables: int = 8):

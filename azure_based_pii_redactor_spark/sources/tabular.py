@@ -178,7 +178,13 @@ def parse_xlsx(blob: bytes) -> list[tuple[str, int, list[str]]]:
     for sheet in wb.iter(f"{_XLSX_MAIN_NS}sheet"):
         title = sheet.get("name") or ""
         target = rid_target.get(sheet.get(f"{_XLSX_REL_NS}id"), "")
-        part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+        if target.startswith("/"):
+            # absolute package path (Apache-POI style): use as-is
+            part = target[1:]
+        elif target.startswith("xl/"):
+            part = target
+        else:
+            part = f"xl/{target}"  # workbook-relative (the common form)
         ws = ET.fromstring(zf.read(part))
         for i, row in enumerate(ws.iter(f"{_XLSX_MAIN_NS}row")):
             cells: list[str] = []

@@ -502,3 +502,37 @@ def test_parse_xlsx_edge_cases():
         )
     rows = parse_xlsx(buf.getvalue())
     assert rows == [("S", 0, ["1", "2"]), ("S", 1, ["", ""])]
+
+
+def test_parse_xlsx_absolute_rel_target():
+    """Apache-POI-style absolute relationship targets
+    ('/xl/worksheets/sheet1.xml') must resolve."""
+    import io as _io
+    import zipfile
+
+    from azure_based_pii_redactor_spark.sources.tabular import parse_xlsx
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+            "</workbook>",
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" '
+            'Target="/xl/worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main"><sheetData>'
+            "<row><c><v>7</v></c></row></sheetData></worksheet>",
+        )
+    assert parse_xlsx(buf.getvalue()) == [("S", 0, ["7"])]
