@@ -262,9 +262,10 @@ def _true_jaccard_for(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per doc (Charikar 2002): per-bit sign sums over
-    token hashes, then exact-hash duplicate groups.  JVM-side only."""
+def _simhash_per_doc(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash): 63-bit SimHash (Charikar 2002) -- per-bit sign
+    sums over token hashes, all JVM-side (bit 63 omitted: keep the value
+    positive)."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -277,18 +278,107 @@ def dedup_simhash(spark, sf_dir):
         for b in range(64)
     ]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
-    simhash = per_doc.select(
+    return per_doc.select(
         "doc_id",
         sum(
             [
                 F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
                     F.lit(0).cast("long")
                 )
-                for b in range(63)  # bit 63 omitted: keep value positive
+                for b in range(63)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+
+
+HAMMING_K = 3  # near-dup radius; blocks = K+1 (pigeonhole exactness)
+
+
+def dedup_simhash_hamming(spark, sf_dir, k: int = HAMMING_K):
+    """SimHash near-duplicate pairs within Hamming distance ``k`` --
+    EXACT by pigeonhole, not probabilistic: the 64-bit simhash splits
+    into k+1 disjoint 16-bit blocks, and two hashes differing in <= k
+    bits must agree on at least one whole block (k+1 blocks, k differing
+    bits), so the block-equality self-join generates a candidate
+    superset with recall exactly 1.0; candidates are then re-checked
+    with a JVM-side popcount.  The multi-index Hamming join (Manku et
+    al. 2007, simhash web-dedup) -- the 10^12-scale alternative to the
+    all-pairs O(N^2) Hamming scan, which survives as the pytest
+    exactness oracle.  Rows-only driver check (simhash depends on
+    Spark's xxhash64, not SQL-expressible)."""
+    n_blocks = k + 1
+    width = 64 // n_blocks
+    sims = _simhash_per_doc(spark, sf_dir)
+    blocks = sims.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned("simhash", i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.blk", "bb.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sims.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sh_a"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash_hamming_exact(spark, sf_dir, k: int = HAMMING_K):
+    """All-pairs O(N^2) Hamming form -- the pytest exactness oracle for
+    the block-join query above (never registered as a driver query)."""
+    sims = _simhash_per_doc(spark, sf_dir)
+    a = sims.alias("a")
+    b = sims.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= k)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    """Exact-equality SimHash duplicate groups (the degenerate k=0 form;
+    near-dup within Hamming k lives in ``dedup_simhash_hamming``)."""
+    simhash = _simhash_per_doc(spark, sf_dir)
     return (
         simhash.groupBy("simhash")
         .agg(
@@ -397,6 +487,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_hamming": dedup_simhash_hamming,
 }
 
 ORACLES = {

@@ -121,3 +121,26 @@ def test_dedup_minhash_clusters_end_to_end(spark):
         members = [int(x) for x in r.members.split(",")]
         assert r.keeper_id == min(members)
         assert r.n_members == len(members) > 1
+
+
+def test_simhash_hamming_block_join_is_exact(spark):
+    """The block-equality candidate join is EXACT by pigeonhole (k
+    differing bits cannot touch all k+1 blocks): its output must equal
+    the all-pairs O(N^2) Hamming scan, and the plan must carry no
+    cartesian."""
+    from azure_based_pii_redactor_spark.engine.operators.dedup import (
+        dedup_simhash_hamming,
+        dedup_simhash_hamming_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r.doc_a, r.doc_b, r.hamming)
+           for r in dedup_simhash_hamming(spark, sf).collect()]
+    want = [(r.doc_a, r.doc_b, r.hamming)
+            for r in dedup_simhash_hamming_exact(spark, sf).collect()]
+    assert got == want and len(got) > 0
+    plan = dedup_simhash_hamming(
+        spark, sf
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
