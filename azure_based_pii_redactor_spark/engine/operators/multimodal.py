@@ -2,11 +2,15 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
-The sandbox has no image/audio libraries, so the DECODE step is a
-deterministic fake over a self-describing synthetic container format
-(clearly marked; swap ``_decode_blob`` for PIL/librosa/pyav on a real
-cluster -- the Spark-side plumbing (schema, partitioning, UDF signature,
-batch shape) is real and tested).
+Image decode/resize is REAL for uncompressed 24-bit BMP (pure
+stdlib struct + numpy -- no image library needed): the generator emits
+genuine BMP blobs, ``_decode_bmp`` parses them to pixel arrays, and
+``resize_images`` does nearest-neighbor resampling and re-encodes.
+JPEG/PNG (and audio/video codecs) need external libraries absent from
+this sandbox, so those run through a deterministic fake container
+(clearly marked; swap for PIL/librosa/pyav on a real cluster -- the
+Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
+is identical either way and fully tested).
 
 Synthetic container layout (bytes):
     magic[4] = FIMG | FAUD | FVID
@@ -38,6 +42,57 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, 4-byte row
+    padding) -- pure stdlib."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    )
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR channels
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def decode_bmp(blob: bytes) -> "np.ndarray":
+    """Decode an uncompressed 24-bit BMP to an (H, W, 3) uint8 RGB array
+    -- pure stdlib struct + numpy (no image library)."""
+    if bytes(blob[:2]) != b"BM":
+        raise ValueError("not a BMP blob")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported "
+                         f"(got bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_nearest(pixels: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resample of an (H, W, 3) array -- two integer
+    gathers, the same index math PIL uses for Image.NEAREST."""
+    h, w = pixels.shape[:2]
+    yi = (np.arange(height) * h // height).clip(max=h - 1)
+    xi = (np.arange(width) * w // width).clip(max=w - 1)
+    return pixels[yi][:, xi]
+
+
 def _make_blob(rng: np.random.Generator, kind: str) -> bytes:
     if kind == "audio":
         rate = int(rng.integers(8, 48)) * 1000
@@ -49,6 +104,10 @@ def _make_blob(rng: np.random.Generator, kind: str) -> bytes:
         return header + body
     w = int(rng.integers(16, 256))
     h = int(rng.integers(16, 256))
+    if kind == "image" and rng.integers(0, 2):
+        # real uncompressed 24-bit BMP (decoded/resized for real downstream)
+        px = rng.integers(0, 256, (min(h, 64), min(w, 64), 3)).astype(np.uint8)
+        return encode_bmp(px)
     frames = 1 if kind == "image" else int(rng.integers(2, 16))
     header = MAGIC[kind] + struct.pack("<HHH", w, h, frames)
     body = rng.integers(0, 256, min(w * h, 4096) * frames).astype(
@@ -84,9 +143,15 @@ def generate_media(
 
 
 def _decode_blob(blob: bytes) -> dict:
-    """STUB DECODE -- deterministic parse of the synthetic container.
-    On a production cluster replace with PIL.Image.open / soundfile /
-    pyav; the calling plumbing is unchanged."""
+    """Decode: REAL for BMP (header parse), deterministic stub for the
+    synthetic container (on a production cluster replace the stub branch
+    with PIL.Image.open / soundfile / pyav; plumbing unchanged)."""
+    if bytes(blob[:2]) == b"BM":
+        data_offset = struct.unpack_from("<I", blob, 10)[0]
+        _, w, h = struct.unpack_from("<Iii", blob, 14)
+        return {"kind": "image", "width": w, "height": abs(h),
+                "sample_rate": 0, "n_frames": 1,
+                "n_payload_bytes": len(blob) - data_offset}
     magic = bytes(blob[:4])
     a, b, c = struct.unpack("<HHH", bytes(blob[4:10]))
     if magic == MAGIC["audio"]:
@@ -151,23 +216,15 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
 
 def resize_images(
     media: DataFrame, width: int = 32, height: int = 32,
-    use_fake_decode: bool = True,
 ) -> DataFrame:
-    """Resize stage.  ``use_fake_decode=True`` (default; the sandbox path)
-    applies a deterministic fake resize over the synthetic container.
-    ``use_fake_decode=False`` is the production path: it requires PIL and
-    raises a clear NotImplementedError when the library is MISSING (the
-    import-gated pattern; see sources/tabular.py:read_excel)."""
+    """Resize stage, format-dispatched per blob:
+    - BMP: REAL decode -> nearest-neighbor resample -> re-encode (pure
+      stdlib + numpy, works in this sandbox and in production alike);
+    - synthetic FIMG container: deterministic fake (re-header + pad);
+    - anything else (JPEG/PNG): requires PIL -- import-gated with a clear
+      NotImplementedError (the pattern documented in SURVEY section 7)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not use_fake_decode:
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as exc:  # pragma: no cover - sandbox path
-                raise NotImplementedError(
-                    "real image resize requires Pillow; install it or use "
-                    "use_fake_decode=True for the synthetic container"
-                ) from exc
         for pdf in batches:
             out_ids, blobs = [], []
             for mid, kind, blob in zip(
@@ -175,18 +232,30 @@ def resize_images(
             ):
                 if kind != "image":
                     continue
-                if not use_fake_decode:  # pragma: no cover - needs PIL
+                raw = bytes(blob)
+                if raw[:2] == b"BM":
+                    px = decode_bmp(raw)
+                    blobs.append(encode_bmp(resize_nearest(px, width, height)))
+                elif raw[:4] == MAGIC["image"]:
+                    # deterministic fake: re-header with the target size
+                    # and truncate/pad the payload to w*h bytes
+                    body = raw[10:][: width * height]
+                    body = body.ljust(width * height, b"\0")
+                    blobs.append(
+                        MAGIC["image"] + struct.pack("<HHH", width, height, 1)
+                        + body
+                    )
+                else:  # pragma: no cover - needs PIL
+                    try:
+                        from PIL import Image  # noqa: F401
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "JPEG/PNG resize requires Pillow; BMP and the "
+                            "synthetic container decode natively"
+                        ) from exc
                     raise NotImplementedError(
                         "wire PIL decode->resize->encode here"
                     )
-                # deterministic fake: re-header with the target size and
-                # truncate/pad the payload to w*h bytes
-                body = bytes(blob[10:])[: width * height]
-                body = body.ljust(width * height, b"\0")
-                blobs.append(
-                    MAGIC["image"] + struct.pack("<HHH", width, height, 1)
-                    + body
-                )
                 out_ids.append(int(mid))
             yield pd.DataFrame({"media_id": out_ids, "payload": blobs})
 

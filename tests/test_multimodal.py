@@ -54,11 +54,17 @@ def test_frame_sample(spark, media):
     assert set(frames["media_id"]) <= vids
 
 
-def test_resize_stub_shape(spark, media):
+def test_resize_output_shapes(spark, media):
     out = resize_images(media, 32, 32).toPandas()
     decoded = decode_media_metadata(media).toPandas()
     assert len(out) == (decoded.kind == "image").sum()
-    assert out["payload"].map(len).eq(10 + 32 * 32).all()
+    # real BMPs re-encode at 32x32x3 (+54-byte header); fake-container
+    # images re-header to 10 + 32*32 payload bytes
+    sizes = out["payload"].map(lambda b: (bytes(b)[:2], len(b)))
+    assert all(
+        n == 54 + 32 * 32 * 3 if m == b"BM" else n == 10 + 32 * 32
+        for m, n in sizes
+    )
 
 
 def test_media_features_unit_norm(spark, media):
@@ -144,3 +150,59 @@ def test_simhash_hamming_block_join_is_exact(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bmp_roundtrip_and_resize():
+    """Real BMP codec: encode->decode is pixel-exact (incl. row padding
+    for non-multiple-of-4 widths); nearest-neighbor resize matches the
+    index-math reference."""
+    import numpy as np
+
+    from azure_based_pii_redactor_spark.engine.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    for h, w in ((5, 5), (7, 3), (16, 17), (1, 1)):
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all(), (h, w)
+    px = rng.integers(0, 256, (10, 6, 3)).astype(np.uint8)
+    small = resize_nearest(px, 3, 5)
+    assert small.shape == (5, 3, 3)
+    assert (small[0, 0] == px[0, 0]).all()
+    assert (small[4, 2] == px[8, 4]).all()  # yi=4*10//5=8, xi=2*6//3=4
+
+
+def test_resize_images_handles_real_bmp(spark):
+    """The Spark resize stage decodes real BMP blobs and re-encodes at
+    the target size; fake-container images resize via re-header."""
+    from azure_based_pii_redactor_spark.engine.operators.multimodal import (
+        decode_bmp,
+        generate_media,
+        resize_images,
+    )
+
+    media = generate_media(spark, 120, seed=42)
+    out = resize_images(media, 8, 8).collect()
+    assert out
+    n_bmp = 0
+    for r in out:
+        raw = bytes(r.payload)
+        if raw[:2] == b"BM":
+            px = decode_bmp(raw)
+            assert px.shape == (8, 8, 3)
+            n_bmp += 1
+    assert n_bmp > 0  # the generator mixes real BMPs in
+
+
+def test_decode_metadata_parses_bmp(spark):
+    from azure_based_pii_redactor_spark.engine.operators.multimodal import (
+        decode_media_metadata,
+        generate_media,
+    )
+
+    media = generate_media(spark, 120, seed=42)
+    rows = decode_media_metadata(media).filter("kind = 'image'").collect()
+    assert rows and all(r.width > 0 and r.height > 0 for r in rows)
