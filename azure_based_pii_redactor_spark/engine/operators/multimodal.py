@@ -93,10 +93,52 @@ def resize_nearest(pixels: "np.ndarray", width: int, height: int) -> "np.ndarray
     return pixels[yi][:, xi]
 
 
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Encode int16 mono PCM as a canonical RIFF/WAVE blob -- pure
+    stdlib."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(blob: bytes) -> tuple["np.ndarray", int]:
+    """Decode 16-bit mono PCM WAV to (samples int16, sample_rate) --
+    pure stdlib struct + numpy; walks RIFF chunks so fmt/data order and
+    extra chunks don't matter."""
+    if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
+        raise ValueError("not a WAV blob")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = bytes(blob[pos : pos + 4])
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, ch, rate = struct.unpack_from("<HHI", blob, pos + 8)
+            bits = struct.unpack_from("<H", blob, pos + 22)[0]
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only 16-bit mono PCM supported (fmt={fmt}, ch={ch}, "
+                    f"bits={bits})")
+        elif cid == b"data":
+            data = np.frombuffer(blob, dtype="<i2", count=size // 2,
+                                 offset=pos + 8)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
 def _make_blob(rng: np.random.Generator, kind: str) -> bytes:
     if kind == "audio":
         rate = int(rng.integers(8, 48)) * 1000
         n = int(rng.integers(100, 1000))
+        if rng.integers(0, 2):
+            # real 16-bit mono PCM WAV (decoded for real downstream)
+            samples = rng.integers(-32768, 32768, n).astype(np.int16)
+            return encode_wav(samples, rate)
         header = MAGIC[kind] + struct.pack(
             "<HHH", rate // 1000, n, 1
         )
@@ -152,6 +194,11 @@ def _decode_blob(blob: bytes) -> dict:
         return {"kind": "image", "width": w, "height": abs(h),
                 "sample_rate": 0, "n_frames": 1,
                 "n_payload_bytes": len(blob) - data_offset}
+    if bytes(blob[:4]) == b"RIFF":
+        samples, rate = decode_wav(bytes(blob))
+        return {"kind": "audio", "width": 0, "height": 0,
+                "sample_rate": rate, "n_frames": 1,
+                "n_payload_bytes": samples.nbytes}
     magic = bytes(blob[:4])
     a, b, c = struct.unpack("<HHH", bytes(blob[4:10]))
     if magic == MAGIC["audio"]:
@@ -287,6 +334,47 @@ def media_features(media: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-clip audio features -- REAL signal math (RMS level and
+    zero-crossing rate) over decoded WAV samples; fake-container clips
+    decode their deterministic byte payload as unsigned 8-bit PCM."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, rms, zcr = [], [], [], []
+            for mid, kind, blob in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                raw = bytes(blob)
+                if raw[:4] == b"RIFF":
+                    samples, rate = decode_wav(raw)
+                    x = samples.astype(np.float64) / 32768.0
+                else:
+                    meta = _decode_blob(raw)
+                    rate = meta["sample_rate"]
+                    x = (np.frombuffer(raw, np.uint8, offset=10)
+                         .astype(np.float64) - 128.0) / 128.0
+                ids.append(int(mid))
+                rates.append(rate)
+                rms.append(round(float(np.sqrt(np.mean(x * x))), 6)
+                           if len(x) else 0.0)
+                zcr.append(round(float(np.mean(np.signbit(x[1:])
+                                               != np.signbit(x[:-1]))), 6)
+                           if len(x) > 1 else 0.0)
+            yield pd.DataFrame(
+                {"media_id": ids, "sample_rate": rates,
+                 "rms": rms, "zero_crossing_rate": zcr}
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_id long, sample_rate int, rms double,"
+               " zero_crossing_rate double",
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Per-kind rollup over decoded metadata (JVM-side agg)."""
     decoded = decode_media_metadata(media)
@@ -315,8 +403,14 @@ def multimodal_frame_sample(spark, sf_dir):
     return frame_sample(media).orderBy("media_id", "frame_idx")
 
 
+def multimodal_audio_stats(spark, sf_dir):
+    media = generate_media(spark, 300, seed=42)
+    return audio_stats(media).orderBy("media_id")
+
+
 QUERIES = {
     "multimodal_stats": multimodal_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_stats": multimodal_audio_stats,
 }
 ORACLES: dict[str, str] = {}

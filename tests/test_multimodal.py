@@ -206,3 +206,38 @@ def test_decode_metadata_parses_bmp(spark):
     media = generate_media(spark, 120, seed=42)
     rows = decode_media_metadata(media).filter("kind = 'image'").collect()
     assert rows and all(r.width > 0 and r.height > 0 for r in rows)
+
+
+def test_wav_roundtrip_and_audio_stats(spark):
+    """Real WAV codec: encode->decode is sample-exact; audio_stats
+    computes true RMS/ZCR on decoded samples (full-scale square wave ->
+    rms 1.0, zcr 1.0)."""
+    import numpy as np
+
+    from azure_based_pii_redactor_spark.engine.operators.multimodal import (
+        audio_stats,
+        decode_wav,
+        encode_wav,
+        generate_media,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    samples = rng.integers(-32768, 32768, 777).astype(np.int16)
+    back, rate = decode_wav(encode_wav(samples, 16000))
+    assert rate == 16000 and (back == samples).all()
+
+    square = np.tile(np.array([32767, -32768], np.int16), 100)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(square, 8000)), None)],
+        "media_id long, kind string, payload binary,"
+        " meta map<string,string>",
+    )
+    row = audio_stats(df).collect()[0]
+    assert row.sample_rate == 8000
+    assert abs(row.rms - 1.0) < 0.01
+    assert abs(row.zero_crossing_rate - 1.0) < 0.01
+
+    # generator mixes real WAVs; stats run over both formats
+    media = generate_media(spark, 150, seed=42)
+    rows = audio_stats(media).collect()
+    assert rows and all(r.sample_rate >= 8000 for r in rows)
