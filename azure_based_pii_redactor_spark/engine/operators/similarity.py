@@ -373,11 +373,35 @@ def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 2):
     )
 
 
+def embedding_neardup_clusters(spark, sf_dir, threshold: float = NEARDUP_THRESHOLD):
+    """End-to-end embedding dedup: banded-LSH cosine near-dup pairs ->
+    connected components -> one keeper per cluster (the embedding twin of
+    dedup_minhash_clusters).  Rows-only check (iterative algorithm)."""
+    from .dedup import connected_components
+
+    pairs = embedding_cosine_neardup(spark, sf_dir, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+            .alias("members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(F.col("component").alias("keeper_id"), "n_members", "members")
+        .orderBy("keeper_id")
+    )
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_cosine_ivf": knn_cosine_ivf,
     "embedding_cosine_neardup": embedding_cosine_neardup,
+    "embedding_neardup_clusters": embedding_neardup_clusters,
 }
 
 ORACLES = {

@@ -1,0 +1,156 @@
+"""Property-based sanity for the round-2 kernels (pure Python/numpy --
+no Spark session; fast under hypothesis)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.integers(min_value=0, max_value=(1 << 63) - 1),
+    flip_bits=st.lists(
+        st.integers(min_value=0, max_value=62), max_size=3, unique=True
+    ),
+)
+def test_simhash_pigeonhole_block_cover(base, flip_bits):
+    """Any pair within Hamming k=3 shares at least one of the four
+    16-bit blocks -- the exactness guarantee dedup_simhash_hamming's
+    candidate join relies on."""
+    other = base
+    for b in flip_bits:
+        other ^= 1 << b
+    shared = any(
+        (base >> (16 * i)) & 0xFFFF == (other >> (16 * i)) & 0xFFFF
+        for i in range(4)
+    )
+    assert shared
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    from azure_based_pii_redactor_spark.engine.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    from azure_based_pii_redactor_spark.engine.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    samples = rng.integers(-32768, 32768, n).astype(np.int16)
+    back, r = decode_wav(encode_wav(samples, rate))
+    assert r == rate and (back == samples).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(t=st.floats(min_value=-0.99, max_value=0.999))
+def test_band_params_well_formed(t):
+    """No crash across the threshold range; geometry within plan-friendly
+    caps; tighter thresholds never need wider bands."""
+    from azure_based_pii_redactor_spark.engine.operators.similarity import (
+        _band_params,
+    )
+
+    bits, n_bands = _band_params(t)
+    assert 2 <= bits <= 32
+    assert 1 <= n_bands <= 64
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab éñ雪"),
+            min_size=0, max_size=120,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_langid_batch_always_matches_per_doc(texts):
+    """Batch and per-doc langid agree on arbitrary (incl. degenerate)
+    unicode inputs -- same language, score within float noise."""
+    from azure_based_pii_redactor_spark.quality.langid import (
+        predict_language,
+        predict_language_batch,
+    )
+
+    batch = predict_language_batch(texts)
+    for t, (lang, score) in zip(texts, batch):
+        l1, s1 = predict_language(t)
+        assert lang == l1
+        assert abs(score - s1) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet=st.sampled_from("abcd"), min_size=1, max_size=3),
+        min_size=0, max_size=40,
+    )
+)
+def test_ngram_cascade_matches_uncascaded(words):
+    """The uniqueness-cascade n-gram fractions equal the brute
+    formulation on arbitrary word lists."""
+    from collections import Counter
+
+    from azure_based_pii_redactor_spark.quality.heuristics import (
+        _ngram_char_fractions,
+    )
+
+    text_len = len(" ".join(words))
+    got = _ngram_char_fractions(words, text_len)
+    for n in (2, 3, 4):
+        if len(words) < n:
+            assert got[f"top_{n}gram_char_frac"] == 0.0
+            continue
+        grams = Counter(zip(*(words[i:] for i in range(n))))
+        g, c = grams.most_common(1)[0]
+        want = (c * sum(len(w) for w in g)) / text_len \
+            if c > 1 and text_len else 0.0
+        assert got[f"top_{n}gram_char_frac"] == want, (n, words)
+    for n in range(5, 11):
+        if len(words) < n:
+            assert got[f"dup_{n}gram_char_frac"] == 0.0
+            continue
+        counts = Counter(zip(*(words[i:] for i in range(n))))
+        want = sum(
+            (c - 1) * sum(len(w) for w in g)
+            for g, c in counts.items() if c > 1
+        ) / text_len if text_len else 0.0
+        assert got[f"dup_{n}gram_char_frac"] == want, (n, words)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("the quick brown fox zxq'"),
+        max_size=200,
+    )
+)
+def test_perplexity_vectorized_equals_scalar_property(text):
+    from azure_based_pii_redactor_spark.quality.perplexity import (
+        perplexity,
+        perplexity_scalar,
+    )
+
+    a, b = perplexity(text), perplexity_scalar(text)
+    assert abs(a - b) <= 1e-9 * max(abs(b), 1.0)
