@@ -427,4 +427,30 @@ ORACLES = {
                                b.embedding::DOUBLE[]) >= 0.5
         ORDER BY vec_a, vec_b
     """,
+    # connected components as a recursive transitive closure: component
+    # of a node = min reachable node id (mirrors the Spark min-label
+    # propagation fixpoint exactly)
+    "embedding_neardup_clusters": """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.5
+        ), edges AS (
+            SELECT va AS src, vb AS dst FROM pairs
+            UNION ALL SELECT vb, va FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT reach.node, edges.dst
+            FROM reach JOIN edges ON reach.r = edges.src
+        ), labeled AS (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        )
+        SELECT component AS keeper_id,
+               count(*) AS n_members,
+               string_agg(node::VARCHAR, ',' ORDER BY node) AS members
+        FROM labeled GROUP BY component HAVING count(*) > 1
+        ORDER BY keeper_id
+    """,
 }

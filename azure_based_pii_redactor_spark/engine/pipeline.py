@@ -39,6 +39,23 @@ _WRAP_PREFIX = b"<html><body>"
 _WRAP_SUFFIX = b"</body></html>"
 _TAG = re.compile(r"<[^>]+>")
 
+# JVM-side extraction fast path: strip the canonical wrapper and decode
+# inside whole-stage codegen so html BYTES never cross the JVM->Python
+# boundary for the common case (html dominates the input bytes; this
+# halves the Arrow exchange).  The re-encode equality proves the bytes
+# were valid UTF-8, i.e. the JVM cast is byte-identical to Python's
+# decode; malformed or non-wrapper rows fall back to the Python kernel
+# (errors='replace' / tag-strip), preserving exact semantics.
+_SUB = "substring(html, 13, length(html) - 26)"
+_PRE_EXTRACT_SQL = f"""
+    CASE WHEN html IS NULL THEN NULL
+         WHEN left(html, 12) = X'3C68746D6C3E3C626F64793E'
+          AND right(html, 14) = X'3C2F626F64793E3C2F68746D6C3E'
+          AND encode(cast({_SUB} AS string), 'UTF-8') = {_SUB}
+         THEN cast({_SUB} AS string)
+         ELSE NULL END
+"""
+
 
 def extract_text(html: bytes | None) -> str | None:
     """Recover the extracted text from the html payload.
@@ -86,12 +103,27 @@ def _scrub_batch(
         "n_entities": [0] * n,
         "scrubbed_text": [None] * n,
     }
-    htmls = pdf["html"].tolist()
     texts = pdf["text"].tolist()
+    # "__extracted_pre" carries the JVM fast-path extraction (valid-UTF-8
+    # canonical wrapper); "__html_fallback" is non-null ONLY for rows the
+    # JVM could not handle.  Plain "html" appears when the kernel is fed
+    # directly (tests / library use) -- full Python extraction then.
+    if "__extracted_pre" in pdf.columns:
+        pres = pdf["__extracted_pre"].tolist()
+        htmls = pdf["__html_fallback"].tolist()
+        had_html = [p is not None or h is not None
+                    for p, h in zip(pres, htmls)]
+    else:
+        pres = [None] * n
+        htmls = pdf["html"].tolist()
+        had_html = [h is not None for h in htmls]
     extracted_all: list[str] = [""] * n
     for i in range(n):
-        extracted = extract_text(htmls[i])
-        if extracted is None:
+        if pres[i] is not None:
+            extracted = pres[i]
+        else:
+            extracted = extract_text(htmls[i])
+        if extracted is None or not had_html[i]:
             # No html payload: nothing to extract, fall back to the text
             # column; the invariant is vacuously satisfied.
             extracted = texts[i] or ""
@@ -171,7 +203,24 @@ def run_scrub_pipeline(
         # Round-robin repartition: uniform Arrow batches for the kernel
         # regardless of upstream file-split skew.
         pages = pages.repartition(repartition_to)
-    return pages.mapInPandas(fused, schema=SCRUB_OUTPUT_SCHEMA)
+    from pyspark.sql import functions as F
+
+    # JVM pre-extraction: html bytes cross into Python ONLY for rows the
+    # codegen fast path could not decode (non-wrapper or malformed UTF-8).
+    pre = (
+        pages.withColumn("__extracted_pre", F.expr(_PRE_EXTRACT_SQL))
+        .withColumn(
+            "__html_fallback",
+            F.when(
+                F.col("__extracted_pre").isNull()
+                & F.col("html").isNotNull(),
+                F.col("html"),
+            ),
+        )
+        .select("url", "warc_ts", "text", "lang",
+                "__extracted_pre", "__html_fallback")
+    )
+    return pre.mapInPandas(fused, schema=SCRUB_OUTPUT_SCHEMA)
 
 
 def documents_as_pages(documents: DataFrame) -> DataFrame:
