@@ -547,6 +547,66 @@ def cube_order_stats(spark, sf_dir):
     )
 
 
+RANGE_WINDOW_SEC = 3600
+
+
+def join_range_bucketed(spark, sf_dir):
+    """Pure range join (no equi key): for each purchase event, count and
+    total the events in the following hour.
+
+    Spark plans a bare ``x.ts > p.ts AND x.ts <= p.ts + 1h`` condition
+    as BroadcastNestedLoopJoin -- O(N*M) and a driver-memory bomb at
+    scale.  The scale form buckets both sides by the window width: a
+    window starting in bucket b ends in b or b+1 (width == bucket), so
+    each probe explodes to exactly two bucket keys, the join becomes an
+    EQUI join on bucket (shuffle-hash/SMJ, AQE-skewable), and the exact
+    interval predicate refines the candidates.  Bucketing uses integer
+    epoch micros (exact); the refine compares native timestamps (exact
+    in both engines -- double epoch seconds cannot represent micros)."""
+    e = _t(spark, sf_dir, "events")
+    w_us = RANGE_WINDOW_SEC * 1_000_000
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / w_us)
+        .alias("b0"),
+    )
+    probe_b = probes.withColumn(
+        "bkt", F.explode(F.array(F.col("b0"), F.col("b0") + 1))
+    )
+    build = e.select(
+        F.col("event_id").alias("x_id"),
+        F.col("ts").alias("x_ts"),
+        F.col("value").alias("x_value"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / w_us)
+        .alias("bkt"),
+    )
+    hits = (
+        probe_b.join(build, "bkt")
+        .filter(
+            (F.col("x_ts") > F.col("p_ts"))
+            & (F.col("x_ts") <= F.col("p_ts")
+               + F.expr(f"INTERVAL {RANGE_WINDOW_SEC} SECOND"))
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").alias("n_next_hour"),
+            F.round(F.sum("x_value"), 4).alias("total_value"),
+        )
+    )
+    return (
+        probes.select("probe_id")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_next_hour", F.lit(0)).alias("n_next_hour"),
+            F.round(F.coalesce("total_value", F.lit(0.0)), 4)
+            .alias("total_value"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 def join_asof_latest_order(spark, sf_dir):
     """AS-OF join (Spark has no native one): for every event, the latest
     order date of the same key at-or-before the event time.  Implemented
@@ -614,6 +674,7 @@ QUERIES = {
     "pivot_event_counts": pivot_event_counts,
     "cube_order_stats": cube_order_stats,
     "join_asof_latest_order": join_asof_latest_order,
+    "join_range_bucketed": join_range_bucketed,
 }
 
 ORACLES = {
@@ -822,6 +883,15 @@ ORACLES = {
                    AS sum_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "join_range_bucketed": """
+        SELECT p.event_id AS probe_id,
+               count(x.event_id) AS n_next_hour,
+               round(coalesce(sum(x.value), 0), 4) AS total_value
+        FROM events p LEFT JOIN events x
+          ON x.ts > p.ts AND x.ts <= p.ts + INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
     """,
     "join_asof_latest_order": """
         SELECT e.event_id, o.o_orderdate AS latest_order_date

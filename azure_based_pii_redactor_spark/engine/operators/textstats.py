@@ -192,7 +192,48 @@ def text_c4_clean_lines(spark, sf_dir):
     )
 
 
+def text_tfidf_top(spark, sf_dir, k: int = 3):
+    """Top-k TF-IDF terms per document (first 100 docs): tf from a
+    per-(doc, word) count, idf = ln(N/df) joined from the document
+    frequencies.  Everything JVM-side: explode -> two hash aggs -> one
+    broadcast-able join -> rank window.  At 10^12 docs the df table is
+    vocabulary-sized (small) and broadcast; the heavy (doc, word) agg is
+    a single shuffle with map-side partial aggregation."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # scalar, one job on parquet metadata
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count("*").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .filter(F.col("doc_id") < 100)
+        .withColumn(
+            "raw_score",
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("raw_score", 6)), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "rnk", "word",
+            F.round("raw_score", 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
 QUERIES = {
+    "text_tfidf_top": text_tfidf_top,
     "text_c4_clean_lines": text_c4_clean_lines,
     "text_lang_stopword_vote": text_lang_stopword_vote,
     "text_token_bpe": text_token_bpe,
@@ -204,6 +245,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tfidf_top": """
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), w AS (
+            SELECT doc_id, word FROM words WHERE word != ''
+        ), tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+        ), df AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.word,
+                   tf.tf * ln(n.n_docs * 1.0 / df.df) AS raw_score
+            FROM tf JOIN df USING (word), n
+            WHERE tf.doc_id < 100
+        ), ranked AS (
+            SELECT doc_id, word, raw_score,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY round(raw_score, 6) DESC, word ASC) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, rnk, word, round(raw_score, 4) AS tfidf
+        FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
     "text_c4_clean_lines": """
         WITH k AS (
             SELECT doc_id,

@@ -179,3 +179,16 @@ def test_keyset_pagination_plan(spark):
     plan = plan_of(window_pagination_keyset(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "PushedFilters: []" not in plan, plan
+
+
+def test_range_join_plan_is_equi(spark):
+    """join_range_bucketed must plan the interval predicate as an EQUI
+    join on the bucket key (plus refine filter) -- a bare range condition
+    degenerates to BroadcastNestedLoopJoin, the O(N*M) killer."""
+    from azure_based_pii_redactor_spark.engine.operators.relational import (
+        join_range_bucketed,
+    )
+
+    plan = plan_of(join_range_bucketed(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
