@@ -75,9 +75,11 @@ def _shingle_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame
     a shingle equi-join, join per-doc set sizes, raw_j = i/(|a|+|b|-i).
 
     With ``pairs`` the result is restricted to (and completed for) exactly
-    those pairs -- pairs sharing no shingle score 0.0; without it, every
-    pair sharing at least one shingle is scored (the caller bounds the
-    fan-out before calling, e.g. the DF_MAX stop-shingle guard)."""
+    those pairs -- pairs sharing no shingle score 0.0, including docs
+    with NO shingles at all (empty sets: Jaccard defined as 0.0); without
+    it, every pair sharing at least one shingle is scored (the caller
+    bounds the fan-out before calling, e.g. the DF_MAX stop-shingle
+    guard)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -89,18 +91,28 @@ def _shingle_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame
         )
         .agg(F.count("*").alias("i"))
     )
+    # pairs mode completes every requested pair, so the size joins must
+    # be OUTER: a doc with zero shingles has no sizes row, and an inner
+    # join would silently drop its pairs instead of scoring them 0.0
+    size_join = "left" if pairs is not None else "inner"
     if pairs is not None:
         inter = pairs.join(inter, ["doc_a", "doc_b"], "left")
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     i = F.coalesce(F.col("i"), F.lit(0))
+    denom = (
+        F.coalesce(F.col("sa.sz"), F.lit(0))
+        + F.coalesce(F.col("sb.sz"), F.lit(0))
+        - i
+    )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"), size_join)
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"), size_join)
         .select(
             "doc_a",
             "doc_b",
-            (i / (F.col("sa.sz") + F.col("sb.sz") - i)).alias("raw_j"),
+            F.when(denom == 0, F.lit(0.0)).otherwise(i / denom)
+            .alias("raw_j"),
         )
     )
 
@@ -297,60 +309,93 @@ HAMMING_K = 3  # near-dup radius; blocks = K+1 (pigeonhole exactness)
 
 def dedup_simhash_hamming(spark, sf_dir, k: int = HAMMING_K):
     """SimHash near-duplicate pairs within Hamming distance ``k`` --
-    EXACT by pigeonhole, not probabilistic: the 64-bit simhash splits
-    into k+1 disjoint 16-bit blocks, and two hashes differing in <= k
-    bits must agree on at least one whole block (k+1 blocks, k differing
-    bits), so the block-equality self-join generates a candidate
-    superset with recall exactly 1.0; candidates are then re-checked
-    with a JVM-side popcount.  The multi-index Hamming join (Manku et
-    al. 2007, simhash web-dedup) -- the 10^12-scale alternative to the
-    all-pairs O(N^2) Hamming scan, which survives as the pytest
-    exactness oracle.  Rows-only driver check (simhash depends on
-    Spark's xxhash64, not SQL-expressible)."""
-    n_blocks = k + 1
-    width = 64 // n_blocks
+    EXACT by pigeonhole, not probabilistic, via Manku et al. 2007's
+    multi-index scheme: the 64-bit simhash splits into 2k blocks, and a
+    pair differing in <= k bits has >= k clean blocks, so the pair
+    collides in the table keyed by SOME k-subset of blocks; the
+    C(2k, k) tables use ~(64*k/2k)-bit keys (k=3 -> 20 tables, ~32-bit
+    keys), so bucket occupancy stays ~N/2^32 -- unlike single 16-bit
+    blocks, whose 65k distinct values make candidate fan-out quadratic
+    at web scale.  Two further scale guards: the table join runs over
+    DISTINCT simhash values (identical-hash crowds never enter it), and
+    equal-hash pairs are emitted from a linear group-by instead.
+    Candidates are exactly re-checked with a JVM-side popcount; the
+    all-pairs O(N^2) scan survives as the pytest exactness oracle.
+    Rows-only driver check (simhash depends on Spark's xxhash64, not
+    SQL-expressible)."""
+    from itertools import combinations
+
+    n_blocks = 2 * k
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     sims = _simhash_per_doc(spark, sf_dir)
-    blocks = sims.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.shiftrightunsigned("simhash", i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
-                )
-                for i in range(n_blocks)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.blk", "bb.val")
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    cand = (
+    vals = sims.select("simhash").distinct()
+
+    def block(i):
+        return F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    def combo_key(combo):
+        key = block(combo[0])
+        for i in combo[1:]:
+            key = key * F.lit(1 << widths[i]) + block(i)
+        return key
+
+    tables = [
+        F.struct(F.lit(t).alias("tbl"), combo_key(c).alias("key"))
+        for t, c in enumerate(combinations(range(n_blocks), k))
+    ]
+    keyed = vals.select(
+        "simhash", F.explode(F.array(*tables)).alias("tk")
+    ).select("simhash", "tk.tbl", "tk.key")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    val_pairs = (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b")
         )
         .distinct()
-    )
-    sa = sims.select(F.col("doc_id").alias("doc_a"),
-                     F.col("simhash").alias("sh_a"))
-    sb = sims.select(F.col("doc_id").alias("doc_b"),
-                     F.col("simhash").alias("sh_b"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= k)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
     )
+    ga = sims.select(F.col("simhash").alias("sh_a"),
+                     F.col("doc_id").alias("d_a"))
+    gb = sims.select(F.col("simhash").alias("sh_b"),
+                     F.col("doc_id").alias("d_b"))
+    cross = (
+        val_pairs.join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .select(
+            F.least("d_a", "d_b").alias("doc_a"),
+            F.greatest("d_a", "d_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    sx = sims.alias("sx")
+    sy = sims.alias("sy")
+    same = (
+        sx.join(
+            sy,
+            (F.col("sx.simhash") == F.col("sy.simhash"))
+            & (F.col("sx.doc_id") < F.col("sy.doc_id")),
+        )
+        .select(
+            F.col("sx.doc_id").alias("doc_a"),
+            F.col("sy.doc_id").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same).orderBy("doc_a", "doc_b")
 
 
 def dedup_simhash_hamming_exact(spark, sf_dir, k: int = HAMMING_K):

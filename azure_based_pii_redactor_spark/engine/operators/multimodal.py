@@ -318,7 +318,18 @@ def media_features(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             vecs = []
             for blob in pdf["payload"]:
-                arr = np.frombuffer(bytes(blob[10:]), dtype=np.uint8)
+                raw = bytes(blob)
+                # per-format content extraction: features must hash the
+                # MEDIA payload, not header bytes (two BMPs with equal
+                # pixels but different padding/DPI headers must embed
+                # identically)
+                if raw[:2] == b"BM":
+                    arr = decode_bmp(raw).reshape(-1)
+                elif raw[:4] == b"RIFF":
+                    samples, _ = decode_wav(raw)
+                    arr = samples.view(np.uint8)
+                else:
+                    arr = np.frombuffer(raw, dtype=np.uint8, offset=10)
                 # bucket byte histogram -> L2-normalized float vector
                 hist = np.bincount(arr % dim, minlength=dim).astype(
                     np.float64)

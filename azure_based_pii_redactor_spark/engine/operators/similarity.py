@@ -59,8 +59,10 @@ def _with_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
     # LEFT join from the recall frame: a query whose approximate result is
     # EMPTY (total candidate loss -- the regression this column exists to
     # catch) still emits one row with null neighbor and recall 0.0 instead
-    # of vanishing from the output.
-    return F.broadcast(rec).join(approx, "query_id", "left")
+    # of vanishing from the output.  (No broadcast hint: Spark cannot
+    # build the outer side of a left join, and rec is a handful of rows
+    # either way.)
+    return rec.join(approx, "query_id", "left")
 
 
 def knn_cosine_topk(spark, sf_dir):

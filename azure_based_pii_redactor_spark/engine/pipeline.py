@@ -40,12 +40,17 @@ _WRAP_SUFFIX = b"</body></html>"
 _TAG = re.compile(r"<[^>]+>")
 
 # JVM-side extraction fast path: strip the canonical wrapper and decode
-# inside whole-stage codegen so html BYTES never cross the JVM->Python
-# boundary for the common case (html dominates the input bytes; this
-# halves the Arrow exchange).  The re-encode equality proves the bytes
+# inside whole-stage codegen.  The re-encode equality proves the bytes
 # were valid UTF-8, i.e. the JVM cast is byte-identical to Python's
 # decode; malformed or non-wrapper rows fall back to the Python kernel
 # (errors='replace' / tag-strip), preserving exact semantics.
+#
+# Arrow-exchange effect: on the dominant path (wrapper html whose
+# extraction equals the text column -- the dataset invariant) Python
+# receives ONE BOOLEAN instead of the html bytes; the extracted string
+# ships only when it differs from text, html bytes only on the fallback.
+# Net: the html column's bytes leave the JVM only for malformed or
+# non-wrapper rows.
 _SUB = "substring(html, 13, length(html) - 26)"
 _PRE_EXTRACT_SQL = f"""
     CASE WHEN html IS NULL THEN NULL
@@ -104,22 +109,32 @@ def _scrub_batch(
         "scrubbed_text": [None] * n,
     }
     texts = pdf["text"].tolist()
-    # "__extracted_pre" carries the JVM fast-path extraction (valid-UTF-8
-    # canonical wrapper); "__html_fallback" is non-null ONLY for rows the
-    # JVM could not handle.  Plain "html" appears when the kernel is fed
-    # directly (tests / library use) -- full Python extraction then.
-    if "__extracted_pre" in pdf.columns:
+    # JVM pre-extraction columns: "__ext_eq_text" is True when the JVM
+    # fast path extracted a string equal to the text column (the dataset
+    # invariant; Python receives just this boolean), "__extracted_pre"
+    # carries the extraction only when it DIFFERS from text, and
+    # "__html_fallback" is non-null only for rows the JVM could not
+    # handle (malformed UTF-8 / non-wrapper).  Plain "html" appears when
+    # the kernel is fed directly (tests / library use) -- full Python
+    # extraction then.
+    if "__ext_eq_text" in pdf.columns:
+        eqs = pdf["__ext_eq_text"].tolist()
         pres = pdf["__extracted_pre"].tolist()
         htmls = pdf["__html_fallback"].tolist()
-        had_html = [p is not None or h is not None
-                    for p, h in zip(pres, htmls)]
+        had_html = [
+            e is True or p is not None or h is not None
+            for e, p, h in zip(eqs, pres, htmls)
+        ]
     else:
+        eqs = [None] * n
         pres = [None] * n
         htmls = pdf["html"].tolist()
         had_html = [h is not None for h in htmls]
     extracted_all: list[str] = [""] * n
     for i in range(n):
-        if pres[i] is not None:
+        if eqs[i] is True:
+            extracted = texts[i] or ""
+        elif pres[i] is not None:
             extracted = pres[i]
         else:
             extracted = extract_text(htmls[i])
@@ -208,16 +223,26 @@ def run_scrub_pipeline(
     # JVM pre-extraction: html bytes cross into Python ONLY for rows the
     # codegen fast path could not decode (non-wrapper or malformed UTF-8).
     pre = (
-        pages.withColumn("__extracted_pre", F.expr(_PRE_EXTRACT_SQL))
+        pages.withColumn("__ext", F.expr(_PRE_EXTRACT_SQL))
+        .withColumn(
+            "__ext_eq_text",
+            F.when(
+                F.col("__ext").isNotNull(),
+                F.col("__ext") == F.coalesce(F.col("text"), F.lit("")),
+            ),
+        )
+        .withColumn(
+            "__extracted_pre",
+            F.when(F.col("__ext_eq_text") == F.lit(False), F.col("__ext")),
+        )
         .withColumn(
             "__html_fallback",
             F.when(
-                F.col("__extracted_pre").isNull()
-                & F.col("html").isNotNull(),
+                F.col("__ext").isNull() & F.col("html").isNotNull(),
                 F.col("html"),
             ),
         )
-        .select("url", "warc_ts", "text", "lang",
+        .select("url", "warc_ts", "text", "lang", "__ext_eq_text",
                 "__extracted_pre", "__html_fallback")
     )
     return pre.mapInPandas(fused, schema=SCRUB_OUTPUT_SCHEMA)
