@@ -279,14 +279,18 @@ def _simhash_per_doc(spark, sf_dir) -> DataFrame:
     sums over token hashes, all JVM-side (bit 63 omitted: keep the value
     positive)."""
     d = _docs(spark, sf_dir)
+    # hash PROJECTED once (not re-evaluated inside all 64 aggregates),
+    # sign sums as branch-free arithmetic.  NOTE: a 64-aggregate
+    # HashAggregate exceeds codegen method limits and always runs
+    # interpreted; steady-state is fine (~0.6s/500 docs) but the FIRST
+    # execution pays several seconds compiling/falling back -- cold
+    # one-shot runs of simhash queries are dominated by that, not data.
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
-    h = F.xxhash64("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"b{b}")
         for b in range(64)
     ]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
@@ -329,7 +333,9 @@ def dedup_simhash_hamming(spark, sf_dir, k: int = HAMMING_K):
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    sims = _simhash_per_doc(spark, sf_dir)
+    # sims is tiny (one row per doc) but its subtree is a 64-aggregate
+    # token explode; it feeds FIVE consumers below, so materialize once
+    sims = _simhash_per_doc(spark, sf_dir).localCheckpoint()
     vals = sims.select("simhash").distinct()
 
     def block(i):
