@@ -364,6 +364,40 @@ def set_union_distinct(spark, sf_dir):
     return hot.unionByName(err).distinct().orderBy("user_id")
 
 
+def set_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT completeness: users who both purchased and
+    errored, minus users who also signed up -- plans as left-semi /
+    left-anti aggregates, no full materialization of either side."""
+    e = _t(spark, sf_dir, "events")
+    purchased = e.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = e.filter(F.col("event_type") == "error").select("user_id")
+    signed = e.filter(F.col("event_type") == "signup").select("user_id")
+    return (
+        purchased.intersect(errored)
+        .exceptAll(signed.distinct())
+        .orderBy("user_id")
+    )
+
+
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p90 / p99) of event values per type --
+    ``percentile`` with linear interpolation, the same definition as
+    ANSI ``percentile_cont`` (DuckDB ``quantile_cont``).  Exact
+    percentile sorts per group; at 10^12 rows swap in
+    ``percentile_approx`` (t-digest) -- same call shape."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}"
 
 
@@ -662,6 +696,8 @@ QUERIES = {
     "window_topk_per_group": window_topk_per_group,
     "window_time_bucket": window_time_bucket,
     "set_union_distinct": set_union_distinct,
+    "set_intersect_except": set_intersect_except,
+    "agg_percentiles": agg_percentiles,
     "scalar_mask_email": scalar_mask_email,
     "scalar_concat_project": scalar_concat_project,
     "scalar_mask_repeat": scalar_mask_repeat,
@@ -767,6 +803,24 @@ ORACLES = {
                    row_number() OVER (PARTITION BY user_id, event_type
                        ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+    "set_intersect_except": """
+        SELECT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        )
+        EXCEPT ALL
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        ORDER BY user_id
+    """,
+    "agg_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "window_pagination": """
         SELECT event_id, ts, value FROM events

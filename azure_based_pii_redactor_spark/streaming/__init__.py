@@ -7,6 +7,11 @@ on ``readStream`` micro-batches; ``windowed_quality_metrics`` adds
 event-time windowed keep/drop counts with a watermark for late pages.
 """
 
+from .interval_join import interval_join_stream
 from .scrub_stream import scrub_stream, windowed_quality_metrics
 
-__all__ = ["scrub_stream", "windowed_quality_metrics"]
+__all__ = [
+    "interval_join_stream",
+    "scrub_stream",
+    "windowed_quality_metrics",
+]

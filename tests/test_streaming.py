@@ -87,3 +87,66 @@ def test_windowed_metrics_stream(spark, tmp_path):
         batch, on=["window_start", "keep"], suffixes=("_s", "_b")
     )
     assert (merged["n_docs_s"] == merged["n_docs_b"]).all()
+
+
+def test_interval_join_stream(spark, tmp_path):
+    """Stream-stream interval join: right events within 1h after a left
+    event for the same user; watermarks bound state; result equals the
+    batch interval join over the same data."""
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.streaming.interval_join import (
+        interval_join_stream,
+    )
+
+    base = "2024-01-01 00:00:00"
+    lrows = [(1, f"{base}",), (1, "2024-01-01 03:00:00"), (2, f"{base}",)]
+    rrows = [
+        (1, "2024-01-01 00:30:00", 10.0),   # joins left#1
+        (1, "2024-01-01 01:30:00", 20.0),   # outside 1h of left#1
+        (1, "2024-01-01 03:59:00", 30.0),   # joins left#2
+        (2, "2024-01-01 00:59:59", 40.0),   # joins left#3
+        (3, "2024-01-01 00:10:00", 50.0),   # no left key
+    ]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        lrows, "user_id long, l_ts string"
+    ).select("user_id", F.col("l_ts").cast("timestamp")).write.parquet(ldir)
+    spark.createDataFrame(
+        rrows, "user_id long, r_ts string, signal double"
+    ).select(
+        "user_id", F.col("r_ts").cast("timestamp"), "signal"
+    ).write.parquet(rdir)
+
+    lschema = "user_id long, l_ts timestamp"
+    rschema = "user_id long, r_ts timestamp, signal double"
+    lstream = spark.readStream.schema(lschema).parquet(ldir)
+    rstream = spark.readStream.schema(rschema).parquet(rdir)
+    joined = interval_join_stream(lstream, rstream)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, str(r.l_ts), float(r.signal))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 03:00:00", 30.0),
+        (2, "2024-01-01 00:00:00", 40.0),
+    ]
+    # batch form of the same join gives the same rows
+    lb = spark.read.parquet(ldir)
+    rb = spark.read.parquet(rdir)
+    batch = sorted(
+        (r.user_id, str(r.l_ts), float(r.signal))
+        for r in interval_join_stream(lb, rb).collect()
+    )
+    assert batch == got
