@@ -280,7 +280,7 @@ def _simhash_per_doc(spark, sf_dir) -> DataFrame:
     positive)."""
     d = _docs(spark, sf_dir)
     # hash PROJECTED once (not re-evaluated inside all 64 aggregates),
-    # sign sums as branch-free arithmetic.  NOTE: a 64-aggregate
+    # sign sums as branch-free arithmetic.  NOTE: a 63-aggregate
     # HashAggregate exceeds codegen method limits and always runs
     # interpreted; steady-state is fine (~0.6s/500 docs) but the FIRST
     # execution pays several seconds compiling/falling back -- cold
@@ -291,7 +291,7 @@ def _simhash_per_doc(spark, sf_dir) -> DataFrame:
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
         .alias(f"b{b}")
-        for b in range(64)
+        for b in range(63)  # bit 63 never read (sign-free simhash)
     ]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
     return per_doc.select(

@@ -366,15 +366,17 @@ def set_union_distinct(spark, sf_dir):
 
 def set_intersect_except(spark, sf_dir):
     """INTERSECT / EXCEPT completeness: users who both purchased and
-    errored, minus users who also signed up -- plans as left-semi /
-    left-anti aggregates, no full materialization of either side."""
+    errored, minus users who also signed up.  intersect plans as a
+    distinct + left-semi join; subtract (EXCEPT-distinct -- the left
+    side is already distinct here) plans as a left-anti join, avoiding
+    ExceptAll's union+count rewrite."""
     e = _t(spark, sf_dir, "events")
     purchased = e.filter(F.col("event_type") == "purchase").select("user_id")
     errored = e.filter(F.col("event_type") == "error").select("user_id")
     signed = e.filter(F.col("event_type") == "signup").select("user_id")
     return (
         purchased.intersect(errored)
-        .exceptAll(signed.distinct())
+        .subtract(signed)
         .orderBy("user_id")
     )
 
@@ -810,8 +812,8 @@ ORACLES = {
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'error'
         )
-        EXCEPT ALL
-        SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'signup'
         ORDER BY user_id
     """,
     "agg_percentiles": """
