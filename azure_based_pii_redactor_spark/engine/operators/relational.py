@@ -381,6 +381,33 @@ def set_intersect_except(spark, sf_dir):
     )
 
 
+def agg_salted_skew(spark, sf_dir, n_salt: int = 16):
+    """Skew-safe two-phase aggregation over a HOT key (event_type has
+    only 5 values, each ~2000x the average key at this SF -- the shape a
+    Zipf-skewed domain column takes at web scale).  A deterministic salt
+    (hash(event_id) % S, not rand -- reproducible runs) spreads each hot
+    key over S reducers for the partial aggregate; the final aggregate
+    collapses S tiny rows per key.  Same result as the plain GROUP BY
+    (the oracle), different shuffle: no reducer ever receives a whole
+    hot key."""
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pv"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def agg_percentiles(spark, sf_dir):
     """Exact percentiles (median / p90 / p99) of event values per type --
     ``percentile`` with linear interpolation, the same definition as
@@ -700,6 +727,7 @@ QUERIES = {
     "set_union_distinct": set_union_distinct,
     "set_intersect_except": set_intersect_except,
     "agg_percentiles": agg_percentiles,
+    "agg_salted_skew": agg_salted_skew,
     "scalar_mask_email": scalar_mask_email,
     "scalar_concat_project": scalar_concat_project,
     "scalar_mask_repeat": scalar_mask_repeat,
@@ -815,6 +843,11 @@ ORACLES = {
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'signup'
         ORDER BY user_id
+    """,
+    "agg_salted_skew": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "agg_percentiles": """
         SELECT event_type,
