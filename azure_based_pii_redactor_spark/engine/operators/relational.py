@@ -381,6 +381,23 @@ def set_intersect_except(spark, sf_dir):
     )
 
 
+def agg_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) per group -- Spark plans this as Expand + two-phase
+    aggregate (distinct keys partially deduped map-side before the
+    shuffle).  At 10^12 rows swap ``approx_count_distinct`` (HLL++,
+    fixed-size sketch, mergeable -- no exact distinct shuffle); exact kept
+    here because the oracle compares values."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def agg_salted_skew(spark, sf_dir, n_salt: int = 16):
     """Skew-safe two-phase aggregation over a HOT key (event_type has
     only 5 values, each ~2000x the average key at this SF -- the shape a
@@ -728,6 +745,7 @@ QUERIES = {
     "set_intersect_except": set_intersect_except,
     "agg_percentiles": agg_percentiles,
     "agg_salted_skew": agg_salted_skew,
+    "agg_count_distinct": agg_count_distinct,
     "scalar_mask_email": scalar_mask_email,
     "scalar_concat_project": scalar_concat_project,
     "scalar_mask_repeat": scalar_mask_repeat,
@@ -843,6 +861,11 @@ ORACLES = {
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'signup'
         ORDER BY user_id
+    """,
+    "agg_count_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "agg_salted_skew": """
         SELECT event_type, count(*) AS n,
