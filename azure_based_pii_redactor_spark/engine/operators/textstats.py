@@ -66,6 +66,40 @@ def text_fingerprint_md5(spark, sf_dir):
     )
 
 
+def text_dup_passages(spark, sf_dir, n: int = 8):
+    """Cross-document duplicated passages: every ``n``-word window (with
+    multiplicity -- positions matter, unlike set-shingle dedup) grouped by
+    content; windows appearing in >= 2 DISTINCT docs are boilerplate /
+    copied-passage candidates (the passage-level dedup signal of Lee et
+    al. 2022, "Deduplicating Training Data...", arXiv:2107.06499).
+    One explode + one hash agg -- no join, so no quadratic fan-out; at
+    10^12 docs group on ``xxhash64(window)`` instead of the window text
+    to shrink the shuffle payload (same plan)."""
+    d = _docs(spark, sf_dir)
+    with_words = d.withColumn("__words", F.split("text", " "))
+    grams = F.expr(
+        f"transform(slice(__words, 1, greatest(size(__words) - {n - 1}, 0)),"
+        f" (w, i) -> concat_ws(' ', slice(__words, i + 1, {n})))"
+    )
+    windows = with_words.select(
+        "doc_id", F.explode(grams).alias("passage")
+    )
+    return (
+        windows.groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5("passage").alias("passage_md5"),
+            "n_docs", "n_occurrences", "first_doc",
+        )
+        .orderBy("passage_md5")
+    )
+
+
 def text_ngram_top(spark, sf_dir):
     """Top word bigrams per language (repetition-analysis shape):
     explode bigrams -> two-key hash agg -> rank window."""
@@ -234,6 +268,7 @@ def text_tfidf_top(spark, sf_dir, k: int = 3):
 
 QUERIES = {
     "text_tfidf_top": text_tfidf_top,
+    "text_dup_passages": text_dup_passages,
     "text_c4_clean_lines": text_c4_clean_lines,
     "text_lang_stopword_vote": text_lang_stopword_vote,
     "text_token_bpe": text_token_bpe,
@@ -245,6 +280,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_dup_passages": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), windows AS (
+            SELECT doc_id,
+                   unnest([array_to_string(ws[i:i+7], ' ')
+                           for i in range(1, greatest(len(ws) - 6, 1))])
+                       AS passage
+            FROM w
+        )
+        SELECT md5(passage) AS passage_md5,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               min(doc_id) AS first_doc
+        FROM windows GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY passage_md5
+    """,
     "text_tfidf_top": """
         WITH words AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word
