@@ -87,9 +87,10 @@ def main() -> None:
     # warm-up (python worker + codegen spin-up), untimed
     run_scrub_pipeline(pages.limit(2000)).write.format("noop").mode(
         "overwrite").save()
-    # best-of-2: single-run wall-clock noise on this box is +-25%
+    # best-of-3: single-run wall-clock noise on this box reaches 2x in
+    # transient windows
     pipeline_sec = 9e9
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         run_scrub_pipeline(pages).write.format("noop").mode(
             "overwrite").save()
