@@ -93,10 +93,27 @@ def _tabular_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = dict(all_queries())
-    q["pipeline_scrub_documents"] = _flagship
-    q["pipeline_export_rebuild"] = _export_rebuild
-    q["pipeline_tabular_scrub"] = _tabular_scrub
+    """Registered driver queries, ORDER IS CONTRACT: the driver harness
+    executes only the first 50 entries, so the three flagship pipeline
+    flows go first, then the operator suites (similarity, dedup,
+    multimodal, textstats, relational -- every one of which is curated
+    so the total stays at or below the cap; merged queries cover the
+    demoted single-purpose forms)."""
+    from azure_based_pii_redactor_spark.engine.operators import (
+        DRIVER_QUERY_CAP,
+    )
+
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "pipeline_scrub_documents": _flagship,
+        "pipeline_export_rebuild": _export_rebuild,
+        "pipeline_tabular_scrub": _tabular_scrub,
+    }
+    q.update(all_queries())
+    assert len(q) <= DRIVER_QUERY_CAP, (
+        f"{len(q)} queries registered but the driver harness runs only "
+        f"the first {DRIVER_QUERY_CAP}; curate (merge or demote) before "
+        "registering more"
+    )
     return q
 
 

@@ -5,11 +5,21 @@ DataFrame) and ``ORACLES`` (name -> DuckDB SQL over the same parquet
 views).  ``__spark_entry__`` merges them for the driver's correctness
 harness.  Names without an oracle entry are non-SQL-expressible and get
 the driver's rows-only check.
+
+Module order is CONTRACT: the driver harness executes only the first 50
+``queries()`` entries, so the registration order below (pipeline entries
+first -- added by ``__spark_entry__`` -- then similarity, dedup,
+multimodal, textstats, relational) plus per-module curation keeps every
+registered query inside that window.  ``queries()`` asserts the cap.
 """
 
 from . import dedup, multimodal, relational, similarity, textstats
 
-ALL_MODULES = (relational, textstats, dedup, similarity, multimodal)
+ALL_MODULES = (similarity, dedup, multimodal, textstats, relational)
+
+# the driver runs only the first N entries of queries(); keep the
+# registered count at or below this so nothing is silently skipped
+DRIVER_QUERY_CAP = 50
 
 
 def all_queries():

@@ -11,8 +11,9 @@ Scale design notes:
   xxhash64 shingle hashes (whole-stage codegen, no Python); banded 8x4 so
   docs sharing a band bucket become candidate pairs (standard LSH; see
   Broder 1997 / MMDS ch.3).
-- simhash: 64 per-bit sign sums -- JVM-side bit arithmetic, equality
-  groups.
+- simhash: 60 per-bit sign sums over md5-derived token hashes -- JVM-side
+  bit arithmetic; the Hamming-k block join is exact (pigeonhole) and
+  carries a generated DuckDB oracle that recomputes the same simhash.
 """
 
 from __future__ import annotations
@@ -274,24 +275,34 @@ def _true_jaccard_for(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 -- exactly representable in both
+# Spark (conv(substr(md5,1,15),16,10)) and DuckDB (('0x'||substr)::BIGINT),
+# which is what makes dedup_simhash_hamming EXACT-oracle-checkable.  On a
+# production cluster swap the token hash for xxhash64 (faster, same plan
+# shape) and lose only the cross-engine oracle, not correctness.
+
+
 def _simhash_per_doc(spark, sf_dir) -> DataFrame:
-    """(doc_id, simhash): 63-bit SimHash (Charikar 2002) -- per-bit sign
-    sums over token hashes, all JVM-side (bit 63 omitted: keep the value
-    positive)."""
+    """(doc_id, simhash): 60-bit SimHash (Charikar 2002) -- per-bit sign
+    sums over md5-derived token hashes, all JVM-side."""
     d = _docs(spark, sf_dir)
-    # hash PROJECTED once (not re-evaluated inside all 64 aggregates),
-    # sign sums as branch-free arithmetic.  NOTE: a 63-aggregate
+    # hash PROJECTED once (not re-evaluated inside all 60 aggregates),
+    # sign sums as branch-free arithmetic.  NOTE: a 60-aggregate
     # HashAggregate exceeds codegen method limits and always runs
     # interpreted; steady-state is fine (~0.6s/500 docs) but the FIRST
     # execution pays several seconds compiling/falling back -- cold
     # one-shot runs of simhash queries are dominated by that, not data.
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        .alias("h"),
+    )
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
         .alias(f"b{b}")
-        for b in range(63)  # bit 63 never read (sign-free simhash)
+        for b in range(SIMHASH_BITS)
     ]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
     return per_doc.select(
@@ -301,7 +312,7 @@ def _simhash_per_doc(spark, sf_dir) -> DataFrame:
                 F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
                     F.lit(0).cast("long")
                 )
-                for b in range(63)
+                for b in range(SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -314,24 +325,28 @@ HAMMING_K = 3  # near-dup radius; blocks = K+1 (pigeonhole exactness)
 def dedup_simhash_hamming(spark, sf_dir, k: int = HAMMING_K):
     """SimHash near-duplicate pairs within Hamming distance ``k`` --
     EXACT by pigeonhole, not probabilistic, via Manku et al. 2007's
-    multi-index scheme: the 64-bit simhash splits into 2k blocks, and a
+    multi-index scheme: the 60-bit simhash splits into 2k blocks, and a
     pair differing in <= k bits has >= k clean blocks, so the pair
     collides in the table keyed by SOME k-subset of blocks; the
-    C(2k, k) tables use ~(64*k/2k)-bit keys (k=3 -> 20 tables, ~32-bit
-    keys), so bucket occupancy stays ~N/2^32 -- unlike single 16-bit
-    blocks, whose 65k distinct values make candidate fan-out quadratic
+    C(2k, k) tables use (60*k/2k)-bit keys (k=3 -> 20 tables, 30-bit
+    keys), so bucket occupancy stays ~N/2^30 -- unlike single small
+    blocks, whose few distinct values make candidate fan-out quadratic
     at web scale.  Two further scale guards: the table join runs over
     DISTINCT simhash values (identical-hash crowds never enter it), and
-    equal-hash pairs are emitted from a linear group-by instead.
-    Candidates are exactly re-checked with a JVM-side popcount; the
-    all-pairs O(N^2) scan survives as the pytest exactness oracle.
-    Rows-only driver check (simhash depends on Spark's xxhash64, not
-    SQL-expressible)."""
+    equal-hash pairs are emitted by a separate self equi-join on the
+    simhash value -- quadratic only within an equal-hash group, which
+    matches the output size (every such pair IS a result row), so no
+    work is wasted.  Candidates are exactly re-checked with a JVM-side
+    popcount; the all-pairs O(N^2) scan survives as the pytest
+    exactness oracle, and the DuckDB driver oracle recomputes the
+    md5-derived simhash + bit_count(xor) Hamming join exactly."""
     from itertools import combinations
 
     n_blocks = 2 * k
-    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
-              for i in range(n_blocks)]
+    widths = [
+        SIMHASH_BITS // n_blocks + (1 if i < SIMHASH_BITS % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
     # sims is tiny (one row per doc) but its subtree is a 64-aggregate
     # token explode; it feeds FIVE consumers below, so materialize once
@@ -532,16 +547,57 @@ def dedup_minhash_clusters(spark, sf_dir):
     )
 
 
+def _simhash_hamming_oracle(k: int = HAMMING_K) -> str:
+    """Generate the exact DuckDB oracle for ``dedup_simhash_hamming``:
+    the same 60-bit md5-derived simhash (per-bit sign sums), then the
+    all-pairs bit_count(xor) Hamming filter.  All-pairs is fine for the
+    ORACLE (DuckDB at sf<=0.01); the Spark query under test uses the
+    block join."""
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks
+        ), bits AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM hashed GROUP BY doc_id
+        ), sims AS (
+            SELECT doc_id, {recompose} AS simhash FROM bits
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+        ORDER BY doc_a, doc_b
+    """
+
+
 QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
-    "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_simhash_hamming": dedup_simhash_hamming,
+    # dedup_simhash (equality groups, the degenerate k=0 form) stays a
+    # public function with pytest coverage; its driver slot is subsumed
+    # by dedup_simhash_hamming, whose output contains every hamming=0
+    # pair.
 }
 
 ORACLES = {
+    "dedup_simhash_hamming": _simhash_hamming_oracle(),
     "dedup_exact_hash": """
         SELECT md5(substr(text, 1, 20)) AS prefix_hash,
                min(doc_id) AS keeper_id, count(*) AS n_copies

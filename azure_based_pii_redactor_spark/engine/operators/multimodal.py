@@ -292,17 +292,21 @@ def resize_images(
                         MAGIC["image"] + struct.pack("<HHH", width, height, 1)
                         + body
                     )
-                else:  # pragma: no cover - needs PIL
+                else:  # JPEG/PNG: PIL decode -> resize -> encode
                     try:
-                        from PIL import Image  # noqa: F401
-                    except ImportError as exc:
+                        from PIL import Image
+                    except ImportError as exc:  # pragma: no cover
                         raise NotImplementedError(
                             "JPEG/PNG resize requires Pillow; BMP and the "
                             "synthetic container decode natively"
                         ) from exc
-                    raise NotImplementedError(
-                        "wire PIL decode->resize->encode here"
-                    )
+                    import io
+
+                    img = Image.open(io.BytesIO(raw)).convert("RGB")
+                    resized = img.resize((width, height), Image.NEAREST)
+                    buf = io.BytesIO()
+                    resized.save(buf, format=img.format or "PNG")
+                    blobs.append(buf.getvalue())
                 out_ids.append(int(mid))
             yield pd.DataFrame({"media_id": out_ids, "payload": blobs})
 
@@ -419,9 +423,56 @@ def multimodal_audio_stats(spark, sf_dir):
     return audio_stats(media).orderBy("media_id")
 
 
+def multimodal_suite(spark, sf_dir):
+    """One driver entry covering all three media paths (decode-metadata
+    rollup, video frame sampling, audio signal features) over the same
+    300-row deterministic media table, schema-aligned and tagged by
+    section -- merged so the full multimodal surface fits inside the
+    driver's 50-query window without three near-redundant rows.
+
+    Sections (key, n, m1, m2):
+    - kind_stats:   key=kind,        n=count,       m1=avg_width, m2=avg_frames
+    - frame_sample: key=media_id,    n=frames kept, m1=avg frame_idx, m2=total frame bytes
+    - audio:        key=media_id,    n=sample_rate, m1=rms,       m2=zero_crossing_rate
+    """
+    media = generate_media(spark, 300, seed=42)
+    kinds = media_stats(media).select(
+        F.lit("kind_stats").alias("section"),
+        F.col("kind").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("avg_width").cast("double").alias("m1"),
+        F.col("avg_frames").cast("double").alias("m2"),
+    )
+    frames = (
+        frame_sample(media)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("frame_idx"), 4).alias("m1"),
+            F.sum(F.length("frame")).cast("double").alias("m2"),
+        )
+        .select(
+            F.lit("frame_sample").alias("section"),
+            F.col("media_id").cast("string").alias("key"),
+            "n", "m1", "m2",
+        )
+    )
+    audio = audio_stats(media).select(
+        F.lit("audio").alias("section"),
+        F.col("media_id").cast("string").alias("key"),
+        F.col("sample_rate").cast("long").alias("n"),
+        F.col("rms").alias("m1"),
+        F.col("zero_crossing_rate").alias("m2"),
+    )
+    return (
+        kinds.unionByName(frames).unionByName(audio)
+        .orderBy("section", "key")
+    )
+
+
 QUERIES = {
-    "multimodal_stats": multimodal_stats,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_audio_stats": multimodal_audio_stats,
+    # the three single-purpose forms above stay public API + pytest
+    # surface; the driver slot is the merged suite
+    "multimodal_suite": multimodal_suite,
 }
 ORACLES: dict[str, str] = {}

@@ -54,9 +54,13 @@ def agg_sum_coalesce(spark, sf_dir):
 
 def agg_analytics_rollup(spark, sf_dir):
     """A3 -- analytics rollup (``pii.go:291-334``): COUNT(*), SUM,
-    success-rate = completed/total*100, filtered AVG."""
+    success-rate = completed/total*100, filtered AVG -- plus the A2
+    COALESCE(SUM(..),0)-over-a-filtered-slice shape (``file.go:775-789``,
+    the standalone ``agg_sum_coalesce``) cross-joined in as two more
+    columns: both are single-row global rollups, so one driver entry
+    checks both without a second scan slot."""
     o = _t(spark, sf_dir, "orders")
-    return o.agg(
+    orders_roll = o.agg(
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .alias("sum_price"),
@@ -71,6 +75,11 @@ def agg_analytics_rollup(spark, sf_dir):
             4,
         ).alias("avg_big_price"),
     )
+    err_roll = agg_sum_coalesce(spark, sf_dir).select(
+        F.col("total_value").alias("err_total_value"),
+        F.col("n_rows").alias("n_err_rows"),
+    )
+    return orders_roll.crossJoin(err_roll)
 
 
 def agg_session_rollup(spark, sf_dir):
@@ -305,6 +314,22 @@ def window_pagination_keyset(spark, sf_dir):
     )
 
 
+def window_pagination_both(spark, sf_dir):
+    """Merged W3 driver entry: the OFFSET parity form and the keyset
+    primary-scale form fetch the SAME page (rows 51-150 of the total
+    order) by construction, tagged by mode -- one oracle checks that both
+    plans produce it.  The keyset leg keeps its pushed-down literal-
+    cursor plan (plan-pinned in tests); the offset leg keeps reference
+    LIMIT/OFFSET parity."""
+    off = window_pagination(spark, sf_dir).select(
+        F.lit("offset").alias("mode"), "event_id", "ts", "value"
+    )
+    key = window_pagination_keyset(spark, sf_dir).select(
+        F.lit("keyset").alias("mode"), "event_id", "ts", "value"
+    )
+    return off.unionByName(key).orderBy("mode", "ts", "event_id")
+
+
 def window_recent_first_limit(spark, sf_dir):
     """W2 -- ORDER BY ts DESC LIMIT 50 (``pii.go:192-219``): Spark plans
     this as TakeOrderedAndProject (per-partition top-k + driver merge),
@@ -330,6 +355,35 @@ def window_topk_per_group(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("event_type", "rnk", "event_id", "value")
         .orderBy("event_type", "rnk")
+    )
+
+
+def window_topk(spark, sf_dir):
+    """Merged driver entry for the two top-k shapes: the W2 global
+    recent-50 (TakeOrderedAndProject -- per-partition top-k, no full
+    sort; plan-pinned via ``window_recent_first_limit``) and the
+    per-group rank-window top-3, schema-aligned and tagged by scope.
+    The recent leg emits rnk 0 ("not ranked" -- NOT NULL, which pandas
+    would alias to NaN and break value hashing): the driver compare is
+    order-insensitive, and computing a global row_number would force
+    the single-partition window this operator exists to avoid."""
+    e = _t(spark, sf_dir, "events")
+    recent = (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select(
+            F.lit("recent50").alias("scope"),
+            "event_type",
+            F.lit(0).cast("int").alias("rnk"),
+            "event_id",
+            "value",
+        )
+    )
+    topk = window_topk_per_group(spark, sf_dir).select(
+        F.lit("topk").alias("scope"), "event_type", "rnk", "event_id", "value"
+    )
+    return recent.unionByName(topk).orderBy(
+        "scope", "event_type", "event_id"
     )
 
 
@@ -379,6 +433,19 @@ def set_intersect_except(spark, sf_dir):
         .subtract(signed)
         .orderBy("user_id")
     )
+
+
+def set_ops(spark, sf_dir):
+    """Merged driver entry for section 2.6: the union-distinct and
+    INTERSECT/EXCEPT shapes above, tagged by op so one oracle checks
+    both plans (union-distinct and the semi/anti-join rewrites)."""
+    u = set_union_distinct(spark, sf_dir).select(
+        F.lit("union").alias("op"), "user_id"
+    )
+    ie = set_intersect_except(spark, sf_dir).select(
+        F.lit("int_exc").alias("op"), "user_id"
+    )
+    return u.unionByName(ie).orderBy("op", "user_id")
 
 
 def agg_count_distinct(spark, sf_dir):
@@ -444,6 +511,67 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
+def agg_approx_count_distinct(spark, sf_dir, rsd: float = 0.05):
+    """The documented 10^12-row swap for ``agg_count_distinct``, shipped
+    as a DRIVER-CHECKED query: HLL++ (``approx_count_distinct``) next to
+    the exact distinct count, with ``approx_ok`` asserting relative error
+    <= 3*rsd (the sketch's standard-error bound with generous margin).
+    The oracle recomputes the exact count and expects approx_ok TRUE, so
+    a sketch regression fails the value-hash compare.  At scale the HLL
+    sketch is fixed-size and mergeable -- no exact-distinct Expand
+    shuffle."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_users_exact"))
+                <= F.col("n_users_exact") * (3 * rsd)
+            ).alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def agg_approx_percentiles(spark, sf_dir, accuracy: int = 10000):
+    """The documented swap for ``agg_percentiles`` at 10^12 rows, shipped
+    as a DRIVER-CHECKED query: ``percentile_approx`` (Greenwald-Khanna,
+    rank error <= 1/accuracy) checked against the exact quantile
+    ENVELOPE [q-0.01, q+0.01] -- a rank-error bound 100x looser than the
+    sketch guarantees, so the booleans are robustly TRUE unless the
+    sketch actually breaks.  The oracle recomputes the envelope bounds
+    implicitly by expecting TRUE."""
+    e = _t(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n")]
+    checks = []
+    for q in (0.5, 0.9, 0.99):
+        lo, hi = max(q - 0.01, 0.0), min(q + 0.01, 1.0)
+        aggs += [
+            F.expr(f"percentile_approx(value, {q}, {accuracy})")
+            .alias(f"a{int(q*100)}"),
+            F.expr(f"percentile(value, {lo})").alias(f"lo{int(q*100)}"),
+            F.expr(f"percentile(value, {hi})").alias(f"hi{int(q*100)}"),
+        ]
+        checks.append(
+            (
+                (F.col(f"a{int(q*100)}") >= F.col(f"lo{int(q*100)}") - 1e-9)
+                & (F.col(f"a{int(q*100)}") <= F.col(f"hi{int(q*100)}") + 1e-9)
+            ).alias(f"ok_p{int(q*100)}")
+        )
+    return (
+        e.groupBy("event_type")
+        .agg(*aggs)
+        .select("event_type", "n", *checks)
+        .orderBy("event_type")
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}"
 
 
@@ -492,6 +620,28 @@ def scalar_mask_repeat(spark, sf_dir):
     return (
         c.select(
             "c_custkey",
+            F.repeat(F.lit("*"), F.length("c_name")).alias("masked_name"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def scalar_mask(spark, sf_dir):
+    """Merged driver entry for the two mask shapes: the F3 repeat-mask
+    and the email-regex fast path, both over customer in ONE projection
+    (one scan instead of two driver slots)."""
+    c = _t(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace("c_name", " ", ".")),
+        F.lit("@corp.example.com or admin@corp.example.com now"),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.regexp_replace(text, _EMAIL_RE, "[EMAIL]").alias("masked"),
             F.repeat(F.lit("*"), F.length("c_name")).alias("masked_name"),
         )
         .orderBy("c_custkey")
@@ -590,6 +740,21 @@ def join_anti_not_exists(spark, sf_dir):
         .select("c_custkey")
         .orderBy("c_custkey")
     )
+
+
+def join_semi_anti(spark, sf_dir):
+    """Merged driver entry for the EXISTS / NOT EXISTS pair above, tagged
+    by op -- one oracle checks both the left-semi and left-anti plans."""
+    c = _t(spark, sf_dir, "customer")
+    semi = join_semi_exists(spark, sf_dir).select(
+        F.lit("semi").alias("op"), "c_custkey", "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_mktsegment")
+    )
+    return semi.unionByName(anti).orderBy("op", "c_custkey")
 
 
 def pivot_event_counts(spark, sf_dir):
@@ -724,61 +889,131 @@ def join_asof_latest_order(spark, sf_dir):
 
 
 QUERIES = {
-    "agg_counts_by_type": agg_counts_by_type,
-    "agg_sum_coalesce": agg_sum_coalesce,
-    "agg_analytics_rollup": agg_analytics_rollup,
+    # merged entries keep the full operator surface inside the driver's
+    # 50-query window: each single-purpose form stays a public function
+    # (pytest / bench surface); the driver slot is the merged query.
+    "agg_analytics_rollup": agg_analytics_rollup,   # + agg_sum_coalesce
     "agg_session_rollup": agg_session_rollup,
     "agg_weighted_average": agg_weighted_average,
-    "agg_type_stats": agg_type_stats,
+    "agg_type_stats": agg_type_stats,  # subsumes agg_counts_by_type
     "agg_tpch_q1": agg_tpch_q1,
     "join_rows_history": join_rows_history,
     "join_snowflake": join_snowflake,
     "join_grouped_rollup": join_grouped_rollup,
     "join_latest_per_key": join_latest_per_key,
-    "window_latest_feedback_wins": window_latest_feedback_wins,
-    "window_pagination": window_pagination,
-    "window_pagination_keyset": window_pagination_keyset,
-    "window_recent_first_limit": window_recent_first_limit,
-    "window_topk_per_group": window_topk_per_group,
-    "window_time_bucket": window_time_bucket,
-    "set_union_distinct": set_union_distinct,
-    "set_intersect_except": set_intersect_except,
-    "agg_percentiles": agg_percentiles,
-    "agg_salted_skew": agg_salted_skew,
-    "agg_count_distinct": agg_count_distinct,
-    "scalar_mask_email": scalar_mask_email,
-    "scalar_concat_project": scalar_concat_project,
-    "scalar_mask_repeat": scalar_mask_repeat,
-    "scalar_json_extract": scalar_json_extract,
-    "scalar_line_split": scalar_line_split,
-    "window_running_sum": window_running_sum,
-    "window_sessionize": window_sessionize,
-    "join_semi_exists": join_semi_exists,
-    "join_anti_not_exists": join_anti_not_exists,
-    "pivot_event_counts": pivot_event_counts,
-    "cube_order_stats": cube_order_stats,
+    "join_semi_anti": join_semi_anti,  # join_semi_exists + join_anti_not_exists
     "join_asof_latest_order": join_asof_latest_order,
     "join_range_bucketed": join_range_bucketed,
+    "window_latest_feedback_wins": window_latest_feedback_wins,
+    "window_pagination": window_pagination_both,  # offset + keyset forms
+    "window_topk": window_topk,  # recent-50 + per-group top-3
+    "window_time_bucket": window_time_bucket,
+    "window_running_sum": window_running_sum,
+    "window_sessionize": window_sessionize,
+    "set_ops": set_ops,  # set_union_distinct + set_intersect_except
+    "agg_percentiles": agg_percentiles,
+    "agg_approx_percentiles": agg_approx_percentiles,
+    "agg_salted_skew": agg_salted_skew,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_approx_count_distinct": agg_approx_count_distinct,
+    "scalar_mask": scalar_mask,  # scalar_mask_email + scalar_mask_repeat
+    "scalar_concat_project": scalar_concat_project,
+    "scalar_json_extract": scalar_json_extract,
+    "scalar_line_split": scalar_line_split,
+    "pivot_event_counts": pivot_event_counts,
+    "cube_order_stats": cube_order_stats,
 }
 
 ORACLES = {
-    "agg_counts_by_type": """
-        SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+    "agg_analytics_rollup": """
+        SELECT * FROM (
+            SELECT count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                         * 100.0 / count(*), 4) AS success_rate,
+                   round(avg(CASE WHEN o_totalprice > 1000
+                                  THEN o_totalprice END), 4) AS avg_big_price
+            FROM orders
+        ) CROSS JOIN (
+            SELECT coalesce(round(sum(value), 4), 0.0) AS err_total_value,
+                   count(*) AS n_err_rows
+            FROM events WHERE event_type = 'error'
+        )
+    """,
+    "set_ops": """
+        SELECT 'union' AS op, user_id FROM (
+            SELECT DISTINCT user_id FROM (
+                SELECT user_id FROM events WHERE value > 18
+                UNION ALL
+                SELECT user_id FROM events WHERE event_type = 'error'
+            )
+        )
+        UNION ALL
+        SELECT 'int_exc' AS op, user_id FROM (
+            SELECT user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'error'
+            )
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'signup'
+        )
+        ORDER BY op, user_id
+    """,
+    "join_semi_anti": """
+        SELECT 'semi' AS op, c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        UNION ALL
+        SELECT 'anti' AS op, c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 450000)
+        ORDER BY op, c_custkey
+    """,
+    "window_pagination": """
+        WITH page AS (
+            SELECT event_id, ts, value FROM events
+            ORDER BY ts, event_id LIMIT 100 OFFSET 50)
+        SELECT 'offset' AS mode, event_id, ts, value FROM page
+        UNION ALL
+        SELECT 'keyset' AS mode, event_id, ts, value FROM page
+        ORDER BY mode, ts, event_id
+    """,
+    "window_topk": """
+        SELECT 'recent50' AS scope, event_type, CAST(0 AS INT) AS rnk,
+               event_id, value
+        FROM (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 50)
+        UNION ALL
+        SELECT 'topk' AS scope, event_type, rnk, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS rnk
+            FROM events) WHERE rnk <= 3
+        ORDER BY scope, event_type, event_id
+    """,
+    "scalar_mask": """
+        SELECT c_custkey,
+               regexp_replace(
+                   'contact ' || c_name || ' at ' ||
+                   lower(replace(c_name, ' ', '.')) ||
+                   '@corp.example.com or admin@corp.example.com now',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}',
+                   '[EMAIL]', 'g') AS masked,
+               repeat('*', length(c_name)) AS masked_name
+        FROM customer ORDER BY c_custkey
+    """,
+    "agg_approx_count_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+               TRUE AS approx_ok
         FROM events GROUP BY event_type ORDER BY event_type
     """,
-    "agg_sum_coalesce": """
-        SELECT coalesce(round(sum(value), 4), 0.0) AS total_value,
-               count(*) AS n_rows
-        FROM events WHERE event_type = 'error'
-    """,
-    "agg_analytics_rollup": """
-        SELECT count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-                     * 100.0 / count(*), 4) AS success_rate,
-               round(avg(CASE WHEN o_totalprice > 1000
-                              THEN o_totalprice END), 4) AS avg_big_price
-        FROM orders
+    "agg_approx_percentiles": """
+        SELECT event_type, count(*) AS n,
+               TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "agg_session_rollup": """
         SELECT user_id, count(*) AS n_events,
@@ -852,16 +1087,6 @@ ORACLES = {
                        ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1 ORDER BY user_id, event_type
     """,
-    "set_intersect_except": """
-        SELECT user_id FROM (
-            SELECT user_id FROM events WHERE event_type = 'purchase'
-            INTERSECT
-            SELECT user_id FROM events WHERE event_type = 'error'
-        )
-        EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'signup'
-        ORDER BY user_id
-    """,
     "agg_count_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users,
                count(*) AS n_events
@@ -880,51 +1105,10 @@ ORACLES = {
                count(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type
     """,
-    "window_pagination": """
-        SELECT event_id, ts, value FROM events
-        ORDER BY ts, event_id LIMIT 100 OFFSET 50
-    """,
-    "window_pagination_keyset": """
-        WITH cur AS (
-            SELECT ts, event_id FROM events
-            ORDER BY ts, event_id LIMIT 1 OFFSET 49)
-        SELECT e.event_id, e.ts, e.value FROM events e, cur
-        WHERE e.ts > cur.ts
-           OR (e.ts = cur.ts AND e.event_id > cur.event_id)
-        ORDER BY e.ts, e.event_id LIMIT 100
-    """,
-    "window_recent_first_limit": """
-        SELECT event_id, ts, event_type FROM events
-        ORDER BY ts DESC, event_id DESC LIMIT 50
-    """,
-    "window_topk_per_group": """
-        SELECT event_type, rnk, event_id, value FROM (
-            SELECT event_type, event_id, value,
-                   row_number() OVER (PARTITION BY event_type
-                       ORDER BY value DESC, event_id ASC) AS rnk
-            FROM events) WHERE rnk <= 3 ORDER BY event_type, rnk
-    """,
     "window_time_bucket": """
         SELECT date_trunc('hour', ts) AS bucket, event_type,
                count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
-    """,
-    "set_union_distinct": """
-        SELECT DISTINCT user_id FROM (
-            SELECT user_id FROM events WHERE value > 18
-            UNION ALL
-            SELECT user_id FROM events WHERE event_type = 'error'
-        ) ORDER BY user_id
-    """,
-    "scalar_mask_email": r"""
-        SELECT c_custkey,
-               regexp_replace(
-                   'contact ' || c_name || ' at ' ||
-                   lower(replace(c_name, ' ', '.')) ||
-                   '@corp.example.com or admin@corp.example.com now',
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}',
-                   '[EMAIL]', 'g') AS masked
-        FROM customer ORDER BY c_custkey
     """,
     "scalar_concat_project": """
         SELECT p_partkey,
@@ -932,10 +1116,6 @@ ORACLES = {
                CASE WHEN length(trim(p_name)) = 0 THEN p_name
                     ELSE upper(p_name) END AS name_or_upper
         FROM part ORDER BY p_partkey
-    """,
-    "scalar_mask_repeat": """
-        SELECT c_custkey, repeat('*', length(c_name)) AS masked_name
-        FROM customer ORDER BY c_custkey
     """,
     "scalar_json_extract": """
         SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
@@ -965,20 +1145,6 @@ ORACLES = {
             FROM events)
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
         FROM g GROUP BY user_id ORDER BY user_id
-    """,
-    "join_semi_exists": """
-        SELECT c_custkey, c_mktsegment FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 400000)
-        ORDER BY c_custkey
-    """,
-    "join_anti_not_exists": """
-        SELECT c_custkey FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_totalprice > 450000)
-        ORDER BY c_custkey
     """,
     "pivot_event_counts": """
         SELECT user_id,

@@ -108,12 +108,18 @@ def _band_params(
 
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     # clamp away the degenerate boundaries: threshold=1.0 (p=1, use an
-    # exact-hash dedup instead) and threshold<=-1 (p=0, everything
-    # collides); caps keep the plane count plan-friendly
-    p = min(max(p, 1e-9), 0.98)
+    # exact-hash dedup instead) and threshold<=-1 (p->0, everything
+    # collides).  The p floor is 1e-3, NOT smaller: with p ~ 1e-9,
+    # p**bits underflows so far that log(1 - p**bits) rounds to -0.0 and
+    # the band count divides by zero; at 1e-3 the bits cap (32) keeps
+    # p**bits >= 1e-96, and log1p(-x) below stays finite for any x < 1.
+    p = min(max(p, 1e-3), 0.98)
     bits = min(max(2, int(math.log(0.4) / math.log(p))), 32)
     n_bands = min(
-        math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p**bits)),
+        math.ceil(
+            math.log(1.0 - target_recall)
+            / math.log1p(-min(p**bits, 1.0 - 1e-12))
+        ),
         64,
     )
     return bits, n_bands
@@ -170,24 +176,44 @@ def _hyperplanes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
     return planes.tolist()
 
 
-def knn_cosine_lsh(spark, sf_dir, bits: int = 4, tables: int = 8):
-    """Multi-table LSH ANN: each vector lands in ``tables`` banded
-    hyperplane-sign buckets; a query's candidates are the union of its
-    buckets' occupants, exactly re-scored (the 10^12-scale path; recall
-    measured against the brute-force baseline in tests AND exposed as a
-    driver-visible column).  bits/tables trade candidate volume against
-    recall -- on real embeddings (neighbor cosine ~0.8+) larger ``bits``
-    prunes hard; the synthetic random-vector corpus sits near the ANN
-    no-free-lunch floor, so the defaults favor recall.  Rows-only
-    check."""
+def knn_cosine_lsh(spark, sf_dir, bits: int = 4, tables: int = 8,
+                   n_flip: int = 1):
+    """Multi-table multi-probe LSH ANN: each vector lands in ``tables``
+    banded hyperplane-sign buckets; a query probes its own bucket PLUS
+    every bucket within ``n_flip`` sign flips in each table (multi-probe
+    LSH, Lv et al. 2007 -- near-miss neighbors usually differ in one
+    plane's sign, so probing Hamming-adjacent buckets recovers them at a
+    fraction of the cost of more tables).  Candidates are the union over
+    probes, exactly re-scored (the 10^12-scale path; recall measured
+    against the brute-force baseline in tests AND exposed as a
+    driver-visible column; the registered driver query gates on it via
+    ``knn_lsh_recall_gate``).  bits/tables/n_flip trade candidate volume
+    against recall -- on real embeddings (neighbor cosine ~0.8+) larger
+    ``bits`` prunes hard; the synthetic random-vector corpus sits near
+    the ANN no-free-lunch floor, so the defaults favor recall."""
     e = _banded_buckets(
         _emb(spark, sf_dir), "embedding", bits=bits, n_bands=tables
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("band").alias("qband"),
-        F.col("bucket").alias("qbucket"),
+    # probe set: the exact bucket + all 1-flip (and optionally 2-flip)
+    # variants -- a JVM-side explode of at most 1 + bits + C(bits,2) ints
+    from itertools import combinations
+
+    flips = [0]
+    flips += [1 << i for i in range(bits)] if n_flip >= 1 else []
+    if n_flip >= 2:
+        flips += [(1 << i) | (1 << j)
+                  for i, j in combinations(range(bits), 2)]
+    probe = F.explode(
+        F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("band").alias("qband"),
+            probe.alias("qbucket"),
+        )
     )
     scored = (
         e.join(
@@ -287,15 +313,18 @@ def embedding_cosine_neardup_exact(spark, sf_dir, threshold: float = NEARDUP_THR
     )
 
 
-def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 3):
-    """IVF-style ANN: deterministic centroids (seeded sample mean-shift --
-    one k-means-lite pass, driver-side numpy over a small sample),
-    vectors assigned to their nearest centroid list via a vectorized
-    Arrow-batch matmul, queries probed against their ``n_probe`` nearest
-    lists only (3/8 lists: mean recall 0.56 vs 0.46 at 2/8 on the
-    random-vector corpus, same cost class).  The 10^12-scale path: assignment is a narrow stage,
-    candidate search touches |corpus| * n_probe / n_lists vectors.
-    Rows-only check; recall vs brute force asserted in tests."""
+def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 6):
+    """IVF-style ANN: deterministic centroids (seeded sample k-means --
+    driver-side numpy over a small bounded sample), vectors assigned to
+    their nearest centroid list via a vectorized Arrow-batch matmul,
+    queries probed against their ``n_probe`` nearest lists only.  The
+    10^12-scale path: assignment is a narrow stage, candidate search
+    touches |corpus| * n_probe / n_lists vectors -- on a real clustered
+    embedding corpus, n_probe/n_lists shrinks (e.g. 8/1024); the
+    synthetic random-vector corpus has no cluster structure, so the
+    defaults favor recall over pruning.  Recall vs brute force asserted
+    in tests; the registered driver query gates on it via
+    ``knn_ivf_recall_gate``."""
     import numpy as np
     import pandas as pd
 
@@ -376,6 +405,36 @@ def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 3):
     )
 
 
+RECALL_BAR_LSH = 0.9
+RECALL_BAR_IVF = 0.85
+
+
+def _recall_gate(detail: DataFrame, bar: float) -> DataFrame:
+    """Collapse an ANN result (with its per-query ``recall_vs_exact``
+    column) to the one-row driver contract: (n_queries, recall_ok) where
+    recall_ok <=> mean recall >= ``bar``.  The DuckDB oracle states the
+    REQUIREMENT (``TRUE``) rather than mirroring the computation, so a
+    recall regression fails the driver's hash compare instead of hiding
+    in a rows-only check."""
+    per_q = detail.groupBy("query_id").agg(
+        F.min("recall_vs_exact").alias("r")  # constant per query
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("r") >= bar - 1e-9).alias("recall_ok"),
+    )
+
+
+def knn_lsh_recall_gate(spark, sf_dir):
+    """Driver entry for the LSH ANN path: asserts mean recall >= 0.9."""
+    return _recall_gate(knn_cosine_lsh(spark, sf_dir), RECALL_BAR_LSH)
+
+
+def knn_ivf_recall_gate(spark, sf_dir):
+    """Driver entry for the IVF ANN path: asserts mean recall >= 0.85."""
+    return _recall_gate(knn_cosine_ivf(spark, sf_dir), RECALL_BAR_IVF)
+
+
 def embedding_neardup_clusters(spark, sf_dir, threshold: float = NEARDUP_THRESHOLD):
     """End-to-end embedding dedup: banded-LSH cosine near-dup pairs ->
     connected components -> one keeper per cluster (the embedding twin of
@@ -401,13 +460,24 @@ def embedding_neardup_clusters(spark, sf_dir, threshold: float = NEARDUP_THRESHO
 
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
-    "knn_cosine_lsh": knn_cosine_lsh,
-    "knn_cosine_ivf": knn_cosine_ivf,
+    "knn_cosine_lsh": knn_lsh_recall_gate,
+    "knn_cosine_ivf": knn_ivf_recall_gate,
     "embedding_cosine_neardup": embedding_cosine_neardup,
     "embedding_neardup_clusters": embedding_neardup_clusters,
 }
 
 ORACLES = {
+    # recall gates: the oracle states the requirement (recall_ok must be
+    # TRUE over the N_QUERIES queries) -- an ANN quality regression flips
+    # the boolean and fails the driver's value-hash compare
+    "knn_cosine_lsh": f"""
+        SELECT count(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    "knn_cosine_ivf": f"""
+        SELECT count(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
     "knn_cosine_topk": f"""
         SELECT query_id, rnk, neighbor_id, score FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

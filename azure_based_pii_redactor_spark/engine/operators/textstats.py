@@ -266,17 +266,77 @@ def text_tfidf_top(spark, sf_dir, k: int = 3):
     )
 
 
+def text_doc_features(spark, sf_dir):
+    """Single-scan per-document feature projection merging the five
+    per-doc text ops (quality rules, BPE token count, stopword language
+    vote, C4 line cleaning, md5 fingerprint) into ONE pass over
+    ``documents`` -- at 10^12 docs five separate feature queries mean
+    five corpus scans; a feature-extraction stage computes every
+    per-document column in the same projection (zero shuffles, one scan,
+    whole-stage codegen).  The five single-purpose forms above stay
+    public API + pytest surface; this merged projection is the driver
+    entry, exact-oracle-checked column for column."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_len = (F.length("text") - n_words + 1) / n_words
+    low = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def hits(markers):
+        expr = F.lit(0)
+        for w in markers:
+            expr = expr + F.when(low.contains(f" {w} "), 1).otherwise(0)
+        return expr
+
+    en = hits(["the", "and", "with", "that"])
+    es = hits(["el", "la", "los", "que"])
+    de = hits(["der", "die", "und", "das"])
+    vote = (
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    kept_lines = F.expr(
+        """filter(split(text, '\n'),
+                  l -> size(split(trim(l), ' ')) >= 5
+                       AND trim(l) rlike '[.!?\"]$')"""
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mean_len, 4).alias("mean_word_len"),
+            (
+                (n_words >= 50)
+                & (n_words <= 100000)
+                & F.col("text").contains(" the ")
+            ).alias("keep_simple"),
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+                "n_bpe_tokens"
+            ),
+            en.alias("en_hits"),
+            es.alias("es_hits"),
+            de.alias("de_hits"),
+            vote.alias("lang_vote"),
+            F.size(kept_lines).alias("n_kept_lines"),
+            F.length(F.array_join(kept_lines, "\n")).alias("cleaned_len"),
+            F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_tfidf_top": text_tfidf_top,
     "text_dup_passages": text_dup_passages,
-    "text_c4_clean_lines": text_c4_clean_lines,
-    "text_lang_stopword_vote": text_lang_stopword_vote,
-    "text_token_bpe": text_token_bpe,
-    "text_token_stats": text_token_stats,
-    "text_quality_sql": text_quality_sql,
-    "text_fingerprint_md5": text_fingerprint_md5,
     "text_ngram_top": text_ngram_top,
-    "text_langid_kernel": text_langid_kernel,
+    "text_token_stats": text_token_stats,
+    "text_doc_features": text_doc_features,
+    # text_quality_sql / text_token_bpe / text_lang_stopword_vote /
+    # text_c4_clean_lines / text_fingerprint_md5 are merged into
+    # text_doc_features for the driver contract (one scan, same exprs);
+    # text_langid_kernel stays pytest-only (the flagship pipeline's
+    # lang_pred column exercises the same kernel in its driver entry).
 }
 
 ORACLES = {
@@ -323,25 +383,18 @@ ORACLES = {
         SELECT doc_id, rnk, word, round(raw_score, 4) AS tfidf
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
     """,
-    "text_c4_clean_lines": """
-        WITH k AS (
-            SELECT doc_id,
+    "text_doc_features": r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   ' ' || lower(text) || ' ' AS low,
                    list_filter(string_split(text, chr(10)),
                        l -> len(string_split(trim(l), ' ')) >= 5
                             AND regexp_matches(trim(l), '[.!?"]$'))
                        AS kept
-            FROM documents)
-        SELECT doc_id,
-               CAST(len(kept) AS INT) AS n_kept_lines,
-               CAST(coalesce(length(array_to_string(kept, chr(10))), 0)
-                    AS INT) AS cleaned_len
-        FROM k ORDER BY doc_id
-    """,
-    "text_lang_stopword_vote": """
-        WITH h AS (
-            SELECT doc_id, ' ' || lower(text) || ' ' AS low FROM documents
+            FROM documents
         ), v AS (
-            SELECT doc_id,
+            SELECT doc_id, text, n_words, kept,
                    (CASE WHEN contains(low, ' the ') THEN 1 ELSE 0 END +
                     CASE WHEN contains(low, ' and ') THEN 1 ELSE 0 END +
                     CASE WHEN contains(low, ' with ') THEN 1 ELSE 0 END +
@@ -357,18 +410,24 @@ ORACLES = {
                     CASE WHEN contains(low, ' und ') THEN 1 ELSE 0 END +
                     CASE WHEN contains(low, ' das ') THEN 1 ELSE 0 END)
                        AS de_hits
-            FROM h)
-        SELECT doc_id, en_hits, es_hits, de_hits,
+            FROM base)
+        SELECT doc_id,
+               n_words,
+               round((length(text) - n_words + 1) * 1.0 / n_words, 4)
+                   AS mean_word_len,
+               (n_words BETWEEN 50 AND 100000)
+                   AND contains(text, ' the ') AS keep_simple,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+               en_hits, es_hits, de_hits,
                CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
                     WHEN es_hits >= de_hits THEN 'es'
-                    ELSE 'de' END AS lang_vote
+                    ELSE 'de' END AS lang_vote,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               CAST(coalesce(length(array_to_string(kept, chr(10))), 0)
+                    AS INT) AS cleaned_len,
+               md5(lower(text)) AS fingerprint
         FROM v ORDER BY doc_id
-    """,
-    "text_token_bpe": r"""
-        SELECT doc_id,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
-                   AS n_bpe_tokens
-        FROM documents ORDER BY doc_id
     """,
     "text_token_stats": """
         SELECT lang, count(*) AS n_docs,
@@ -376,20 +435,6 @@ ORACLES = {
                round(avg(n_chars), 4) AS avg_chars,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY lang ORDER BY lang
-    """,
-    "text_quality_sql": """
-        SELECT doc_id,
-               len(string_split(text, ' ')) AS n_words,
-               round((length(text) - len(string_split(text, ' ')) + 1)
-                     * 1.0 / len(string_split(text, ' ')), 4)
-                   AS mean_word_len,
-               (len(string_split(text, ' ')) BETWEEN 50 AND 100000)
-                   AND contains(text, ' the ') AS keep_simple
-        FROM documents ORDER BY doc_id
-    """,
-    "text_fingerprint_md5": """
-        SELECT doc_id, md5(lower(text)) AS fingerprint
-        FROM documents ORDER BY doc_id
     """,
     "text_ngram_top": """
         WITH toks AS (

@@ -186,7 +186,21 @@ def parse_xlsx(blob: bytes) -> list[tuple[str, int, list[str]]]:
         else:
             part = f"xl/{target}"  # workbook-relative (the common form)
         ws = ET.fromstring(zf.read(part))
-        for i, row in enumerate(ws.iter(f"{_XLSX_MAIN_NS}row")):
+        # Row index comes from the row's r attribute (1-based), NOT from
+        # enumerate: Excel OMITS empty rows from the XML, so a sheet whose
+        # row 1 is blank stores its first data row as <row r="2"> -- by
+        # enumerate it would become index 0 and read_excel would eat it as
+        # the header.  Skipped rows are PADDED as empty cell lists to
+        # match excelize GetRows semantics (the reference iterates a dense
+        # row list, ``file.go:2127-2184``).  enumerate is the fallback for
+        # writers that omit r.
+        next_i = 0
+        for pos, row in enumerate(ws.iter(f"{_XLSX_MAIN_NS}row")):
+            r_attr = row.get("r")
+            i = int(r_attr) - 1 if r_attr else next_i
+            while next_i < i:  # pad gap rows (blank in the sheet)
+                out.append((title, next_i, []))
+                next_i += 1
             cells: list[str] = []
             for cell in row.findall(f"{_XLSX_MAIN_NS}c"):
                 ref = cell.get("r")
@@ -195,6 +209,7 @@ def parse_xlsx(blob: bytes) -> list[tuple[str, int, list[str]]]:
                     cells.append("")
                 cells[col] = _stringify_cell(cell, shared)
             out.append((title, i, cells))
+            next_i = i + 1
     return out
 
 

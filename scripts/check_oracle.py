@@ -3,6 +3,11 @@
 compare row count, column names, and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [name ...]
+
+With no names (the --all / CI form) it additionally asserts the contract
+invariants: registered count <= DRIVER_QUERY_CAP (the driver executes
+only the first 50 entries -- anything past that is silently skipped),
+every oracle key has a query, and every run query produced > 0 rows.
 """
 
 from __future__ import annotations
@@ -57,7 +62,11 @@ def main() -> int:
     import __spark_entry__ as m
     from azure_based_pii_redactor_spark.engine.session import build_session
 
-    only = set(sys.argv[1:])
+    from azure_based_pii_redactor_spark.engine.operators import (
+        DRIVER_QUERY_CAP,
+    )
+
+    only = set(a for a in sys.argv[1:] if a != "--all")
     spark = build_session(app_name="check_oracle", master="local[8]",
                           shuffle_partitions=8)
     con = duckdb.connect()
@@ -81,8 +90,9 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(got)} rows ({time.time()-t0:.1f}s) [rows-only]")
-            if len(got) == 0 and name != "dedup_simhash":
-                print(f"      WARNING: 0 rows for rows-only query {name}")
+            if len(got) == 0:
+                print(f"FAIL  {name}: 0 rows for rows-only query")
+                failures.append(name)
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
@@ -110,6 +120,18 @@ def main() -> int:
             continue
         print(f"OK    {name}: {len(g)} rows ({time.time()-t0:.1f}s)")
     spark.stop()
+    if not only:  # full sweep: assert the driver-contract invariants
+        if len(qs) > DRIVER_QUERY_CAP:
+            print(f"FAIL  contract: {len(qs)} queries registered > "
+                  f"cap {DRIVER_QUERY_CAP} (driver would skip the tail)")
+            failures.append("__query_cap__")
+        extra = set(oracles) - set(qs)
+        if extra:
+            print(f"FAIL  contract: oracles without queries: {extra}")
+            failures.append("__orphan_oracles__")
+        print(f"contract: {len(qs)} registered (cap {DRIVER_QUERY_CAP}), "
+              f"{len(oracles)} oracle-checked, "
+              f"{len(qs) - len(oracles)} rows-only")
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1

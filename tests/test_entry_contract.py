@@ -41,8 +41,11 @@ def duck():
 
 @pytest.mark.parametrize(
     "name",
-    ["agg_tpch_q1", "join_latest_per_key", "window_topk_per_group",
-     "dedup_exact_hash", "knn_cosine_topk", "scalar_mask_email"],
+    ["agg_tpch_q1", "join_latest_per_key", "window_topk",
+     "dedup_exact_hash", "knn_cosine_topk", "scalar_mask",
+     "text_doc_features", "agg_approx_count_distinct",
+     "agg_approx_percentiles", "join_semi_anti", "set_ops",
+     "window_pagination", "agg_analytics_rollup"],
 )
 def test_spot_oracle(spark, duck, name):
     got = (
@@ -81,10 +84,11 @@ def test_lsh_recall_vs_brute_force(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in brute:
             assert abs(brute[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
-    # multi-table candidates: mean recall floor on the random-vector
-    # corpus (driver-visible recall_vs_exact column)
+    # multi-table multi-probe candidates: mean recall floor on the
+    # random-vector corpus (driver-visible recall_vs_exact column; the
+    # registered driver query gates mean recall >= 0.9 at sf0.01)
     rec = {r.query_id: r.recall_vs_exact for r in approx}
-    assert sum(rec.values()) / len(rec) >= 0.4, rec
+    assert sum(rec.values()) / len(rec) >= 0.9, rec
 
 
 def test_neardup_banded_recall_is_total(spark):

@@ -1,0 +1,81 @@
+"""Consistency pins for the round-3 driver-contract curation: every
+merged driver query must agree column-for-column with the single-purpose
+functions it subsumes (which stay public API / bench surface), so the
+demoted forms cannot drift from the oracle-checked merged form."""
+
+import pandas as pd
+
+import azure_based_pii_redactor_spark.engine.operators.relational as rel
+import azure_based_pii_redactor_spark.engine.operators.textstats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(df):
+    return df.toPandas()
+
+
+def test_text_doc_features_matches_parts(spark):
+    merged = _pdf(ts.text_doc_features(spark, SF)).set_index("doc_id")
+    quality = _pdf(ts.text_quality_sql(spark, SF)).set_index("doc_id")
+    bpe = _pdf(ts.text_token_bpe(spark, SF)).set_index("doc_id")
+    vote = _pdf(ts.text_lang_stopword_vote(spark, SF)).set_index("doc_id")
+    c4 = _pdf(ts.text_c4_clean_lines(spark, SF)).set_index("doc_id")
+    md5 = _pdf(ts.text_fingerprint_md5(spark, SF)).set_index("doc_id")
+    for col, src in [
+        ("n_words", quality), ("mean_word_len", quality),
+        ("keep_simple", quality), ("n_bpe_tokens", bpe),
+        ("en_hits", vote), ("es_hits", vote), ("de_hits", vote),
+        ("lang_vote", vote), ("n_kept_lines", c4), ("cleaned_len", c4),
+        ("fingerprint", md5),
+    ]:
+        pd.testing.assert_series_equal(
+            merged[col], src[col], check_dtype=False, check_names=False
+        )
+
+
+def test_scalar_mask_matches_parts(spark):
+    merged = _pdf(rel.scalar_mask(spark, SF)).set_index("c_custkey")
+    email = _pdf(rel.scalar_mask_email(spark, SF)).set_index("c_custkey")
+    rep = _pdf(rel.scalar_mask_repeat(spark, SF)).set_index("c_custkey")
+    pd.testing.assert_series_equal(
+        merged["masked"], email["masked"], check_names=False
+    )
+    pd.testing.assert_series_equal(
+        merged["masked_name"], rep["masked_name"], check_names=False
+    )
+
+
+def test_agg_type_stats_subsumes_counts_by_type(spark):
+    """A1 (counts by type) is value-identical to the A7 rollup's
+    (total, avg_score) columns -- the subsumption the curation relies
+    on."""
+    a1 = _pdf(rel.agg_counts_by_type(spark, SF)).set_index("event_type")
+    a7 = _pdf(rel.agg_type_stats(spark, SF)).set_index("event_type")
+    pd.testing.assert_series_equal(
+        a1["n"], a7["total"], check_dtype=False, check_names=False
+    )
+    pd.testing.assert_series_equal(
+        a1["avg_value"], a7["avg_score"], check_names=False
+    )
+
+
+def test_approx_aggregates_within_bounds(spark):
+    """The approx swaps hold their error bounds (the same booleans the
+    driver hash-checks at sf0.01, pinned here at sf0.001 too)."""
+    acd = _pdf(rel.agg_approx_count_distinct(spark, SF))
+    assert acd["approx_ok"].all(), acd
+    apq = _pdf(rel.agg_approx_percentiles(spark, SF))
+    for c in ("ok_p50", "ok_p90", "ok_p99"):
+        assert apq[c].all(), apq
+
+
+def test_merged_pagination_legs_agree(spark):
+    """The offset and keyset legs fetch the same page by construction."""
+    both = _pdf(rel.window_pagination_both(spark, SF))
+    off = both[both["mode"] == "offset"].drop(columns="mode")
+    key = both[both["mode"] == "keyset"].drop(columns="mode")
+    pd.testing.assert_frame_equal(
+        off.sort_values("event_id").reset_index(drop=True),
+        key.sort_values("event_id").reset_index(drop=True),
+    )

@@ -96,7 +96,7 @@ def test_ivf_recall_vs_brute_force(spark):
     bpairs = set(zip(brute.query_id, brute.neighbor_id))
     ipairs = set(zip(ivf.query_id, ivf.neighbor_id))
     recall = len(bpairs & ipairs) / len(bpairs)
-    assert recall >= 0.5, recall  # n_probe=3/8 lists on random vectors
+    assert recall >= 0.85, recall  # n_probe=6/8 lists on random vectors
     # scores for shared pairs identical to the brute-force double math
     merged = brute.merge(ivf, on=["query_id", "neighbor_id"],
                          suffixes=("_b", "_i"))

@@ -7,23 +7,46 @@ from hypothesis import given, settings, strategies as st
 
 @settings(max_examples=200, deadline=None)
 @given(
-    base=st.integers(min_value=0, max_value=(1 << 63) - 1),
+    base=st.integers(min_value=0, max_value=(1 << 60) - 1),
     flip_bits=st.lists(
-        st.integers(min_value=0, max_value=62), max_size=3, unique=True
+        st.integers(min_value=0, max_value=59), max_size=3, unique=True
     ),
+    k=st.integers(min_value=1, max_value=4),
 )
-def test_simhash_pigeonhole_block_cover(base, flip_bits):
-    """Any pair within Hamming k=3 shares at least one of the four
-    16-bit blocks -- the exactness guarantee dedup_simhash_hamming's
-    candidate join relies on."""
-    other = base
-    for b in flip_bits:
-        other ^= 1 << b
-    shared = any(
-        (base >> (16 * i)) & 0xFFFF == (other >> (16 * i)) & 0xFFFF
-        for i in range(4)
+def test_simhash_pigeonhole_block_cover(base, flip_bits, k):
+    """The exactness guarantee dedup_simhash_hamming's candidate join
+    relies on, mirrored over the IMPLEMENTED scheme (Manku et al. 2007):
+    the SIMHASH_BITS-bit value splits into 2k blocks with the same width
+    math as the query, and any pair within Hamming distance k leaves at
+    least one k-SUBSET of blocks completely clean -- i.e. the pair
+    collides in the table keyed by that subset."""
+    from itertools import combinations
+
+    from azure_based_pii_redactor_spark.engine.operators.dedup import (
+        SIMHASH_BITS,
     )
-    assert shared
+
+    flips = flip_bits[:k]  # at most k flipped bits
+    other = base
+    for b in flips:
+        other ^= 1 << b
+
+    n_blocks = 2 * k
+    widths = [
+        SIMHASH_BITS // n_blocks + (1 if i < SIMHASH_BITS % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(v, i):
+        return (v >> offsets[i]) & ((1 << widths[i]) - 1)
+
+    clean = [i for i in range(n_blocks)
+             if block(base, i) == block(other, i)]
+    assert any(
+        set(combo) <= set(clean)
+        for combo in combinations(range(n_blocks), k)
+    ), (flips, clean)
 
 
 @settings(max_examples=50, deadline=None)
@@ -62,7 +85,7 @@ def test_wav_roundtrip_property(n, rate, seed):
 
 
 @settings(max_examples=200, deadline=None)
-@given(t=st.floats(min_value=-0.99, max_value=0.999))
+@given(t=st.floats(min_value=-1.0, max_value=1.0))
 def test_band_params_well_formed(t):
     """No crash across the threshold range; geometry within plan-friendly
     caps; tighter thresholds never need wider bands."""

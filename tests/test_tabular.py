@@ -414,6 +414,31 @@ def test_parse_xlsx_stdlib():
     ]
 
 
+def test_parse_xlsx_row_gaps():
+    """Excel omits empty rows from the XML: row indices must come from
+    the r attribute (1-based) with the gaps padded as empty rows, so a
+    sheet whose first row is blank does NOT have its first data row
+    eaten as the header (excelize GetRows parity)."""
+    from azure_based_pii_redactor_spark.sources.tabular import parse_xlsx
+
+    gap_sheet = (
+        # row 1 entirely absent; data starts at r=2, then a gap to r=4
+        '<row r="2"><c r="A2" t="s"><v>0</v></c></row>'
+        '<row r="4"><c r="A4" t="s"><v>1</v></c></row>'
+    )
+    rows = parse_xlsx(_make_xlsx([("Gaps", gap_sheet)]))
+    assert rows == [
+        ("Gaps", 0, []),            # padded blank row
+        ("Gaps", 1, ["name"]),      # r=2 -> index 1, NOT 0
+        ("Gaps", 2, []),            # padded gap
+        ("Gaps", 3, ["Alice"]),     # r=4 -> index 3
+    ]
+    # no r attributes at all: enumerate fallback
+    bare = "<row><c><v>7</v></c></row><row><c><v>8</v></c></row>"
+    rows = parse_xlsx(_make_xlsx([("Bare", bare)]))
+    assert rows == [("Bare", 0, ["7"]), ("Bare", 1, ["8"])]
+
+
 def test_read_excel_spark_scan(spark, tmp_path):
     from azure_based_pii_redactor_spark.sources.tabular import read_excel
 
