@@ -33,6 +33,7 @@ from ..kernel.redact import RedactOptions
 from ..kernel.scrub import scrub_text, scrub_text_advanced
 from ..quality.decide import ALLOWED_LANGS, MAX_PERPLEXITY, MIN_LANG_SCORE, decide
 from ..quality.langid import predict_language_batch
+from ..quality.perplexity import perplexity_batch
 from .schema import SCRUB_OUTPUT_SCHEMA
 
 _WRAP_PREFIX = b"<html><body>"
@@ -146,8 +147,11 @@ def _scrub_batch(
         else:
             out["extracted_ok"][i] = extracted == (texts[i] or "")
         extracted_all[i] = extracted
-    # language ID for the whole Arrow batch in one vectorized pass
+    # language ID and perplexity for the whole Arrow batch in one
+    # vectorized pass each (single numpy pipeline instead of per-doc
+    # calls)
     langs = predict_language_batch(extracted_all)
+    ppls = perplexity_batch(extracted_all)
     for i in range(n):
         extracted = extracted_all[i]
         d = decide(
@@ -156,6 +160,7 @@ def _scrub_batch(
             min_lang_score=min_lang_score,
             max_perplexity=max_perplexity,
             lang=langs[i],
+            ppl=ppls[i],
         )
         out["lang_pred"][i] = d.lang_pred
         out["lang_score"][i] = d.lang_score

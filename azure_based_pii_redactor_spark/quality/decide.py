@@ -33,13 +33,15 @@ def decide(
     min_lang_score: float = MIN_LANG_SCORE,
     max_perplexity: float = MAX_PERPLEXITY,
     lang: "tuple[str, float] | None" = None,
+    ppl: "float | None" = None,
 ) -> QualityDecision:
-    """``lang`` may carry a precomputed ``(lang_pred, lang_score)`` -- the
-    Arrow-batch kernel scores whole batches via
-    ``predict_language_batch`` and passes each result through here, so
-    the decision logic has exactly one home."""
+    """``lang`` / ``ppl`` may carry precomputed values -- the Arrow-batch
+    kernel scores whole batches via ``predict_language_batch`` /
+    ``perplexity_batch`` and passes each result through here, so the
+    decision logic has exactly one home."""
     lang_pred, lang_score = lang if lang is not None else predict_language(text)
-    ppl = perplexity(text)
+    if ppl is None:
+        ppl = perplexity(text)
 
     # Gate order is fixed; the (expensive) heuristic metrics are computed
     # lazily -- docs dropped by the language/fluency gates only need the

@@ -56,6 +56,30 @@ def test_perplexity_empty_is_worst_case():
     assert perplexity("") > 1_000
 
 
+def test_perplexity_batch_matches_per_doc():
+    """The whole-batch formulation must agree with the per-doc one: same
+    values to float noise (segment sums associate differently) and the
+    SAME keep/drop decision at the gate threshold."""
+    from azure_based_pii_redactor_spark.quality.decide import MAX_PERPLEXITY
+    from azure_based_pii_redactor_spark.quality.perplexity import (
+        perplexity_batch,
+    )
+
+    texts = [
+        "The children walked to the market in the morning.",
+        "",
+        "qzx wvj kqp zzj xqw vkz pqj wxz jqk zvw " * 5,
+        "the and of to be that with have " * 20,
+        "   ",
+        "one",
+    ]
+    batch = perplexity_batch(texts)
+    for t, b in zip(texts, batch):
+        single = perplexity(t)
+        assert abs(b - single) <= 1e-9 * max(single, 1.0), (t[:30], b, single)
+        assert (b > MAX_PERPLEXITY) == (single > MAX_PERPLEXITY)
+
+
 # -- heuristics -----------------------------------------------------------------
 
 def test_rule_order_pinned():
