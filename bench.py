@@ -132,12 +132,21 @@ def main() -> None:
 
     # -- streaming twin: same kernel under availableNow micro-batches -------
     # Tracks the structured-streaming overhead (checkpointing + per-batch
-    # planning) round-over-round; 64 files/trigger -> 4 micro-batches over
-    # the 256-part corpus.
+    # planning) round-over-round; 128 files/trigger -> 2 micro-batches over
+    # the 256-part corpus.  Two tuning facts (profiled round 3): per-epoch
+    # fixed overhead (offset log, getBatch, planning) is ~0.4 s, so epochs
+    # should be as large as latency allows; and input splits must be sized
+    # for the MICRO-BATCH, not the corpus -- corpus-sized splits left half
+    # the cores idle within each trigger (7.6 s -> ~3.9 s at sf0.1).
     from azure_based_pii_redactor_spark.streaming.scrub_stream import (
         scrub_stream,
     )
 
+    n_epochs = 2
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(total // n_epochs // (CPUS * 2), 1 << 20)),
+    )
     stream_sec = 9e9
     for rep in range(2):  # best-of-2: stream wall-clock is the noisiest
         stream_out = os.path.join(SCRATCH, f"stream_out{rep}")
@@ -146,7 +155,7 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
         t0 = time.time()
         q = scrub_stream(spark, corpus, stream_out, stream_ckpt,
-                         max_files_per_trigger=64)
+                         max_files_per_trigger=256 // n_epochs)
         q.awaitTermination()
         stream_sec = min(stream_sec, time.time() - t0)
     timings["scrub_stream"] = round(stream_sec, 3)

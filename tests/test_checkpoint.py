@@ -146,9 +146,61 @@ def test_table_writer_abstraction(spark, tmp_path):
     )
 
     assert isinstance(default_writer(spark), ParquetBucketWriter)
-    assert not iceberg_available(spark)  # sandbox has no iceberg jars
+    if iceberg_available(spark):  # pragma: no cover - jars absent here
+        pytest.skip("iceberg on classpath: covered by the parity test")
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         IcebergBucketWriter(spark)
+
+
+def test_iceberg_writer_parity_when_jars_present(spark, tmp_path):
+    """Opportunistic Iceberg MERGE-path parity: SKIPS cleanly when the
+    runtime jars are absent (this sandbox); the moment a cluster session
+    carries iceberg-spark-runtime + a configured local catalog, this
+    asserts IcebergBucketWriter.overwrite_buckets is idempotent and
+    read-equivalent to the ParquetBucketWriter on the same batch."""
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.engine.tableio import (
+        IcebergBucketWriter,
+        ParquetBucketWriter,
+        iceberg_available,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("no iceberg-spark-runtime on the classpath")
+    catalogs = [
+        c.removeprefix("spark.sql.catalog.")
+        for c, _ in spark.sparkContext.getConf().getAll()
+        if c.startswith("spark.sql.catalog.") and c.count(".") == 3
+    ]
+    if not catalogs:
+        pytest.skip("iceberg jars present but no spark.sql.catalog.* set")
+    cat = catalogs[0]
+
+    df = spark.range(0, 100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 4).alias("part_bucket"),
+        (F.col("id") * 2).alias("v"),
+    )
+    table = f"{cat}.default.parity_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} (url string, part_bucket bigint, v bigint) "
+        "USING iceberg PARTITIONED BY (part_bucket)"
+    )
+    iw = IcebergBucketWriter(spark)
+    iw.overwrite_buckets(df, table)
+    iw.overwrite_buckets(df, table)  # idempotent re-run (resume semantics)
+
+    pw = ParquetBucketWriter()
+    pq_target = str(tmp_path / "parity_parquet")
+    pw.overwrite_buckets(df, pq_target)
+    pw.overwrite_buckets(df, pq_target)
+
+    got = sorted(map(tuple, iw.read(spark, table).collect()))
+    want = sorted(map(tuple, pw.read(spark, pq_target).collect()))
+    assert got == want and len(got) == 100
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
 def test_spark_submit_py_files_packaging(tmp_path):
