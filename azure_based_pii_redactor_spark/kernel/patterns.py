@@ -291,6 +291,11 @@ _DIGIT_RE = re.compile(r"[0-9]")
 
 
 def _may_match(name: str, text: str, has_digit: bool) -> bool:
+    # Evaluated and rejected: hoisting these gates to a pandas
+    # str.contains pass over the whole Arrow batch.  The per-doc checks
+    # here are already C-level substring scans, and batching them would
+    # gate exactly the same finditer set -- profiled as a no-op; the
+    # batch-level wins live in langid/perplexity (see quality/).
     req = _REQUIRES.get(name)
     if req is None:
         return True

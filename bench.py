@@ -147,6 +147,21 @@ def main() -> None:
         "spark.sql.files.maxPartitionBytes",
         str(max(total // n_epochs // (CPUS * 2), 1 << 20)),
     )
+    # untimed warm-up on a small corpus: the FIRST streaming query pays
+    # ~10 s of one-off cost (streaming plan codegen, sink/commit-log
+    # machinery) that the batch entries' warm-up does not cover -- the
+    # timed reps below measure steady state, same policy as the batch
+    # pipeline's untimed warm-up.
+    warm_corpus = os.path.join(SCRATCH, "pages_warm_2000")
+    if not os.path.exists(warm_corpus):
+        generate_pages(spark, 2_000, seed=7, parts=8).write.mode(
+            "overwrite").parquet(warm_corpus)
+    wout = os.path.join(SCRATCH, "stream_warm_out")
+    wck = os.path.join(SCRATCH, "stream_warm_ckpt")
+    for d in (wout, wck):
+        shutil.rmtree(d, ignore_errors=True)
+    scrub_stream(spark, warm_corpus, wout, wck,
+                 max_files_per_trigger=8).awaitTermination()
     stream_sec = 9e9
     for rep in range(2):  # best-of-2: stream wall-clock is the noisiest
         stream_out = os.path.join(SCRATCH, f"stream_out{rep}")

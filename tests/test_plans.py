@@ -192,3 +192,39 @@ def test_range_join_plan_is_equi(spark):
     plan = plan_of(join_range_bucketed(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_merged_semi_anti_plans(spark):
+    """join_semi_anti must keep both legs' join strategies: a left-semi
+    and a left-anti hash join (no rewrite into inner joins + distinct)."""
+    from azure_based_pii_redactor_spark.engine.operators.relational import (
+        join_semi_anti,
+    )
+
+    plan = plan_of(join_semi_anti(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_merged_topk_keeps_take_ordered(spark):
+    """window_topk's recent-50 leg must still plan as
+    TakeOrderedAndProject (per-partition top-k), not a global sort."""
+    from azure_based_pii_redactor_spark.engine.operators.relational import (
+        window_topk,
+    )
+
+    plan = plan_of(window_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_simhash_hamming_plan_no_cartesian(spark):
+    """The Hamming block join must stay an equi join on (table, key) --
+    never an all-pairs product (that form exists only as the pytest
+    oracle)."""
+    from azure_based_pii_redactor_spark.engine.operators.dedup import (
+        dedup_simhash_hamming,
+    )
+
+    plan = plan_of(dedup_simhash_hamming(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
