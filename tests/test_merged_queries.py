@@ -70,6 +70,41 @@ def test_approx_aggregates_within_bounds(spark):
         assert apq[c].all(), apq
 
 
+def test_merged_semi_anti_matches_parts(spark):
+    merged = _pdf(rel.join_semi_anti(spark, SF))
+    semi_keys = sorted(merged[merged["op"] == "semi"]["c_custkey"])
+    anti_keys = sorted(merged[merged["op"] == "anti"]["c_custkey"])
+    assert semi_keys == sorted(
+        _pdf(rel.join_semi_exists(spark, SF))["c_custkey"]
+    )
+    assert anti_keys == sorted(
+        _pdf(rel.join_anti_not_exists(spark, SF))["c_custkey"]
+    )
+
+
+def test_merged_topk_matches_parts(spark):
+    merged = _pdf(rel.window_topk(spark, SF))
+    recent_ids = set(merged[merged["scope"] == "recent50"]["event_id"])
+    assert recent_ids == set(
+        _pdf(rel.window_recent_first_limit(spark, SF))["event_id"]
+    )
+    topk = merged[merged["scope"] == "topk"]
+    parts = _pdf(rel.window_topk_per_group(spark, SF))
+    assert sorted(zip(topk.event_type, topk.rnk, topk.event_id)) == sorted(
+        zip(parts.event_type, parts.rnk, parts.event_id)
+    )
+
+
+def test_merged_set_ops_matches_parts(spark):
+    merged = _pdf(rel.set_ops(spark, SF))
+    assert sorted(merged[merged["op"] == "union"]["user_id"]) == sorted(
+        _pdf(rel.set_union_distinct(spark, SF))["user_id"]
+    )
+    assert sorted(merged[merged["op"] == "int_exc"]["user_id"]) == sorted(
+        _pdf(rel.set_intersect_except(spark, SF))["user_id"]
+    )
+
+
 def test_merged_pagination_legs_agree(spark):
     """The offset and keyset legs fetch the same page by construction."""
     both = _pdf(rel.window_pagination_both(spark, SF))
