@@ -109,11 +109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_tabular_scrub": _tabular_scrub,
     }
     q.update(all_queries())
-    assert len(q) <= DRIVER_QUERY_CAP, (
-        f"{len(q)} queries registered but the driver harness runs only "
-        f"the first {DRIVER_QUERY_CAP}; curate (merge or demote) before "
-        "registering more"
-    )
+    if len(q) > DRIVER_QUERY_CAP:  # not assert: python -O would strip it
+        raise ValueError(
+            f"{len(q)} queries registered but the driver harness runs only "
+            f"the first {DRIVER_QUERY_CAP}; curate (merge or demote) before "
+            "registering more"
+        )
     return q
 
 

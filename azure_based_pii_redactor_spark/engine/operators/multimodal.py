@@ -302,10 +302,15 @@ def resize_images(
                         ) from exc
                     import io
 
-                    img = Image.open(io.BytesIO(raw)).convert("RGB")
-                    resized = img.resize((width, height), Image.NEAREST)
+                    img = Image.open(io.BytesIO(raw))
+                    fmt = img.format  # capture BEFORE convert(): the new
+                    # Image returned by convert() has format=None, which
+                    # would silently re-encode every JPEG as PNG
+                    resized = img.convert("RGB").resize(
+                        (width, height), Image.NEAREST
+                    )
                     buf = io.BytesIO()
-                    resized.save(buf, format=img.format or "PNG")
+                    resized.save(buf, format=fmt or "PNG")
                     blobs.append(buf.getvalue())
                 out_ids.append(int(mid))
             yield pd.DataFrame({"media_id": out_ids, "payload": blobs})

@@ -749,9 +749,12 @@ def join_semi_anti(spark, sf_dir):
     semi = join_semi_exists(spark, sf_dir).select(
         F.lit("semi").alias("op"), "c_custkey", "c_mktsegment"
     )
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    # anti leg REUSES the public form (single source for the threshold);
+    # the broadcast dim join only re-attaches c_mktsegment, which
+    # join_anti_not_exists deliberately does not project
     anti = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        join_anti_not_exists(spark, sf_dir)
+        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")), "c_custkey")
         .select(F.lit("anti").alias("op"), "c_custkey", "c_mktsegment")
     )
     return semi.unionByName(anti).orderBy("op", "c_custkey")
@@ -994,7 +997,7 @@ ORACLES = {
             FROM events) WHERE rnk <= 3
         ORDER BY scope, event_type, event_id
     """,
-    "scalar_mask": """
+    "scalar_mask": r"""
         SELECT c_custkey,
                regexp_replace(
                    'contact ' || c_name || ' at ' ||

@@ -192,10 +192,10 @@ def parse_xlsx(blob: bytes) -> list[tuple[str, int, list[str]]]:
         # enumerate it would become index 0 and read_excel would eat it as
         # the header.  Skipped rows are PADDED as empty cell lists to
         # match excelize GetRows semantics (the reference iterates a dense
-        # row list, ``file.go:2127-2184``).  enumerate is the fallback for
-        # writers that omit r.
+        # row list, ``file.go:2127-2184``).  Writers that omit r fall
+        # back to the running row counter (next_i).
         next_i = 0
-        for pos, row in enumerate(ws.iter(f"{_XLSX_MAIN_NS}row")):
+        for row in ws.iter(f"{_XLSX_MAIN_NS}row"):
             r_attr = row.get("r")
             i = int(r_attr) - 1 if r_attr else next_i
             while next_i < i:  # pad gap rows (blank in the sheet)
