@@ -326,12 +326,42 @@ def text_doc_features(spark, sf_dir):
     )
 
 
+def sample_stratified_deterministic(spark, sf_dir, pct: int = 20):
+    """Reproducible stratified downsampling -- the training-data staple
+    for rebalancing a corpus (e.g. cap English at N%, keep every doc of
+    a low-resource language).  The sampling decision is a PURE FUNCTION
+    of the row key: md5-derived 60-bit hash of doc_id mod 100 < pct, so
+    re-runs, retries, and resumes select the SAME rows (rand()-based
+    sampling is non-reproducible across task retries -- a silent
+    training-data bug at 10^12 docs), and the DuckDB oracle recomputes
+    the selection exactly.  Per-language keep counts prove the
+    stratification; the hash is uniform so each stratum keeps ~pct%."""
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(100),
+    )
+    kept = d.withColumn("__b", bucket).filter(F.col("__b") < pct)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("kept_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "text_tfidf_top": text_tfidf_top,
     "text_dup_passages": text_dup_passages,
     "text_ngram_top": text_ngram_top,
     "text_token_stats": text_token_stats,
     "text_doc_features": text_doc_features,
+    "sample_stratified_deterministic": sample_stratified_deterministic,
     # text_quality_sql / text_token_bpe / text_lang_stopword_vote /
     # text_c4_clean_lines / text_fingerprint_md5 are merged into
     # text_doc_features for the driver contract (one scan, same exprs);
@@ -340,6 +370,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_stratified_deterministic": """
+        WITH kept AS (
+            SELECT lang, doc_id FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 100 < 20
+        )
+        SELECT lang, count(*) AS n_kept,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS kept_ids
+        FROM kept GROUP BY lang ORDER BY lang
+    """,
     "text_dup_passages": """
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
