@@ -31,6 +31,17 @@ def test_every_oracle_has_query():
     assert len(o) / len(q) >= 0.75
 
 
+def test_query_cap_is_enforced(monkeypatch):
+    """Registering more queries than the driver executes must FAIL LOUDLY
+    (a plain assert would be stripped under python -O, silently
+    reproducing the round-2 tail-skip)."""
+    import azure_based_pii_redactor_spark.engine.operators as ops
+
+    monkeypatch.setattr(ops, "DRIVER_QUERY_CAP", len(entry_mod.queries()) - 1)
+    with pytest.raises(ValueError, match="driver harness runs only"):
+        entry_mod.queries()
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()

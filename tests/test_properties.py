@@ -177,3 +177,41 @@ def test_perplexity_vectorized_equals_scalar_property(text):
 
     a, b = perplexity(text), perplexity_scalar(text)
     assert abs(a - b) <= 1e-9 * max(abs(b), 1.0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    present=st.lists(st.booleans(), min_size=1, max_size=12),
+    with_r=st.booleans(),
+)
+def test_xlsx_row_gap_property(present, with_r):
+    """For any pattern of present/absent rows, parse_xlsx must return a
+    DENSE row list (excelize GetRows parity): absent rows appear as empty
+    cell lists, present rows keep their 1-based r-derived index.  Without
+    r attributes the rows pack densely from 0."""
+    from tests.test_tabular import _make_xlsx
+
+    from azure_based_pii_redactor_spark.sources.tabular import parse_xlsx
+
+    rows_xml = []
+    for idx, is_present in enumerate(present):
+        if not is_present:
+            continue
+        r = f' r="{idx + 1}"' if with_r else ""
+        cref = f' r="A{idx + 1}"' if with_r else ""
+        rows_xml.append(
+            f'<row{r}><c{cref} t="inlineStr"><is><t>v{idx}</t></is></c></row>'
+        )
+    if not rows_xml:
+        return  # a sheet with no <row> elements yields no rows; trivial
+    got = parse_xlsx(_make_xlsx([("S", "".join(rows_xml))]))
+    if with_r:
+        last = max(i for i, p in enumerate(present) if p)
+        want = [
+            ("S", i, [f"v{i}"] if present[i] else [])
+            for i in range(last + 1)
+        ]
+    else:  # no r attrs: rows pack densely in document order
+        vals = [i for i, p in enumerate(present) if p]
+        want = [("S", j, [f"v{i}"]) for j, i in enumerate(vals)]
+    assert got == want
