@@ -84,6 +84,27 @@ def test_media_stats_rollup(spark, media):
     assert set(pdf["kind"]) == {"audio", "image", "video"}
 
 
+def test_multimodal_suite_sections(spark):
+    """The merged driver entry carries all three media paths with the
+    documented schema and deterministic row counts."""
+    from azure_based_pii_redactor_spark.engine.operators.multimodal import (
+        multimodal_suite,
+    )
+
+    pdf = multimodal_suite(spark, "unused").toPandas()
+    assert list(pdf.columns) == ["section", "key", "n", "m1", "m2"]
+    by_sec = pdf.groupby("section").size().to_dict()
+    assert set(by_sec) == {"kind_stats", "frame_sample", "audio"}
+    assert by_sec["kind_stats"] == 3  # one row per media kind
+    # every audio clip appears once; every video contributes one rollup
+    kind_rows = pdf[pdf.section == "kind_stats"].set_index("key")
+    assert by_sec["audio"] == kind_rows.loc["audio", "n"]
+    assert by_sec["frame_sample"] == kind_rows.loc["video", "n"]
+    # determinism: same seed -> same values
+    again = multimodal_suite(spark, "unused").toPandas()
+    assert pdf.equals(again)
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from azure_based_pii_redactor_spark.engine.operators.similarity import (
         knn_cosine_ivf,
