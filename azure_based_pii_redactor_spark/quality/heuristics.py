@@ -46,6 +46,12 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _STOPWORD_RES = tuple(
     re.compile(rf"\b{sw}\b", re.ASCII) for sw in GOPHER_STOPWORDS
 )
+# single-pass form: ONE C-level findall + set() replaces 8 full-text
+# scans; counts DISTINCT matched stopwords, identical to summing the
+# per-word search() booleans (pinned by a differential property test)
+_STOPWORD_ALL = re.compile(
+    r"\b(?:" + "|".join(GOPHER_STOPWORDS) + r")\b", re.ASCII
+)
 
 # C4-style content filters.
 C4_BAD_SUBSTRINGS = ("lorem ipsum", "{")
@@ -56,6 +62,11 @@ MIN_SENTENCES = 3
 TOXICITY_WORDS = ("fuck", "shit", "bitch", "asshole", "bastard", "dickhead")
 _TOXICITY_RES = tuple(
     re.compile(rf"\b{w}\b", re.ASCII) for w in TOXICITY_WORDS
+)
+# fast path: one combined scan decides the (overwhelmingly common)
+# zero-hit case; per-word counting only runs when something matched
+_TOXICITY_ANY = re.compile(
+    r"\b(?:" + "|".join(TOXICITY_WORDS) + r")\b", re.ASCII
 )
 
 
@@ -132,7 +143,7 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
     alpha_word_frac = (
         len(_ALPHA_WORD.findall(text)) / n_words if n_words else 0.0
     )
-    stopword_hits = sum(1 for rx in _STOPWORD_RES if rx.search(lower))
+    stopword_hits = len(set(_STOPWORD_ALL.findall(lower)))
 
     line_counts = Counter(lines)
     dup_line_frac = (
@@ -159,7 +170,11 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
     )
 
     sentences = len(re.findall(r"[.!?。!?]", text))
-    toxicity_hits = sum(1 for rx in _TOXICITY_RES if rx.search(lower))
+    toxicity_hits = (
+        sum(1 for rx in _TOXICITY_RES if rx.search(lower))
+        if _TOXICITY_ANY.search(lower)
+        else 0
+    )
 
     metrics: dict[str, float] = {
         "n_words": float(n_words),

@@ -215,3 +215,31 @@ def test_xlsx_row_gap_property(present, with_r):
         vals = [i for i, p in enumerate(present) if p]
         want = [("S", j, [f"v{i}"]) for j, i in enumerate(vals)]
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from(
+            "the be to of and that have with fuck shit a-b.\n "
+        ),
+        max_size=300,
+    )
+)
+def test_stopword_single_pass_matches_per_word(text):
+    """The single-findall stopword counter and the toxicity fast path
+    equal the per-word multi-scan formulation on arbitrary text."""
+    from azure_based_pii_redactor_spark.quality.heuristics import (
+        _STOPWORD_RES,
+        _TOXICITY_RES,
+        gopher_c4_metrics,
+    )
+
+    lower = text.lower()
+    m = gopher_c4_metrics(text)
+    assert m["stopword_hits"] == float(
+        sum(1 for rx in _STOPWORD_RES if rx.search(lower))
+    )
+    assert m["toxicity_hits"] == float(
+        sum(1 for rx in _TOXICITY_RES if rx.search(lower))
+    )
