@@ -105,6 +105,31 @@ def test_merged_set_ops_matches_parts(spark):
     )
 
 
+def test_dedup_simhash_groups_subsumed_by_hamming(spark, tmp_path):
+    """The demoted equality-groups form must agree with the
+    oracle-checked Hamming query's distance-0 pairs: every member of an
+    equality group pairs with its keeper at hamming 0."""
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+
+    docs = [(i, f"unique doc number {i} with its own words {i*7}")
+            for i in range(20)]
+    docs += [(100, "identical twin text here"),
+             (101, "identical twin text here"),
+             (102, "identical twin text here")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    groups = dd.dedup_simhash(spark, str(tmp_path)).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper_id == 100 and groups[0].n_docs == 3
+    zero_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.dedup_simhash_hamming(spark, str(tmp_path)).collect()
+        if r.hamming == 0
+    }
+    assert {(100, 101), (100, 102), (101, 102)} <= zero_pairs
+
+
 def test_merged_pagination_legs_agree(spark):
     """The offset and keyset legs fetch the same page by construction."""
     both = _pdf(rel.window_pagination_both(spark, SF))
