@@ -105,6 +105,31 @@ def test_merged_set_ops_matches_parts(spark):
     )
 
 
+def test_text_langid_kernel_confusion_rollup(spark):
+    """The demoted langid rollup (mapInPandas over documents) still
+    runs and agrees with the batch kernel it wraps: per-(lang,
+    lang_pred) counts must sum to the corpus size, and the dominant
+    prediction for en-labeled docs must be en."""
+    from azure_based_pii_redactor_spark.quality.langid import (
+        predict_language_batch,
+    )
+
+    pdf = ts.text_langid_kernel(spark, SF).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", "text").toPandas()
+    )
+    assert pdf["n"].sum() == len(docs)
+    preds = predict_language_batch(list(docs["text"]))
+    import collections
+
+    want = collections.Counter(
+        (lang, p[0]) for lang, p in zip(docs["lang"], preds)
+    )
+    got = {(r.lang, r.lang_pred): r.n for r in pdf.itertuples(index=False)}
+    assert got == dict(want)
+
+
 def test_dedup_simhash_groups_subsumed_by_hamming(spark, tmp_path):
     """The demoted equality-groups form must agree with the
     oracle-checked Hamming query's distance-0 pairs: every member of an
