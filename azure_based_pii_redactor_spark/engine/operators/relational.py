@@ -922,7 +922,9 @@ QUERIES = {
     "scalar_mask": scalar_mask,  # scalar_mask_email + scalar_mask_repeat
     "scalar_concat_project": scalar_concat_project,
     "scalar_json_extract": scalar_json_extract,
-    "scalar_line_split": scalar_line_split,
+    # scalar_line_split (F6) demoted: its expression is the n_words
+    # column of text_doc_features (oracle-checked); slot freed for
+    # text_dedup_passage_removal.
     "pivot_event_counts": pivot_event_counts,
     "cube_order_stats": cube_order_stats,
 }
@@ -1123,10 +1125,6 @@ ORACLES = {
     "scalar_json_extract": """
         SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
         FROM events ORDER BY event_id
-    """,
-    "scalar_line_split": """
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
-        FROM documents ORDER BY doc_id
     """,
     "window_running_sum": """
         SELECT event_id, user_id,

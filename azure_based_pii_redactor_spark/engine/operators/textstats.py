@@ -326,6 +326,89 @@ def text_doc_features(spark, sf_dir):
     )
 
 
+def text_dedup_passage_removal(spark, sf_dir, n: int = 8):
+    """Exact duplicated-passage REMOVAL (the ExactSubstr operation of Lee
+    et al. 2022, arXiv:2107.06499, at window granularity): every ``n``-word
+    window occurring more than once in the corpus is excised from all but
+    its first occurrence (keeper = lexicographically min (doc_id, pos));
+    overlapping duplicated windows merge naturally because removal is the
+    per-doc UNION of word indexes.  ``text_dup_passages`` reports the
+    signal; this op applies it.
+
+    Entirely JVM-side -- no Python stage: window explode -> count+rank
+    windows over the window text -> explode removal spans to word indexes
+    -> distinct -> anti-join the (doc, idx, word) table -> re-assemble
+    text ordered by index.  10^12-doc notes: group on xxhash64(win)
+    instead of the window text to shrink the shuffle payload (kept as
+    text here so the DuckDB oracle can recompute removal exactly);
+    the removal-index explode is bounded by the duplicated-window
+    coverage, not the corpus; the final anti-join co-partitions on
+    doc_id.  Returns one row per document: words before/after and the
+    md5 of the cleaned text (exact oracle compares all three)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    with_words = d.withColumn("__words", F.split("text", " "))
+    grams = F.expr(
+        f"transform(slice(__words, 1, greatest(size(__words) - {n - 1}, 0)),"
+        f" (w, i) -> struct(i AS pos, concat_ws(' ', slice(__words, i + 1, {n})) AS win))"
+    )
+    wins = with_words.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", "g.pos", "g.win")
+    ranked = wins.select(
+        "doc_id", "pos",
+        F.count("*").over(Window.partitionBy("win")).alias("cnt"),
+        F.row_number().over(
+            Window.partitionBy("win").orderBy("doc_id", "pos")
+        ).alias("rn"),
+    )
+    rm_idx = (
+        ranked.filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    words_pos = with_words.select(
+        "doc_id", F.posexplode("__words").alias("idx", "word")
+    )
+    cleaned = (
+        words_pos.join(rm_idx, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_words"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                        lambda s: s.word,
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+    return (
+        with_words.select(
+            "doc_id", F.size("__words").alias("n_words")
+        )
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept_words", F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit("")))
+            .alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def sample_stratified_deterministic(spark, sf_dir, pct: int = 20):
     """Reproducible stratified downsampling -- the training-data staple
     for rebalancing a corpus (e.g. cap English at N%, keep every doc of
@@ -361,7 +444,11 @@ QUERIES = {
     "text_ngram_top": text_ngram_top,
     "text_token_stats": text_token_stats,
     "text_doc_features": text_doc_features,
+    "text_dedup_passage_removal": text_dedup_passage_removal,
     "sample_stratified_deterministic": sample_stratified_deterministic,
+    # scalar_line_split's F6 semantics (size(split(text,' '))) are the
+    # n_words column of text_doc_features, oracle-checked there; its
+    # standalone slot was freed for the passage-removal op.
     # text_quality_sql / text_token_bpe / text_lang_stopword_vote /
     # text_c4_clean_lines / text_fingerprint_md5 are merged into
     # text_doc_features for the driver contract (one scan, same exprs);
@@ -370,6 +457,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_dedup_passage_removal": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), wins AS (
+            SELECT doc_id,
+                   unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
+                   unnest([array_to_string(ws[i:i+7], ' ')
+                           for i in range(1, greatest(len(ws) - 6, 1))])
+                       AS win
+            FROM w
+        ), ranked AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY win) AS cnt,
+                   row_number() OVER (PARTITION BY win
+                       ORDER BY doc_id, pos) AS rn
+            FROM wins
+        ), rm AS (
+            SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx
+            FROM ranked WHERE cnt >= 2 AND rn > 1
+        ), words AS (
+            SELECT doc_id, unnest(range(0, len(ws))) AS idx,
+                   unnest(ws) AS word
+            FROM w
+        ), kept AS (
+            SELECT words.doc_id, words.idx, words.word FROM words
+            WHERE NOT EXISTS (SELECT 1 FROM rm
+                              WHERE rm.doc_id = words.doc_id
+                                AND rm.idx = words.idx)
+        ), cleaned AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(word, ' ' ORDER BY idx)) AS cleaned_md5
+            FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS INT) AS n_words,
+               CAST(len(w.ws) - coalesce(c.n_kept, 0) AS INT) AS n_removed,
+               coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+        FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
+        ORDER BY w.doc_id
+    """,
     "sample_stratified_deterministic": """
         WITH kept AS (
             SELECT lang, doc_id FROM documents

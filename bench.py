@@ -36,6 +36,8 @@ HEADLINE = [
     "scalar_mask_email",
     "text_token_stats",
     "text_ngram_top",
+    "text_doc_features",
+    "text_dedup_passage_removal",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "knn_cosine_topk",

@@ -105,6 +105,53 @@ def test_merged_set_ops_matches_parts(spark):
     )
 
 
+def test_passage_removal_keeps_first_occurrence(spark, tmp_path):
+    """ExactSubstr semantics: a duplicated 8-word passage survives only
+    in the lexicographically first (doc_id, pos) occurrence; overlapping
+    duplicated windows merge via the index union; unaffected docs are
+    untouched (md5 of original text)."""
+    import hashlib
+
+    import azure_based_pii_redactor_spark.engine.operators.textstats as t
+
+    passage = "one two three four five six seven eight"
+    docs = [
+        (1, f"{passage} tail1 tail2 tail3"),
+        (2, f"head1 head2 {passage} tail4"),
+        (3, "totally unrelated words that repeat nothing at all here ok"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            t.text_dedup_passage_removal(spark, str(tmp_path)).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 holds the first occurrence: nothing removed
+    assert rows[1].n_removed == 0
+    assert rows[1].cleaned_md5 == md5(docs[0][1])
+    # doc 2 loses exactly the 8 passage words, keeps its head and tail
+    assert rows[2].n_removed == 8
+    assert rows[2].cleaned_md5 == md5("head1 head2 tail4")
+    # doc 3 untouched
+    assert rows[3].n_removed == 0
+    assert rows[3].cleaned_md5 == md5(docs[2][1])
+
+
+def test_minhash_estimate_error_bound(spark):
+    """The rows-only minhash query's driver-visible error column stays
+    inside the 4-sigma bound of a k=32 signature: sigma = sqrt(j(1-j)/k)
+    <= 0.0884, so abs_err <= 0.36 for every emitted pair (a signature
+    bug shows up as a gross violation, not a near-miss)."""
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+
+    rows = dd.dedup_minhash_lsh(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.abs_err <= 0.36, (r.doc_a, r.doc_b, r.abs_err)
+
+
 def test_text_langid_kernel_confusion_rollup(spark):
     """The demoted langid rollup (mapInPandas over documents) still
     runs and agrees with the batch kernel it wraps: per-(lang,
