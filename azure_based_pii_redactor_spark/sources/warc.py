@@ -1,0 +1,169 @@
+"""Pure-stdlib WARC ingestion: the Common-Crawl-shaped source in front of
+the pages pipeline (BASELINE.json input_hint: "Common-Crawl-style web
+pages").
+
+WARC/1.0 (ISO 28500) is a plain record format: a version line, CRLF
+header lines, a blank line, ``Content-Length`` payload bytes, and a
+CRLF CRLF record separator.  Common Crawl ships ``.warc.gz`` files
+where EVERY record is its own gzip member (so byte-range fetches can
+decompress one record); stdlib ``zlib`` decodes concatenated members.
+
+``response`` records carry a full HTTP response as payload -- status
+line + headers + body; the page html is the body after the first blank
+line.  ``conversion`` records carry the payload directly.
+
+Scale design: each ``.warc.gz`` file decodes inside ONE Arrow-batched
+``mapInPandas`` task over a ``binaryFile`` scan -- Common Crawl files
+are ~1 GB and self-contained, so file-level parallelism is the natural
+unit (100 TB = ~100k files spread across executors); no shuffle.  The
+output is PAGES_SCHEMA, so ``run_scrub_pipeline`` consumes it
+unchanged (text/lang arrive NULL and are filled by extraction +
+langid).
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine.schema import PAGES_SCHEMA
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress ALL concatenated gzip members (the Common-Crawl
+    per-record layout); plain (non-gzip) input passes through."""
+    if blob[:2] != b"\x1f\x8b":
+        return blob
+    out = []
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(blob[pos:]))
+        if not d.eof:  # truncated trailing member: keep what decoded
+            break
+        pos = len(blob) - len(d.unused_data)
+    return b"".join(out)
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Body of an HTTP response payload (after the first blank line);
+    payloads that do not look like HTTP pass through unchanged."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return payload
+    return payload[sep + 4 :]
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """Decode one WARC (or .warc.gz) file's bytes into page dicts:
+    ``{url, warc_ts, html}`` for every response/conversion record with a
+    target URI.  warcinfo/request/metadata records are skipped (they
+    describe the crawl, not pages)."""
+    data = _gunzip_members(bytes(blob))
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        header_end = data.find(b"\r\n\r\n", pos)
+        if header_end < 0:
+            break  # truncated trailing record
+        header_lines = data[pos:header_end].split(_CRLF)
+        if not header_lines[0].startswith(b"WARC/"):
+            break  # desynchronized: stop rather than emit garbage
+        headers: dict[str, str] = {}
+        for line in header_lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii", "replace")] = (
+                v.strip().decode("utf-8", "replace")
+            )
+        length = int(headers.get("content-length", "0"))
+        payload = data[header_end + 4 : header_end + 4 + length]
+        pos = header_end + 4 + length
+        rtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri")
+        if rtype in ("response", "conversion") and url:
+            ts = None
+            raw_ts = headers.get("warc-date")
+            if raw_ts:
+                try:
+                    ts = datetime.fromisoformat(
+                        raw_ts.replace("Z", "+00:00")
+                    ).astimezone(timezone.utc).replace(tzinfo=None)
+                except ValueError:
+                    ts = None  # malformed date: keep the page, null the ts
+            records.append(
+                {"url": url, "warc_ts": ts, "html": _http_body(payload)}
+            )
+    return records
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC scan -> PAGES_SCHEMA frame (text/lang NULL --
+    the pipeline's extraction and langid stages fill them)."""
+    import pandas as pd
+
+    binary = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for r in parse_warc(blob):
+                    rows.append(
+                        (r["url"], r["warc_ts"], r["html"], None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return binary.mapInPandas(decode, schema=PAGES_SCHEMA)
+
+
+# -- fixture writer (tests + local smoke; also documents the format) -------
+
+def encode_warc(
+    pages: list[dict], gzip_members: bool = True, http_wrap: bool = False
+) -> bytes:
+    """Encode ``{url, warc_ts, html}`` dicts as a WARC file: one
+    response record per page, each its own gzip member when
+    ``gzip_members`` (the Common-Crawl layout).  ``http_wrap`` nests the
+    html inside an HTTP response payload as real crawls do."""
+    import gzip
+
+    out = []
+    for p in pages:
+        body = p["html"] or b""
+        if http_wrap:
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+        ts = p.get("warc_ts")
+        ts_line = (
+            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n".encode()
+            if ts is not None
+            else b""
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {p['url']}\r\n".encode()
+            + ts_line
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n"
+            + body
+            + b"\r\n\r\n"
+        )
+        out.append(gzip.compress(rec, mtime=0) if gzip_members else rec)
+    return b"".join(out)

@@ -1,0 +1,82 @@
+"""WARC ingestion: pure-stdlib record parsing (plain, gzip-member, and
+HTTP-wrapped layouts) and the end-to-end equivalence with the parquet
+pages path through the full scrub pipeline."""
+
+from datetime import datetime
+
+import pytest
+
+from azure_based_pii_redactor_spark.sources.warc import (
+    encode_warc,
+    parse_warc,
+    read_warc,
+)
+
+PAGES = [
+    {"url": "http://a.example/x", "warc_ts": datetime(2024, 1, 2, 3, 4, 5),
+     "html": b"<html><body>hello world page one</body></html>"},
+    {"url": "http://b.example/y", "warc_ts": datetime(2024, 2, 3, 4, 5, 6),
+     "html": "<html><body>unicode café 雪</body></html>".encode()},
+    {"url": "http://c.example/z", "warc_ts": None, "html": b""},
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("http", [False, True])
+def test_warc_roundtrip(gz, http):
+    got = parse_warc(encode_warc(PAGES, gzip_members=gz, http_wrap=http))
+    assert [(r["url"], r["warc_ts"], r["html"]) for r in got] == [
+        (p["url"], p["warc_ts"], p["html"]) for p in PAGES
+    ]
+
+
+def test_warc_skips_non_page_records():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+        b"\r\nblob\r\n\r\n"
+    )
+    rest = encode_warc(PAGES[:1], gzip_members=False)
+    got = parse_warc(info + rest)
+    assert len(got) == 1 and got[0]["url"] == PAGES[0]["url"]
+
+
+def test_warc_tolerates_truncation_and_bad_date():
+    rec = encode_warc(PAGES[:1], gzip_members=False)
+    assert parse_warc(rec[: len(rec) // 2]) == []  # truncated header/payload
+    bad = rec.replace(b"WARC-Date: 2024-01-02T03:04:05Z",
+                      b"WARC-Date: not-a-date      ")
+    got = parse_warc(bad)
+    assert got[0]["warc_ts"] is None  # page kept, ts nulled
+
+
+def test_read_warc_pipeline_equals_parquet_path(spark, tmp_path):
+    """The WARC route and the parquet route must produce identical
+    pipeline decisions for the same pages."""
+    from azure_based_pii_redactor_spark.engine.pipeline import (
+        run_scrub_pipeline,
+    )
+    from azure_based_pii_redactor_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 200, seed=11, parts=2)
+    pdf = pages.toPandas()
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    recs = [
+        {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html)}
+        for r in pdf.itertuples(index=False)
+    ]
+    (warc_dir / "part0.warc.gz").write_bytes(
+        encode_warc(recs[:100], http_wrap=True)
+    )
+    (warc_dir / "part1.warc.gz").write_bytes(encode_warc(recs[100:]))
+
+    from_warc = read_warc(spark, str(warc_dir))
+    assert from_warc.count() == 200
+
+    def decisions(df):
+        return {
+            r.url: (r.keep, r.drop_reason, r.n_entities, r.scrubbed_text)
+            for r in run_scrub_pipeline(df, scrub_all=True).collect()
+        }
+
+    assert decisions(from_warc) == decisions(pages)
