@@ -27,6 +27,10 @@ import time
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc"],
+                    help="parquet pages table (default) or raw "
+                         ".warc/.warc.gz files (Common-Crawl layout)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--run-id", required=True)
@@ -61,7 +65,12 @@ def main(argv: list[str] | None = None) -> int:
 
         write_pages_corpus(spark, args.input, args.generate)
 
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from azure_based_pii_redactor_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     feedback = []
     if args.feedback:
         from azure_based_pii_redactor_spark.engine.feedback import (

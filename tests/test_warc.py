@@ -80,3 +80,40 @@ def test_read_warc_pipeline_equals_parquet_path(spark, tmp_path):
         }
 
     assert decisions(from_warc) == decisions(pages)
+
+
+def test_run_pipeline_warc_input(tmp_path):
+    """The spark-submit entrypoint consumes raw .warc.gz input end to
+    end (--input-format warc): scrubbed output + lineage written, JSON
+    summary printed.  Runs as a subprocess so the job's own session
+    lifecycle doesn't touch the shared test session."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    warc_dir = tmp_path / "warc_in"
+    warc_dir.mkdir()
+    recs = [
+        {"url": f"http://w.example/{i}", "warc_ts": datetime(2024, 3, 1),
+         "html": f"<html><body>doc {i} body with some words here"
+                 f"</body></html>".encode()}
+        for i in range(40)
+    ]
+    (warc_dir / "in.warc.gz").write_bytes(encode_warc(recs, http_wrap=True))
+    env = dict(os.environ, PYTHONPATH=repo)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "run_pipeline.py"),
+         "--input", str(warc_dir), "--input-format", "warc",
+         "--output", str(tmp_path / "out"),
+         "--lineage", str(tmp_path / "lineage"),
+         "--run-id", "warctest"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][0]
+    )
+    assert summary["n_docs"] == 40
