@@ -228,3 +228,18 @@ def test_simhash_hamming_plan_no_cartesian(spark):
     plan = plan_of(dedup_simhash_hamming(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_passage_removal_plan_shape(spark):
+    """text_dedup_passage_removal must stay join-safe at scale: no
+    cartesian/BNLJ anywhere, and the word-table exclusion planned as a
+    LEFT ANTI join."""
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        text_dedup_passage_removal,
+    )
+
+    df = text_dedup_passage_removal(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in optimized_of(df), plan
