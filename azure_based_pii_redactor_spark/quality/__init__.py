@@ -1,7 +1,8 @@
 """Deterministic quality-filter kernels (north-star additions).
 
-Language-ID (char n-gram model), n-gram perplexity (KenLM-style interpolated
-bigram LM), and Gopher/C4-style heuristic rules.  All model artifacts are
+Language-ID (char n-gram model), n-gram perplexity (interpolated
+Kneser-Ney bigram LM -- the smoothing KenLM estimates), and Gopher/C4-style
+heuristic rules.  All model artifacts are
 generated deterministically from seed corpora embedded in this package --
 no external model files, no network (BASELINE.json: no external data).
 
