@@ -88,7 +88,12 @@ def parse_warc(blob: bytes) -> list[dict]:
             headers[k.strip().lower().decode("ascii", "replace")] = (
                 v.strip().decode("utf-8", "replace")
             )
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break  # corrupted length: payload boundary unknowable -- stop
+        if length < 0:
+            break
         payload = data[header_end + 4 : header_end + 4 + length]
         pos = header_end + 4 + length
         rtype = headers.get("warc-type", "")

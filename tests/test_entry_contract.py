@@ -56,7 +56,9 @@ def duck():
      "dedup_exact_hash", "knn_cosine_topk", "scalar_mask",
      "text_doc_features", "agg_approx_count_distinct",
      "agg_approx_percentiles", "join_semi_anti", "set_ops",
-     "window_pagination", "agg_analytics_rollup"],
+     "window_pagination", "agg_analytics_rollup",
+     "text_dedup_passage_removal", "sample_stratified_deterministic",
+     "dedup_simhash_hamming"],
 )
 def test_spot_oracle(spark, duck, name):
     got = (

