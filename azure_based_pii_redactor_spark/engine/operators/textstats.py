@@ -66,6 +66,22 @@ def text_fingerprint_md5(spark, sf_dir):
     )
 
 
+def _word_windows(n: int, with_pos: bool = False):
+    """The ONE definition of an ``n``-word window over the ``__words``
+    column, shared by the duplicated-passage DETECTOR and the REMOVER so
+    the signal and the excision can never disagree on segmentation.
+    ``with_pos`` wraps each window in struct(pos, win)."""
+    if with_pos:
+        body = (f"(w, i) -> struct(i AS pos,"
+                f" concat_ws(' ', slice(__words, i + 1, {n})) AS win)")
+    else:
+        body = f"(w, i) -> concat_ws(' ', slice(__words, i + 1, {n}))"
+    return F.expr(
+        f"transform(slice(__words, 1, greatest(size(__words) - {n - 1}, 0)),"
+        f" {body})"
+    )
+
+
 def text_dup_passages(spark, sf_dir, n: int = 8):
     """Cross-document duplicated passages: every ``n``-word window (with
     multiplicity -- positions matter, unlike set-shingle dedup) grouped by
@@ -77,12 +93,8 @@ def text_dup_passages(spark, sf_dir, n: int = 8):
     to shrink the shuffle payload (same plan)."""
     d = _docs(spark, sf_dir)
     with_words = d.withColumn("__words", F.split("text", " "))
-    grams = F.expr(
-        f"transform(slice(__words, 1, greatest(size(__words) - {n - 1}, 0)),"
-        f" (w, i) -> concat_ws(' ', slice(__words, i + 1, {n})))"
-    )
     windows = with_words.select(
-        "doc_id", F.explode(grams).alias("passage")
+        "doc_id", F.explode(_word_windows(n)).alias("passage")
     )
     return (
         windows.groupBy("passage")
@@ -335,26 +347,26 @@ def text_dedup_passage_removal(spark, sf_dir, n: int = 8):
     per-doc UNION of word indexes.  ``text_dup_passages`` reports the
     signal; this op applies it.
 
-    Entirely JVM-side -- no Python stage: window explode -> count+rank
-    windows over the window text -> explode removal spans to word indexes
-    -> distinct -> anti-join the (doc, idx, word) table -> re-assemble
-    text ordered by index.  10^12-doc notes: group on xxhash64(win)
-    instead of the window text to shrink the shuffle payload (kept as
-    text here so the DuckDB oracle can recompute removal exactly);
-    the removal-index explode is bounded by the duplicated-window
-    coverage, not the corpus; the final anti-join co-partitions on
-    doc_id.  Returns one row per document: words before/after and the
-    md5 of the cleaned text (exact oracle compares all three)."""
+    Entirely JVM-side -- no Python stage, TWO corpus scans total (one
+    for windows, one for words): window explode -> count+rank windows
+    over the window text -> explode removal spans to word indexes ->
+    distinct -> LEFT join onto the (doc, idx, word) table -> one
+    conditional aggregation yields words-before, words-removed, AND the
+    cleaned text in the same pass (every doc has >= 1 word row, so no
+    docs-table re-scan is needed to restore untouched rows).
+    10^12-doc notes: group on xxhash64(win) instead of the window text
+    to shrink the shuffle payload (kept as text here so the DuckDB
+    oracle can recompute removal exactly); the removal-index explode is
+    bounded by the duplicated-window coverage, not the corpus; the word
+    join co-partitions on doc_id.  Returns one row per document: words
+    before/after and the md5 of the cleaned text (exact oracle compares
+    all three)."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
     with_words = d.withColumn("__words", F.split("text", " "))
-    grams = F.expr(
-        f"transform(slice(__words, 1, greatest(size(__words) - {n - 1}, 0)),"
-        f" (w, i) -> struct(i AS pos, concat_ws(' ', slice(__words, i + 1, {n})) AS win))"
-    )
     wins = with_words.select(
-        "doc_id", F.explode(grams).alias("g")
+        "doc_id", F.explode(_word_windows(n, with_pos=True)).alias("g")
     ).select("doc_id", "g.pos", "g.win")
     ranked = wins.select(
         "doc_id", "pos",
@@ -372,38 +384,34 @@ def text_dedup_passage_removal(spark, sf_dir, n: int = 8):
             ).alias("idx"),
         )
         .distinct()
+        .withColumn("__rm", F.lit(True))
     )
     words_pos = with_words.select(
         "doc_id", F.posexplode("__words").alias("idx", "word")
     )
-    cleaned = (
-        words_pos.join(rm_idx, ["doc_id", "idx"], "left_anti")
+    kept_word = F.when(F.col("__rm").isNull(), F.col("word"))
+    return (
+        words_pos.join(rm_idx, ["doc_id", "idx"], "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_kept_words"),
+            F.count("*").cast("int").alias("n_words"),
+            F.count(F.col("__rm")).cast("int").alias("n_removed"),
             F.md5(
                 F.concat_ws(
                     " ",
                     F.transform(
-                        F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("idx", kept_word.alias("word"))
+                                )
+                            ),
+                            lambda s: s.word.isNotNull(),
+                        ),
                         lambda s: s.word,
                     ),
                 )
             ).alias("cleaned_md5"),
-        )
-    )
-    return (
-        with_words.select(
-            "doc_id", F.size("__words").alias("n_words")
-        )
-        .join(cleaned, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            (F.col("n_words") - F.coalesce("n_kept_words", F.lit(0)))
-            .alias("n_removed"),
-            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit("")))
-            .alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )

@@ -36,14 +36,19 @@ _CRLF = b"\r\n"
 
 def _gunzip_members(blob: bytes) -> bytes:
     """Decompress ALL concatenated gzip members (the Common-Crawl
-    per-record layout); plain (non-gzip) input passes through."""
+    per-record layout); plain (non-gzip) input passes through.  A
+    corrupted or truncated member stops decoding and keeps every record
+    decoded so far -- one bad member must not fail the Spark task."""
     if blob[:2] != b"\x1f\x8b":
         return blob
     out = []
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(blob[pos:]))
+        try:
+            out.append(d.decompress(blob[pos:]))
+        except zlib.error:
+            break  # corrupt member: keep the prefix that decoded
         if not d.eof:  # truncated trailing member: keep what decoded
             break
         pos = len(blob) - len(d.unused_data)
@@ -103,14 +108,19 @@ def parse_warc(blob: bytes) -> list[dict]:
             raw_ts = headers.get("warc-date")
             if raw_ts:
                 try:
-                    ts = datetime.fromisoformat(
+                    parsed = datetime.fromisoformat(
                         raw_ts.replace("Z", "+00:00")
-                    ).astimezone(timezone.utc).replace(tzinfo=None)
+                    )
+                    if parsed.tzinfo is None:
+                        # WARC-Date is UTC by spec; a naive value must
+                        # NOT be interpreted as host-local time (that
+                        # would shift warc_ts per machine TZ)
+                        parsed = parsed.replace(tzinfo=timezone.utc)
+                    ts = parsed.astimezone(timezone.utc).replace(tzinfo=None)
                 except ValueError:
                     ts = None  # malformed date: keep the page, null the ts
-            records.append(
-                {"url": url, "warc_ts": ts, "html": _http_body(payload)}
-            )
+            body = _http_body(payload) if rtype == "response" else payload
+            records.append({"url": url, "warc_ts": ts, "html": body})
     return records
 
 

@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(app_name=f"scrub_{args.run_id}")
 
     if args.generate:
+        if args.input_format != "parquet":
+            ap.error("--generate writes a PARQUET corpus; it cannot be "
+                     "combined with --input-format warc (the WARC scan "
+                     "would silently decode 0 records from parquet files)")
         from azure_based_pii_redactor_spark.sources.pages import (
             write_pages_corpus,
         )

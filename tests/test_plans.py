@@ -232,8 +232,10 @@ def test_simhash_hamming_plan_no_cartesian(spark):
 
 def test_passage_removal_plan_shape(spark):
     """text_dedup_passage_removal must stay join-safe at scale: no
-    cartesian/BNLJ anywhere, and the word-table exclusion planned as a
-    LEFT ANTI join."""
+    cartesian/BNLJ anywhere, the word-table exclusion as an equi LEFT
+    OUTER join, and exactly TWO corpus scans (windows + words -- the
+    before/removed/cleaned outputs all come from one conditional
+    aggregation, not extra scans)."""
     from azure_based_pii_redactor_spark.engine.operators.textstats import (
         text_dedup_passage_removal,
     )
@@ -242,4 +244,5 @@ def test_passage_removal_plan_shape(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "LeftAnti" in optimized_of(df), plan
+    assert "LeftOuter" in optimized_of(df), plan
+    assert plan.count("Scan parquet") == 2, plan

@@ -154,3 +154,33 @@ def test_warc_parser_fuzz():
                 # parse to stay structurally sane:
                 assert isinstance(r["html"], bytes)
         assert len(got) <= len(base_pages) + 6  # no runaway record storm
+
+
+def test_warc_conversion_payload_not_http_stripped():
+    """conversion records carry their payload directly: content that
+    merely STARTS with 'HTTP/' must not be header-stripped (only
+    response records get the HTTP unwrap)."""
+    payload = b"HTTP/1.1 tutorial intro\r\n\r\nthe actual lesson body"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://t.example/http-tutorial\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + b"\r\n" + payload + b"\r\n\r\n"
+    )
+    got = parse_warc(rec)
+    assert got[0]["html"] == payload  # untouched
+
+
+def test_warc_naive_date_is_utc_and_gzip_corruption_contained():
+    """A WARC-Date without an offset is UTC per spec (never host-local);
+    a corrupted gzip member stops decoding but keeps prior records."""
+    rec = encode_warc(PAGES[:1], gzip_members=False).replace(
+        b"WARC-Date: 2024-01-02T03:04:05Z", b"WARC-Date: 2024-01-02T03:04:05 "
+    )
+    got = parse_warc(rec)
+    assert got[0]["warc_ts"] == datetime(2024, 1, 2, 3, 4, 5)
+
+    blob = bytearray(encode_warc(PAGES[:2], gzip_members=True))
+    blob[-10] ^= 0xFF  # corrupt the SECOND member's tail
+    got = parse_warc(bytes(blob))
+    assert [r["url"] for r in got] == [PAGES[0]["url"]]  # first survives
