@@ -21,7 +21,6 @@ Scale design:
 
 from __future__ import annotations
 
-import re
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -38,13 +37,12 @@ from .schema import SCRUB_OUTPUT_SCHEMA
 
 _WRAP_PREFIX = b"<html><body>"
 _WRAP_SUFFIX = b"</body></html>"
-_TAG = re.compile(r"<[^>]+>")
 
 # JVM-side extraction fast path: strip the canonical wrapper and decode
 # inside whole-stage codegen.  The re-encode equality proves the bytes
 # were valid UTF-8, i.e. the JVM cast is byte-identical to Python's
 # decode; malformed or non-wrapper rows fall back to the Python kernel
-# (errors='replace' / tag-strip), preserving exact semantics.
+# (errors='replace' / html.parser extraction), preserving exact semantics.
 #
 # Arrow-exchange effect: on the dominant path (wrapper html whose
 # extraction equals the text column -- the dataset invariant) Python
@@ -68,7 +66,10 @@ def extract_text(html: bytes | None) -> str | None:
 
     Fast path: strip the canonical wrapper (byte-identical round-trip --
     the per-row invariant from BASELINE.json input_hint).  Fallback for
-    arbitrary html: strip tags.
+    arbitrary crawled html: a real html.parser extraction
+    (script/style subtrees dropped, entities decoded, block boundaries
+    as newlines -- a bare tag-strip would leak JS/CSS into the training
+    text).
     """
     if html is None:
         return None
@@ -78,7 +79,9 @@ def extract_text(html: bytes | None) -> str | None:
         # flag (extracted_ok) records the mismatch downstream
         return html[len(_WRAP_PREFIX) : -len(_WRAP_SUFFIX)].decode(
             "utf-8", errors="replace")
-    return _TAG.sub("", html.decode("utf-8", errors="replace"))
+    from .html_text import html_to_text
+
+    return html_to_text(html.decode("utf-8", errors="replace"))
 
 
 def _scrub_batch(

@@ -1,0 +1,44 @@
+"""Real-HTML fallback extraction: script/style subtrees must never leak
+into training text (the bare tag-strip failure mode), entities decode,
+block structure becomes lines, malformed markup never raises."""
+
+from azure_based_pii_redactor_spark.engine.html_text import html_to_text
+from azure_based_pii_redactor_spark.engine.pipeline import extract_text
+
+
+def test_script_style_dropped_entities_decoded():
+    h = ("<html><head><style>body{color:red}</style>"
+         "<script>var secret = 'TRACKING';</script></head>"
+         "<body><h1>Header</h1><p>Para with &amp; and &lt;tag&gt;.</p>"
+         "<noscript>enable js</noscript></body></html>")
+    out = html_to_text(h)
+    assert "TRACKING" not in out and "color:red" not in out
+    assert "enable js" not in out
+    assert "Para with & and <tag>." in out
+    assert out.splitlines()[0] == "Header"
+
+
+def test_block_structure_becomes_lines():
+    out = html_to_text("<div>a</div><p>b</p><ul><li>c</li><li>d</li></ul>"
+                       "e<br>f")
+    assert out.splitlines() == ["a", "b", "c", "d", "e", "f"]
+
+
+def test_malformed_html_never_raises():
+    for h in ("<p>unclosed <b>bold <p>next", "<<<>>>", "<script>open",
+              "&bogus; &#xZZ; tail", "<a href='x", ""):
+        html_to_text(h)  # must not raise
+
+
+def test_extract_text_wrapper_path_unchanged():
+    """The canonical-wrapper fast path is byte-identical extraction --
+    html.parser must NOT touch it (dataset invariant)."""
+    body = "plain text with  double spaces & <raw> kept"
+    blob = f"<html><body>{body}</body></html>".encode()
+    assert extract_text(blob) == body
+
+
+def test_extract_text_fallback_uses_parser():
+    blob = (b"<!DOCTYPE html><html><head><script>junk()</script></head>"
+            b"<body><p>real content</p></body></html>")
+    assert extract_text(blob) == "real content"
