@@ -1,0 +1,65 @@
+"""URL canonicalization + URL-level page dedup -- the first dedup any
+crawl pipeline runs (the same page is fetched via http/https, with and
+without fragments, and with tracking query params).
+
+Everything is a JVM-side column expression (parse_url + higher-order
+array functions -- no Python, whole-stage codegen), so the canonical key
+is computable inside the scan projection at 10^12 rows (try_parse_url:
+Spark 4's parse_url THROWS on invalid urls; unparseable urls pass
+through verbatim as their own key):
+
+- scheme dropped (http/https duplicates collapse);
+- host lowercased, leading ``www.`` stripped, default :80/:443 stripped;
+- path kept case-sensitive (paths ARE case-sensitive), trailing ``/``
+  trimmed;
+- fragment dropped (never sent to the server);
+- query params split, tracking params removed (utm_*, fbclid, gclid,
+  msclkid, ref), the rest SORTED so param order doesn't matter, empty
+  query dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a url column/name (see module docstring)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(host.isNull(), u).otherwise(
+        F.concat(host, path, qpart)
+    )
+
+
+def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
+    """One page per canonical url: deterministic keeper = newest
+    warc_ts, then smallest original url as the tiebreak (re-crawls
+    supersede older fetches).  Standard rank-window shape -- shuffles
+    once on the canonical key; no skew by construction (host+path keys
+    are near-unique)."""
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc_nulls_last("warc_ts"), F.asc("url")
+    )
+    return (
+        pages.withColumn("canonical_url", canonical_url("url"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,49 @@
+"""URL canonicalization + URL-level dedup (JVM-side expressions)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from azure_based_pii_redactor_spark.engine.operators.urls import (
+    canonical_url,
+    dedup_pages_by_url,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+
+
+def test_canonical_url_rules(spark):
+    got = _canon(spark, [
+        "http://www.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2",
+        "https://example.com:443/a/b/",
+        "http://example.com/a/b?fbclid=zzz&gclid=q",
+        "https://other.net/Path/Case",     # path case preserved
+        "not a url at all",                # unparseable: passthrough
+    ])
+    assert got[0] == "example.com/a/b?a=1&b=2"
+    assert got[1] == "example.com/a/b?a=1&b=2"
+    assert got[2] == "example.com/a/b"
+    assert got[3] == "example.com/a/b"
+    assert got[4] == "other.net/Path/Case"
+    assert got[5] == "not a url at all"
+
+
+def test_dedup_pages_by_url_newest_wins(spark):
+    rows = [
+        ("http://www.a.com/x?utm_source=s", datetime(2024, 1, 1), b"old"),
+        ("https://a.com/x", datetime(2024, 6, 1), b"new"),
+        ("https://a.com/x#frag", None, b"undated"),
+        ("https://b.com/y", datetime(2024, 1, 1), b"only"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    out = {r.canonical_url: (r.url, bytes(r.html))
+           for r in dedup_pages_by_url(pages).collect()}
+    assert len(out) == 2
+    assert out["a.com/x"] == ("https://a.com/x", b"new")  # newest fetch
+    assert out["b.com/y"][1] == b"only"
