@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["replace", "mask", "remove"])
     ap.add_argument("--scrub-all", action="store_true",
                     help="scrub dropped docs too (default: kept only)")
+    ap.add_argument("--dedup-urls", action="store_true",
+                    help="pre-pipeline url-level dedup: canonicalize "
+                         "(scheme/fragment/tracking-params) and keep the "
+                         "newest fetch per canonical url")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic pages into --input first")
@@ -84,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
         # ordered oldest->newest: latest-wins conflict resolution depends
         # on list order (confidence_scoring.go:211-236)
         feedback = load_training_feedback(spark, args.feedback)
+
+    if args.dedup_urls:
+        from azure_based_pii_redactor_spark.engine.operators.urls import (
+            dedup_pages_by_url,
+        )
+
+        pages = dedup_pages_by_url(pages).drop("canonical_url")
 
     t0 = time.time()
     with ProgressReporter(spark, args.run_id) as rep:
