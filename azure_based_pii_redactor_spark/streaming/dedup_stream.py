@@ -19,11 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def dedupe_stream(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    return (
+def dedupe_stream(
+    pages_stream: DataFrame,
+    watermark: str = "1 hour",
+    canonicalize: bool = False,
+) -> DataFrame:
+    """``canonicalize=True`` dedups on the CANONICAL url (scheme/
+    fragment/tracking-params collapsed -- engine/operators/urls.py), so
+    http/https re-fetches of the same page dedupe in-flight too; the
+    canonical key is a JVM projection, so the stateful operator's key
+    cardinality shrinks and state stays bounded by the watermark either
+    way."""
+    key = "url"
+    if canonicalize:
+        from ..engine.operators.urls import canonical_url
+
+        pages_stream = pages_stream.withColumn(
+            "__canon", canonical_url("url")
+        )
+        key = "__canon"
+    out = (
         pages_stream.withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["url"])
+        .dropDuplicatesWithinWatermark([key])
     )
+    return out.drop("__canon") if canonicalize else out
 
 
 def write_stream_exactly_once(

@@ -30,6 +30,38 @@ def test_stream_dedup_drops_refetches(spark, tmp_path):
     assert got.n == got.d == 80
 
 
+def test_stream_dedup_canonical_collapses_url_variants(spark, tmp_path):
+    """canonicalize=True dedups http/https + tracking-param variants of
+    the same page in-flight; the plain form would keep all three."""
+    from datetime import datetime
+
+    src = str(tmp_path / "src_canon")
+    rows = [
+        ("http://www.a.example/p?utm_source=x", datetime(2024, 1, 1, 0, 0)),
+        ("https://a.example/p", datetime(2024, 1, 1, 0, 10)),
+        ("https://a.example/p#frag", datetime(2024, 1, 1, 0, 20)),
+        ("https://a.example/other", datetime(2024, 1, 1, 0, 30)),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp"
+    ).withColumn("html", F.lit(None).cast("binary")).withColumn(
+        "text", F.lit(None).cast("string")
+    ).withColumn("lang", F.lit(None).cast("string")).write.mode(
+        "overwrite").parquet(src)
+
+    stream = dedupe_stream(read_pages_stream(spark, src, 99),
+                           canonicalize=True)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName("canonq")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url FROM canonq").collect()
+    assert len(got) == 2  # one per canonical page
+    assert "__canon" not in stream.columns
+
+
 def test_foreach_batch_exactly_once(spark, tmp_path):
     src = str(tmp_path / "src2")
     out = str(tmp_path / "out")
