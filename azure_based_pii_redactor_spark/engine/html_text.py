@@ -8,11 +8,17 @@ extractor handles ARBITRARY crawled html -- the case a bare tag-strip
 regex gets wrong by leaking ``<script>``/``<style>`` bodies (cookie
 banners, analytics JS) straight into the training text:
 
-- script/style/noscript/template/svg subtrees are dropped entirely;
+- script/style (CDATA elements -- the parser consumes to the close tag)
+  and head/title/noscript/template/svg subtrees are dropped;
+- unclosed skip subtrees CANNOT swallow the rest of the page: svg is
+  foreign content, so any HTML block tag breaks out of it (the HTML5
+  foreign-content rule); a ``<body>`` start or ``</body>``/``</html>``
+  end clears all pending skips (browsers auto-close head there);
 - character/entity references decode (convert_charrefs);
-- block-level boundaries (p, div, li, br, headings, table rows ...)
-  become newlines so the C4 line-level rules still see line structure;
-- runs of spaces/tabs collapse; blank-line runs collapse to one;
+- block-level boundaries (p, div, li, br, headings, table cells ...)
+  become newlines/spaces so the C4 line rules still see line structure
+  and adjacent table cells don't fuse into one token;
+- runs of spaces/tabs collapse; blank lines drop;
 - malformed markup never raises (html.parser is a tolerant
   state machine by design).
 """
@@ -22,44 +28,62 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
+# subtrees whose TEXT is dropped; script/style are CDATA (reliable close),
+# the rest are ordinary elements guarded by the breakout rules above
 _SKIP_SUBTREES = frozenset(
-    {"script", "style", "noscript", "template", "svg"}
+    {"script", "style", "noscript", "template", "svg", "head", "title"}
 )
 _BLOCK_TAGS = frozenset(
     "p div li ul ol br h1 h2 h3 h4 h5 h6 tr table blockquote pre "
-    "article section header footer hr".split()
+    "article section header footer hr caption".split()
 )
+# cell boundaries become SPACES (cells are fields of one line, not lines)
+_CELL_TAGS = frozenset({"td", "th", "dt", "dd"})
 _SPACE_RUN = re.compile(r"[ \t\r\f\v]+")
-_NL_RUN = re.compile(r"\n\s*\n\s*")
 
 
 class _TextExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._chunks: list[str] = []
-        self._skip_depth = 0
+        self._skips: list[str] = []  # stack of open skip-subtree tags
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_SUBTREES:
-            self._skip_depth += 1
-        elif tag in _BLOCK_TAGS:
-            self._chunks.append("\n")
+            self._skips.append(tag)
+            return
+        if tag == "body":
+            # browsers auto-close head (and anything dangling in it)
+            # when body starts
+            self._skips.clear()
+        if tag in _BLOCK_TAGS or tag in _CELL_TAGS:
+            # HTML5 foreign-content breakout: an HTML block tag ends an
+            # (unclosed) svg subtree instead of nesting inside it
+            while self._skips and self._skips[-1] == "svg":
+                self._skips.pop()
+            self._chunks.append("\n" if tag in _BLOCK_TAGS else " ")
 
     def handle_endtag(self, tag):
         if tag in _SKIP_SUBTREES:
-            if self._skip_depth:
-                self._skip_depth -= 1
+            if tag in self._skips:
+                # pop up to and including the nearest matching open
+                while self._skips:
+                    if self._skips.pop() == tag:
+                        break
+        elif tag in ("body", "html"):
+            # nothing legitimately skippable spans past </body>
+            self._skips.clear()
         elif tag in _BLOCK_TAGS:
             self._chunks.append("\n")
+        elif tag in _CELL_TAGS:
+            self._chunks.append(" ")
 
     def handle_data(self, data):
-        if not self._skip_depth and data:
+        if not self._skips and data:
             self._chunks.append(data)
 
     def text(self) -> str:
-        raw = "".join(self._chunks)
-        raw = _SPACE_RUN.sub(" ", raw)
-        raw = _NL_RUN.sub("\n", raw)
+        raw = _SPACE_RUN.sub(" ", "".join(self._chunks))
         lines = [ln.strip() for ln in raw.split("\n")]
         return "\n".join(ln for ln in lines if ln)
 

@@ -22,13 +22,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+_TRACKING_RE = "(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
 
 
 def canonical_url(url) -> Column:
     """Canonical form of a url column/name (see module docstring)."""
     u = F.col(url) if isinstance(url, str) else url
-    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    # AUTHORITY, not HOST: Spark's HOST part silently drops the port,
+    # which would collapse distinct origins (example.com:8080 vs
+    # example.com).  Strip userinfo, lowercase, strip www. and the
+    # DEFAULT ports only -- a non-default port stays in the key.
+    host = F.lower(
+        F.regexp_replace(
+            F.try_parse_url(u, F.lit("AUTHORITY")), r"^[^@]*@", ""
+        )
+    )
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r":(80|443)$", "")
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
@@ -50,12 +58,17 @@ def canonical_url(url) -> Column:
 
 def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
     """One page per canonical url: deterministic keeper = newest
-    warc_ts, then smallest original url as the tiebreak (re-crawls
-    supersede older fetches).  Standard rank-window shape -- shuffles
-    once on the canonical key; no skew by construction (host+path keys
-    are near-unique)."""
+    warc_ts, then smallest original url, then smallest payload hash
+    (re-crawls supersede older fetches; the hash makes the order TOTAL
+    -- two fetches of one url inside the timestamp granularity would
+    otherwise tie and row_number would pick a shuffle-order-dependent
+    winner, breaking resume determinism).  Standard rank-window shape --
+    shuffles once on the canonical key; no skew by construction
+    (host+path keys are near-unique)."""
     w = Window.partitionBy("canonical_url").orderBy(
-        F.desc_nulls_last("warc_ts"), F.asc("url")
+        F.desc_nulls_last("warc_ts"),
+        F.asc("url"),
+        F.asc_nulls_first(F.md5(F.col("html"))),
     )
     return (
         pages.withColumn("canonical_url", canonical_url("url"))

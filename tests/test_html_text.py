@@ -6,16 +6,36 @@ from azure_based_pii_redactor_spark.engine.html_text import html_to_text
 from azure_based_pii_redactor_spark.engine.pipeline import extract_text
 
 
-def test_script_style_dropped_entities_decoded():
-    h = ("<html><head><style>body{color:red}</style>"
+def test_script_style_head_dropped_entities_decoded():
+    h = ("<html><head><title>Site Title</title><style>body{color:red}</style>"
          "<script>var secret = 'TRACKING';</script></head>"
          "<body><h1>Header</h1><p>Para with &amp; and &lt;tag&gt;.</p>"
          "<noscript>enable js</noscript></body></html>")
     out = html_to_text(h)
     assert "TRACKING" not in out and "color:red" not in out
     assert "enable js" not in out
+    assert "Site Title" not in out  # head chrome is not document text
     assert "Para with & and <tag>." in out
     assert out.splitlines()[0] == "Header"
+
+
+def test_unclosed_skip_subtrees_cannot_swallow_the_page():
+    # unclosed <svg>: an HTML block tag breaks out (foreign content)
+    out = html_to_text("<p>before</p><svg><circle/>junk<p>AFTER</p>")
+    assert out.splitlines() == ["before", "AFTER"]
+    # unclosed <head>/<title>: <body> clears pending skips
+    out = html_to_text("<head><title>T<body><p>content</p>")
+    assert out == "content"
+    # unclosed <noscript> ends at </body>
+    out = html_to_text("<body><noscript>x</body><p>tail</p>")
+    assert "tail" in out and "x" not in out
+
+
+def test_table_cells_do_not_fuse():
+    out = html_to_text(
+        "<table><tr><td>Name</td><td>Email</td></tr>"
+        "<tr><td>Bob</td><td>b@x.com</td></tr></table>")
+    assert out.splitlines() == ["Name Email", "Bob b@x.com"]
 
 
 def test_block_structure_becomes_lines():
