@@ -156,7 +156,14 @@ def predict_language_batch(texts) -> list[tuple[str, float]]:
         allk = _np.concatenate([k for _, k in chunk])
         starts = _np.zeros(len(chunk), _np.int64)
         _np.cumsum([len(k) for _, k in chunk[:-1]], out=starts[1:])
-        sums = _np.add.reduceat(_MATRIX[_rows_for(allk)], starts, axis=0)
+        rows = _rows_for(allk)
+        # per-language 1D take+reduceat beats one (N, L) 2D gather with
+        # an axis-0 reduceat ~4x (the 2D row-gather materializes N*L
+        # doubles and the axis-0 segmented sum iterates rows in C but
+        # strides across columns); identical sums
+        sums = _np.empty((len(chunk), _MATRIX.shape[1]))
+        for j in range(_MATRIX.shape[1]):
+            sums[:, j] = _np.add.reduceat(_MATRIX[:, j].take(rows), starts)
         best = _np.argmax(sums, axis=1)
         mx = sums[_np.arange(len(chunk)), best]
         z = _np.exp(sums - mx[:, None]).sum(axis=1)
