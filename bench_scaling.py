@@ -138,6 +138,28 @@ def main() -> None:
             "of N vs 4N executors on a real cluster, where executors do\n"
             "not time-share one memory bus.  Both pairs reported for\n"
             "transparency.\n\n"
+            "Run-to-run honesty: four full round-3 runs of this harness\n"
+            "measured 0.761 / 0.885 / 0.987 / 0.855 on the headline pair\n"
+            "(this file shows the LATEST run, regenerated on every\n"
+            "invocation). The spread is the documented shared-host noise\n"
+            "(transient windows move single legs by 25-50%; each leg is\n"
+            "already best-of-3 WITHIN a run), not a pipeline property.\n"
+            "The saturated pair swings harder (0.64-0.81) because its\n"
+            "4N leg occupies all 32 host cores.\n\n"
+            "## Data-size sweep (fixed local[32], round 3)\n\n"
+            "The complementary axis to core scaling: throughput must\n"
+            "hold as the CORPUS grows (the 100 TB question is 'per-core\n"
+            "rate at 1000x the data', not just 'rate at 4x the cores').\n"
+            "Measured round 3 (best-of-3; best-of-2 at 500k), splits at\n"
+            "2 tasks/core per corpus:\n\n"
+            "| pages | wall sec | docs/sec |\n|---|---|---|\n"
+            "| 50,000 | 2.10 | 23,838 |\n"
+            "| 200,000 | 5.57 | 35,890 |\n"
+            "| 500,000 | 15.62 | 32,017 |\n\n"
+            "Rate RISES then holds as data grows 10x: fixed per-job\n"
+            "overhead amortizes away and the steady-state kernel rate is\n"
+            "flat -- no super-linear term in corpus size anywhere in the\n"
+            "plan (narrow stage, no shuffle).\n\n"
             "Reference single-node ceiling: <= 100 rows/s (10 ms/row"
             " pacing, `file.go:461`) -- this pipeline exceeds it by "
             f"{(N_PAGES / t_high2) / 100:.0f}x at local[{HIGH2}] while also"
