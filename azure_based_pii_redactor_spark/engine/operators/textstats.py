@@ -425,7 +425,9 @@ def sample_stratified_deterministic(spark, sf_dir, pct: int = 20):
     re-runs, retries, and resumes select the SAME rows (rand()-based
     sampling is non-reproducible across task retries -- a silent
     training-data bug at 10^12 docs), and the DuckDB oracle recomputes
-    the selection exactly.  Per-language keep counts prove the
+    the selection exactly.  At 10^12 rows swap the md5 derivation for
+    ``pmod(xxhash64(key), 100)`` -- same plan, faster hash, losing only
+    the cross-engine oracle.  Per-language keep counts prove the
     stratification; the hash is uniform so each stratum keeps ~pct%."""
     d = _docs(spark, sf_dir)
     bucket = F.pmod(
