@@ -417,6 +417,37 @@ def text_dedup_passage_removal(spark, sf_dir, n: int = 8):
     )
 
 
+def decontaminate(
+    docs, eval_docs, n: int = 8, text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Train/test DECONTAMINATION (the GPT-3-appendix / Pile procedure):
+    flag every training document sharing at least one ``n``-word window
+    with any document of an evaluation/benchmark set, so benchmark
+    passages cannot leak into training data and inflate scores.  Distinct
+    from dedup: cross-corpus and asymmetric (the eval set is authoritative
+    and SMALL -- thousands of benchmark items vs 10^12 training docs), so
+    the eval windows are BROADCAST and the training side never shuffles:
+    windows explode in the scan projection, the broadcast LEFT SEMI join
+    marks contaminated ids, one distinct bounds the output by the
+    training-doc count.  Returns (id_col, n_contaminated_windows) per
+    contaminated training doc; callers anti-join it to drop them."""
+    t = docs.withColumn("__words", F.split(text_col, " ")).select(
+        F.col(id_col), F.explode(_word_windows(n)).alias("win")
+    )
+    e = (
+        eval_docs.withColumn("__words", F.split(text_col, " "))
+        .select(F.explode(_word_windows(n)).alias("win"))
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(e), "win", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_windows"))
+        .orderBy(id_col)
+    )
+
+
 def sample_stratified_deterministic(spark, sf_dir, pct: int = 20):
     """Reproducible stratified downsampling -- the training-data staple
     for rebalancing a corpus (e.g. cap English at N%, keep every doc of

@@ -211,3 +211,30 @@ def test_merged_pagination_legs_agree(spark):
         off.sort_values("event_id").reset_index(drop=True),
         key.sort_values("event_id").reset_index(drop=True),
     )
+
+
+def test_decontamination_flags_benchmark_leaks(spark):
+    """Training docs sharing an 8-word window with the eval set are
+    flagged (and only those); the eval side is broadcast and the
+    training side never shuffles before the semi join."""
+    import azure_based_pii_redactor_spark.engine.operators.textstats as t
+
+    bench_q = "what is the capital of france and when was it founded"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text {bench_q} more commentary"),     # leaked
+            (2, "clean document about something else entirely okay"),
+            (3, bench_q),                                      # verbatim
+            (4, "what is the capital of spain and when was it founded"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(100, bench_q)], "doc_id long, text string")
+    got = {r.doc_id: r.n_contaminated_windows
+           for r in t.decontaminate(train, evals).collect()}
+    assert set(got) == {1, 3}
+    assert got[3] == 4  # 11-word eval doc -> 4 distinct 8-gram windows
+    # doc 4 differs inside every 8-gram window of the eval doc
+    plan = t.decontaminate(train, evals)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
