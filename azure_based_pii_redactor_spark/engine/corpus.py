@@ -1,0 +1,147 @@
+"""End-to-end training-corpus builder: the whole recipe in one call.
+
+``build_training_corpus`` composes the individually-tested stages in the
+order a production data pipeline runs them -- each stage is optional so
+callers can reproduce any subset:
+
+1. url-level dedup (canonical key, newest fetch wins) -- cheapest first:
+   every later stage's cost scales with surviving rows;
+2. fused quality filter + PII scrub (langid -> perplexity -> Gopher/C4
+   -> detect -> redact), keep-only;
+3. cross-document duplicated-passage REMOVAL (ExactSubstr-style) over
+   the scrubbed text;
+4. benchmark DECONTAMINATION against an eval set (broadcast semi-join,
+   drop contaminated docs);
+5. deterministic stratified downsampling (hash of url -- reproducible
+   across retries/resumes).
+
+Returns ``(corpus, report)``: the final DataFrame (url, warc_ts, lang,
+lang_pred, text) and a small driver-side dict of per-stage row counts --
+the funnel numbers every pipeline run must log.  The counts cost one
+``count()`` per enabled stage; pass ``report_counts=False`` to build the
+plan lazily with zero extra jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .pipeline import run_scrub_pipeline
+
+
+def build_training_corpus(
+    pages: DataFrame,
+    eval_docs: DataFrame | None = None,
+    dedup_urls: bool = True,
+    remove_dup_passages: bool = True,
+    sample_pct: int | None = None,
+    passage_n: int = 8,
+    report_counts: bool = True,
+    **pipeline_kwargs,
+) -> tuple[DataFrame, dict]:
+    report: dict = {}
+
+    def _count(stage: str, df: DataFrame) -> DataFrame:
+        if report_counts:
+            report[stage] = df.count()
+        return df
+
+    _count("input", pages)
+
+    if dedup_urls:
+        from .operators.urls import dedup_pages_by_url
+
+        pages = _count(
+            "after_url_dedup", dedup_pages_by_url(pages).drop("canonical_url")
+        )
+
+    scrubbed = run_scrub_pipeline(pages, **pipeline_kwargs)
+    kept = _count(
+        "after_quality_filter",
+        scrubbed.filter(F.col("keep")).select(
+            "url", "warc_ts", "lang", "lang_pred",
+            F.col("scrubbed_text").alias("text"),
+        ),
+    )
+
+    if remove_dup_passages:
+        from .operators.textstats import _word_windows
+
+        # same removal semantics as text_dedup_passage_removal, applied
+        # here with url as the document key over the SCRUBBED text; the
+        # cleaned text replaces the doc (docs reduced to nothing are
+        # dropped)
+        from pyspark.sql import Window
+
+        with_words = kept.withColumn("__words", F.split("text", " "))
+        wins = with_words.select(
+            "url", F.explode(_word_windows(passage_n, with_pos=True)).alias("g")
+        ).select("url", "g.pos", "g.win")
+        ranked = wins.select(
+            "url", "pos",
+            F.count("*").over(Window.partitionBy("win")).alias("cnt"),
+            F.row_number().over(
+                Window.partitionBy("win").orderBy("url", "pos")
+            ).alias("rn"),
+        )
+        rm = (
+            ranked.filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+            .select(
+                "url",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + F.lit(passage_n - 1))
+                ).alias("idx"),
+            )
+            .distinct()
+            .withColumn("__rm", F.lit(True))
+        )
+        words = with_words.select(
+            "url", "warc_ts", "lang", "lang_pred",
+            F.posexplode("__words").alias("idx", "word"),
+        )
+        kept_word = F.when(F.col("__rm").isNull(), F.col("word"))
+        kept = (
+            words.join(rm, ["url", "idx"], "left")
+            .groupBy("url", "warc_ts", "lang", "lang_pred")
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("idx", kept_word.alias("word"))
+                                )
+                            ),
+                            lambda s: s.word.isNotNull(),
+                        ),
+                        lambda s: s.word,
+                    ),
+                ).alias("text"),
+            )
+            .filter(F.length("text") > 0)
+        )
+        kept = _count("after_passage_removal", kept)
+
+    if eval_docs is not None:
+        from .operators.textstats import decontaminate
+
+        contaminated = decontaminate(
+            kept, eval_docs, n=passage_n, text_col="text", id_col="url"
+        ).select("url")
+        kept = _count(
+            "after_decontamination",
+            kept.join(F.broadcast(contaminated), "url", "left_anti"),
+        )
+
+    if sample_pct is not None:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(100),
+        )
+        kept = _count(
+            "after_sampling", kept.filter(bucket < sample_pct)
+        )
+
+    return kept, report

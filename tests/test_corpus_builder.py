@@ -1,0 +1,87 @@
+"""build_training_corpus: the composed recipe behaves like its stages.
+
+Each stage is pinned on its own elsewhere; these tests pin the FUNNEL --
+stage order, the report counts, and that every stage actually bites on a
+corpus constructed to trigger all of them."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from azure_based_pii_redactor_spark.engine.corpus import build_training_corpus
+
+GOOD = (
+    "The children walked to the market in the morning and the weather "
+    "was warm. They bought fresh bread and fruit from the vendors. "
+    "Everyone agreed that the market was the best place in the town "
+    "to spend a morning with the family and friends from the village."
+)
+BOILER = "subscribe to our newsletter for the latest updates and offers"
+BENCH = "what is the capital of france and when was it founded today"
+
+
+def _pages(spark):
+    rows = []
+    # url duplicate pair (http/https) -- url dedup must drop one
+    rows.append(("http://www.a.example/p", datetime(2024, 1, 1),
+                 GOOD + " alpha beta gamma delta"))
+    rows.append(("https://a.example/p", datetime(2024, 6, 1),
+                 GOOD + " alpha beta gamma delta"))
+    # gibberish -- quality filter must drop
+    rows.append(("https://a.example/junk", datetime(2024, 1, 2),
+                 "qzx wvj kqp zzj xqw vkz pqj wxz jqk zvw " * 6))
+    # boilerplate passage shared by several docs -- passage removal bites
+    for i in range(3):
+        rows.append((f"https://b.example/b{i}", datetime(2024, 2, i + 1),
+                     f"{GOOD} {BOILER} marker{i} closing words here"))
+    # benchmark-contaminated doc -- decontamination must drop it
+    rows.append(("https://c.example/leak", datetime(2024, 3, 1),
+                 f"{GOOD} {BENCH}"))
+    # clean keepers
+    for i in range(10):
+        rows.append((f"https://d.example/c{i}", datetime(2024, 4, i + 1),
+                     f"{GOOD} unique{i} extra{i} words{i}"))
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).select(
+        "url", "warc_ts",
+        F.concat(F.lit("<html><body>"), "text",
+                 F.lit("</body></html>")).cast("binary").alias("html"),
+        "text", F.lit("en").alias("lang"),
+    )
+
+
+def test_full_funnel(spark):
+    evals = spark.createDataFrame([(1, BENCH)], "doc_id long, text string")
+    corpus, report = build_training_corpus(_pages(spark), eval_docs=evals)
+
+    assert report["input"] == 17
+    assert report["after_url_dedup"] == 16          # http/https pair -> 1
+    assert report["after_quality_filter"] == 15     # gibberish dropped
+    assert report["after_passage_removal"] == 15    # cleaned, none emptied
+    assert report["after_decontamination"] == 14    # leak dropped
+
+    rows = {r.url: r.text for r in corpus.collect()}
+    assert "https://a.example/p" in rows             # newest fetch kept
+    assert "http://www.a.example/p" not in rows
+    assert "https://c.example/leak" not in rows
+    # boilerplate survives only in its first occurrence
+    boiler_hits = [u for u, t in rows.items() if "subscribe to our" in t]
+    assert boiler_hits == ["https://b.example/b0"]
+    # markers survive removal (only the shared passage was excised)
+    assert "marker1" in rows["https://b.example/b1"]
+
+
+def test_sampling_and_lazy_report(spark):
+    corpus, report = build_training_corpus(
+        _pages(spark), sample_pct=50, report_counts=False
+    )
+    assert report == {}  # no counting jobs were triggered
+    n = corpus.count()
+    assert 0 < n < 15  # sampled down, deterministically
+    corpus2, _ = build_training_corpus(
+        _pages(spark), sample_pct=50, report_counts=False
+    )
+    assert sorted(r.url for r in corpus.collect()) == sorted(
+        r.url for r in corpus2.collect()
+    )  # reproducible selection
