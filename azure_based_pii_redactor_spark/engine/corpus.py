@@ -65,59 +65,19 @@ def build_training_corpus(
     )
 
     if remove_dup_passages:
-        from .operators.textstats import _word_windows
+        # the SAME keyed removal core the oracle-checked driver query
+        # uses, applied with url as the document key over the SCRUBBED
+        # text; docs reduced to nothing are dropped
+        from .operators.textstats import remove_duplicate_passages
 
-        # same removal semantics as text_dedup_passage_removal, applied
-        # here with url as the document key over the SCRUBBED text; the
-        # cleaned text replaces the doc (docs reduced to nothing are
-        # dropped)
-        from pyspark.sql import Window
-
-        with_words = kept.withColumn("__words", F.split("text", " "))
-        wins = with_words.select(
-            "url", F.explode(_word_windows(passage_n, with_pos=True)).alias("g")
-        ).select("url", "g.pos", "g.win")
-        ranked = wins.select(
-            "url", "pos",
-            F.count("*").over(Window.partitionBy("win")).alias("cnt"),
-            F.row_number().over(
-                Window.partitionBy("win").orderBy("url", "pos")
-            ).alias("rn"),
-        )
-        rm = (
-            ranked.filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
-            .select(
-                "url",
-                F.explode(
-                    F.sequence(F.col("pos"), F.col("pos") + F.lit(passage_n - 1))
-                ).alias("idx"),
-            )
-            .distinct()
-            .withColumn("__rm", F.lit(True))
-        )
-        words = with_words.select(
-            "url", "warc_ts", "lang", "lang_pred",
-            F.posexplode("__words").alias("idx", "word"),
-        )
-        kept_word = F.when(F.col("__rm").isNull(), F.col("word"))
         kept = (
-            words.join(rm, ["url", "idx"], "left")
-            .groupBy("url", "warc_ts", "lang", "lang_pred")
-            .agg(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.filter(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct("idx", kept_word.alias("word"))
-                                )
-                            ),
-                            lambda s: s.word.isNotNull(),
-                        ),
-                        lambda s: s.word,
-                    ),
-                ).alias("text"),
+            remove_duplicate_passages(
+                kept, "url", n=passage_n,
+                carry_cols=("warc_ts", "lang", "lang_pred"),
+            )
+            .select(
+                "url", "warc_ts", "lang", "lang_pred",
+                F.col("cleaned_text").alias("text"),
             )
             .filter(F.length("text") > 0)
         )

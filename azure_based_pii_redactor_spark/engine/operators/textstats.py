@@ -361,24 +361,45 @@ def text_dedup_passage_removal(spark, sf_dir, n: int = 8):
     join co-partitions on doc_id.  Returns one row per document: words
     before/after and the md5 of the cleaned text (exact oracle compares
     all three)."""
+    cleaned = remove_duplicate_passages(_docs(spark, sf_dir), "doc_id", n=n)
+    return (
+        cleaned.select(
+            "doc_id", "n_words", "n_removed",
+            F.md5("cleaned_text").alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def remove_duplicate_passages(
+    df, key: str, n: int = 8, text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+):
+    """The keyed removal core shared by the driver query above and the
+    corpus builder: returns one row per ``key`` with ``carry_cols``
+    preserved plus (n_words, n_removed, cleaned_text).  See
+    ``text_dedup_passage_removal`` for the plan/scale notes -- this IS
+    that plan, parameterized over the document key and the carried
+    metadata columns (which ride the word-table aggregation as extra
+    group keys; they must be functionally dependent on ``key``)."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
-    with_words = d.withColumn("__words", F.split("text", " "))
+    group = [key, *carry_cols]
+    with_words = df.withColumn("__words", F.split(text_col, " "))
     wins = with_words.select(
-        "doc_id", F.explode(_word_windows(n, with_pos=True)).alias("g")
-    ).select("doc_id", "g.pos", "g.win")
+        key, F.explode(_word_windows(n, with_pos=True)).alias("g")
+    ).select(key, "g.pos", "g.win")
     ranked = wins.select(
-        "doc_id", "pos",
+        key, "pos",
         F.count("*").over(Window.partitionBy("win")).alias("cnt"),
         F.row_number().over(
-            Window.partitionBy("win").orderBy("doc_id", "pos")
+            Window.partitionBy("win").orderBy(key, "pos")
         ).alias("rn"),
     )
     rm_idx = (
         ranked.filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
         .select(
-            "doc_id",
+            key,
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
             ).alias("idx"),
@@ -387,33 +408,30 @@ def text_dedup_passage_removal(spark, sf_dir, n: int = 8):
         .withColumn("__rm", F.lit(True))
     )
     words_pos = with_words.select(
-        "doc_id", F.posexplode("__words").alias("idx", "word")
+        *group, F.posexplode("__words").alias("idx", "word")
     )
     kept_word = F.when(F.col("__rm").isNull(), F.col("word"))
     return (
-        words_pos.join(rm_idx, ["doc_id", "idx"], "left")
-        .groupBy("doc_id")
+        words_pos.join(rm_idx, [key, "idx"], "left")
+        .groupBy(*group)
         .agg(
             F.count("*").cast("int").alias("n_words"),
             F.count(F.col("__rm")).cast("int").alias("n_removed"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.filter(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct("idx", kept_word.alias("word"))
-                                )
-                            ),
-                            lambda s: s.word.isNotNull(),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("idx", kept_word.alias("word"))
+                            )
                         ),
-                        lambda s: s.word,
+                        lambda s: s.word.isNotNull(),
                     ),
-                )
-            ).alias("cleaned_md5"),
+                    lambda s: s.word,
+                ),
+            ).alias("cleaned_text"),
         )
-        .orderBy("doc_id")
     )
 
 
