@@ -165,10 +165,15 @@ def _minhash_signatures(spark, sf_dir) -> DataFrame:
     )
 
 
-def _minhash_est_pairs(spark, sf_dir) -> DataFrame:
+def _minhash_est_pairs(
+    spark, sf_dir, min_est: float | None = 0.5
+) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard (fraction of
     agreeing signature positions), banded 8x4: pairs agreeing on all 4
-    rows of any band become candidates; est >= 0.5 kept.  The shared
+    rows of any band become candidates; est >= ``min_est`` kept
+    (``min_est=None`` keeps every banded candidate -- the verified
+    driver forms re-score candidates EXACTLY and must not pre-drop a
+    true pair whose noisy estimate fell under the bar).  The shared
     core of ``dedup_minhash_lsh`` (which adds exact-verification
     columns) and ``dedup_minhash_clusters`` (which needs only the
     pairs)."""
@@ -225,8 +230,9 @@ def _minhash_est_pairs(spark, sf_dir) -> DataFrame:
                 4,
             ).alias("est_jaccard"),
         )
-        .filter(F.col("est_jaccard") >= 0.5)
     )
+    if min_est is not None:
+        est = est.filter(F.col("est_jaccard") >= min_est)
     return est
 
 
@@ -256,6 +262,78 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+VERIFY_THRESHOLD = 0.5  # exact-Jaccard bar for the verified driver forms
+EST_ERR_BOUND = 0.25  # |est - true| tolerance: k=32 signature, std of the
+# estimator is sqrt(j(1-j)/32) <= 0.088, so 0.25 is ~3 sigma even at the
+# noisiest j=0.5 -- a signature/banding regression trips it long before
+# normal estimator noise does
+
+
+def dedup_minhash_verified(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, VERIFIED: banded candidates (no
+    estimate pre-filter) are re-scored with their exact shingle Jaccard
+    and kept when the true value passes ``VERIFY_THRESHOLD`` -- the
+    standard candidates-then-verify LSH pipeline (MMDS ch.3).  Because
+    the emitted pairs and their Jaccard values are exact, the DuckDB
+    oracle recomputes them in full (the same shingle equi-join SQL as
+    ``dedup_ngram_jaccard``, unguarded to mirror the raw signature
+    shingles), which turns LSH recall itself into a driver-checked
+    requirement: a banding/signature regression that drops a true pair
+    changes the row set and fails the hash compare.  ``est_err_ok``
+    additionally gates the estimator (|est - true| <= EST_ERR_BOUND per
+    pair; oracle states TRUE).  Verification cost is bounded by the
+    CANDIDATE count, not the corpus -- the 100 TB-safe shape."""
+    cand = _minhash_est_pairs(spark, sf_dir, min_est=None).localCheckpoint()
+    truth = _true_jaccard_for(
+        cand.select("doc_a", "doc_b"), _docs(spark, sf_dir)
+    )
+    return (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .filter(F.col("raw_j") >= VERIFY_THRESHOLD)  # RAW value (= oracle)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("true_jaccard").alias("jaccard"),
+            (
+                F.abs(F.col("est_jaccard") - F.col("true_jaccard"))
+                <= EST_ERR_BOUND
+            ).alias("est_err_ok"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_minhash_verified_clusters(spark, sf_dir):
+    """End-to-end near-dup dedup with VERIFIED edges: LSH candidates ->
+    exact re-score (>= VERIFY_THRESHOLD) -> connected components -> one
+    keeper per cluster.  Edges are exact, so the DuckDB oracle
+    recomputes the clusters in full (recursive-CTE transitive closure
+    over the same exact-Jaccard pairs) -- candidate recall is part of
+    the checked contract, exactly as in ``embedding_neardup_clusters``.
+    The unverified candidate-graph form stays public as
+    ``dedup_minhash_clusters`` (pytest surface)."""
+    cand = _minhash_est_pairs(spark, sf_dir, min_est=None)
+    edges = (
+        _true_jaccard_for(cand.select("doc_a", "doc_b"),
+                          _docs(spark, sf_dir))
+        .filter(F.col("raw_j") >= VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(edges)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+            .alias("members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(F.col("component").alias("keeper_id"), "n_members",
+                "members")
+        .orderBy("keeper_id")
+    )
+
+
 def _true_jaccard_for(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """Exact shingle-Jaccard for a SMALL set of candidate pairs: shingles
     are semi-joined down to the candidate docs before the intersection
@@ -269,7 +347,7 @@ def _true_jaccard_for(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     return (
         _shingle_jaccard(_shingles(cand_docs), pairs)
         .select(
-            "doc_a", "doc_b",
+            "doc_a", "doc_b", "raw_j",
             F.round(F.col("raw_j"), 4).alias("true_jaccard"),
         )
     )
@@ -587,8 +665,12 @@ def _simhash_hamming_oracle(k: int = HAMMING_K) -> str:
 QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_minhash_clusters": dedup_minhash_clusters,
+    # the driver slots run the VERIFIED forms (exact re-scored pairs /
+    # edges -> full DuckDB oracles, closing the r3 rows-only gap); the
+    # estimate-carrying detail forms (dedup_minhash_lsh,
+    # dedup_minhash_clusters) stay public functions for pytest + bench
+    "dedup_minhash_lsh": dedup_minhash_verified,
+    "dedup_minhash_clusters": dedup_minhash_verified_clusters,
     "dedup_simhash_hamming": dedup_simhash_hamming,
     # dedup_simhash (equality groups, the degenerate k=0 form) stays a
     # public function with pytest coverage; its driver slot is subsumed
@@ -596,8 +678,67 @@ QUERIES = {
     # pair.
 }
 
+# raw (unguarded) shingle-Jaccard CTE chain shared by the two
+# verified-minhash oracles: mirrors _shingles + _shingle_jaccard exactly
+# (distinct word trigrams per doc, j = i / (|a| + |b| - i)); no DF_MAX
+# stop-shingle clause because the minhash SIGNATURES hash the raw
+# shingle sets.  Usable as the body of a CTE (nested WITH).
+_RAW_JACCARD_PAIRS_SQL = f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)])) AS shingle
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), scored AS (
+                SELECT doc_a, doc_b, i * 1.0 / (sa.sz + sb.sz - i) AS raw_j
+                FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+            )
+            SELECT doc_a, doc_b, raw_j FROM scored
+            WHERE raw_j >= {VERIFY_THRESHOLD}
+"""
+
 ORACLES = {
     "dedup_simhash_hamming": _simhash_hamming_oracle(),
+    "dedup_minhash_lsh": f"""
+        WITH base AS (
+            {_RAW_JACCARD_PAIRS_SQL}
+        )
+        SELECT doc_a, doc_b, round(raw_j, 4) AS jaccard,
+               TRUE AS est_err_ok
+        FROM base ORDER BY doc_a, doc_b
+    """,
+    "dedup_minhash_clusters": f"""
+        WITH RECURSIVE base AS (
+            {_RAW_JACCARD_PAIRS_SQL}
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM base
+            UNION ALL SELECT doc_b, doc_a FROM base
+        ), reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT reach.node, edges.dst
+            FROM reach JOIN edges ON reach.r = edges.src
+        ), labeled AS (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        )
+        SELECT component AS keeper_id,
+               count(*) AS n_members,
+               string_agg(node::VARCHAR, ',' ORDER BY node) AS members
+        FROM labeled GROUP BY component HAVING count(*) > 1
+        ORDER BY keeper_id
+    """,
     "dedup_exact_hash": """
         SELECT md5(substr(text, 1, 20)) AS prefix_hash,
                min(doc_id) AS keeper_id, count(*) AS n_copies
