@@ -475,9 +475,88 @@ def multimodal_suite(spark, sf_dir):
     )
 
 
+# Pinned per-section aggregates of the seed=42 / 300-row suite.  The
+# generator is (seed, id)-pure (numpy PCG64 + SeedSequence, whose stream
+# is stability-guaranteed across numpy versions), so these are contract
+# constants, not snapshots of a flaky run; a codec/generator regression
+# changes them and fails the driver's hash compare.
+_SUITE_PINS = {
+    # section: (n_rows, total_n)  [total_n: kind counts / frames kept /
+    #                              summed sample rates -- all integers]
+    "audio": (113, 2885000),
+    "frame_sample": (106, 468),
+    "kind_stats": (3, 300),
+}
+
+
+def multimodal_suite_gated(spark, sf_dir):
+    """Driver form of the multimodal suite with VALUE checks (closing
+    the r3 rows-only gap): per section it emits the row count and the
+    integer aggregate of ``n`` -- both recomputed literally by the
+    DuckDB oracle from the pinned contract constants -- plus two
+    requirement booleans the oracle states as TRUE:
+
+    - ``deterministic_ok``: the whole suite is regenerated a second
+      time and every (section, key, n, m1, m2) row must match exactly.
+      All suite values are per-row floats or integer-backed aggregates,
+      so exact equality is well-defined (no float-accumulation
+      nondeterminism to mask).
+    - ``finite_ok``: every metric is non-null (decode produced real
+      numbers for every row).
+
+    Binary container parsing itself stays non-SQL-expressible; what the
+    oracle now verifies is that the decode pipeline reproduces its
+    pinned, determinism-checked aggregate state -- the strongest check
+    available without a second decoder implementation.
+    """
+    d1 = multimodal_suite(spark, sf_dir).localCheckpoint()
+    d2 = multimodal_suite(spark, sf_dir)
+    a, b = d1.alias("a"), d2.alias("b")
+    same = (
+        a.join(b, ["section", "key"], "full_outer")
+        .select(
+            "section",
+            (
+                F.col("a.n").eqNullSafe(F.col("b.n"))
+                & F.col("a.m1").eqNullSafe(F.col("b.m1"))
+                & F.col("a.m2").eqNullSafe(F.col("b.m2"))
+            ).alias("same"),
+        )
+        .groupBy("section")
+        .agg(F.min("same").alias("deterministic_ok"))
+    )
+    agg = d1.groupBy("section").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("n").cast("long").alias("total_n"),
+        F.min(
+            F.col("n").isNotNull()
+            & F.col("m1").isNotNull()
+            & ~F.isnan("m1")
+            & F.col("m2").isNotNull()
+            & ~F.isnan("m2")
+        ).alias("finite_ok"),
+    )
+    return (
+        agg.join(same, "section")
+        .select("section", "n_rows", "total_n", "deterministic_ok",
+                "finite_ok")
+        .orderBy("section")
+    )
+
+
+_SUITE_ORACLE = " UNION ALL ".join(
+    f"SELECT '{s}' AS section, {n}::BIGINT AS n_rows,"
+    f" {t}::BIGINT AS total_n, TRUE AS deterministic_ok,"
+    f" TRUE AS finite_ok"
+    for s, (n, t) in sorted(_SUITE_PINS.items())
+)
+
 QUERIES = {
     # the three single-purpose forms above stay public API + pytest
-    # surface; the driver slot is the merged suite
-    "multimodal_suite": multimodal_suite,
+    # surface; the driver slot is the gated suite (pinned counts +
+    # determinism/finiteness requirements, oracle-checked)
+    "multimodal_suite": multimodal_suite_gated,
 }
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "multimodal_suite": _SUITE_ORACLE + " ORDER BY section",
+}
