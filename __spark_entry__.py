@@ -57,58 +57,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return _flagship(spark, "/root/testdata/sf0.001")
 
 
-def _export_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Review/export flow (SURVEY section 3.3) over documents: scrub, then
-    rebuild from stored entities; rows-only check."""
-    from azure_based_pii_redactor_spark.engine.export_flow import (
-        export_scrubbed,
-    )
-    from azure_based_pii_redactor_spark.engine.pipeline import (
-        documents_as_pages,
-        run_scrub_pipeline,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pages = documents_as_pages(docs)
-    out = run_scrub_pipeline(pages, scrub_all=True)
-    return (
-        export_scrubbed(pages, out)
-        .select("url", "n_applied", "exported_text")
-        .orderBy("url")
-    )
-
-
-def _tabular_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tabular row-scrub flow (SURVEY section 3.2) over the customer table
-    (P1 projection + kernel); rows-only check."""
-    from azure_based_pii_redactor_spark.engine.tabular_pipeline import (
-        scrub_tabular,
-    )
-
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    out = scrub_tabular(c, ["c_name", "c_mktsegment"])
-    return out.select(
-        "c_custkey", "n_entities", "scrubbed_row_text"
-    ).orderBy("c_custkey")
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ORDER IS CONTRACT: the driver harness
     executes only the first 50 entries, so the three flagship pipeline
-    flows go first, then the operator suites (similarity, dedup,
-    multimodal, textstats, relational -- every one of which is curated
-    so the total stays at or below the cap; merged queries cover the
-    demoted single-purpose forms)."""
+    flows go first (the value-gated forms from
+    ``engine/operators/pipeline_gates.py`` -- since round 4 every
+    registered entry carries a DuckDB oracle), then the operator suites
+    (similarity, dedup, multimodal, textstats, relational -- every one
+    of which is curated so the total stays at or below the cap; merged
+    queries cover the demoted single-purpose forms)."""
     from azure_based_pii_redactor_spark.engine.operators import (
         DRIVER_QUERY_CAP,
     )
 
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "pipeline_scrub_documents": _flagship,
-        "pipeline_export_rebuild": _export_rebuild,
-        "pipeline_tabular_scrub": _tabular_scrub,
-    }
-    q.update(all_queries())
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = all_queries()
     if len(q) > DRIVER_QUERY_CAP:  # not assert: python -O would strip it
         raise ValueError(
             f"{len(q)} queries registered but the driver harness runs only "

@@ -13,9 +13,18 @@ multimodal, textstats, relational) plus per-module curation keeps every
 registered query inside that window.  ``queries()`` asserts the cap.
 """
 
-from . import dedup, multimodal, relational, similarity, textstats
+from . import (
+    dedup,
+    multimodal,
+    pipeline_gates,
+    relational,
+    similarity,
+    textstats,
+)
 
-ALL_MODULES = (similarity, dedup, multimodal, textstats, relational)
+ALL_MODULES = (
+    pipeline_gates, similarity, dedup, multimodal, textstats, relational
+)
 
 # the driver runs only the first N entries of queries(); keep the
 # registered count at or below this so nothing is silently skipped

@@ -1,0 +1,208 @@
+"""Value-gated driver entries for the three pipeline flows.
+
+Round 3 registered the flagship scrub pipeline, the export/rebuild flow,
+and the tabular row-scrub as rows-only driver queries: the DuckDB oracle
+cannot recompute langid / perplexity / kernel detection, so the driver
+observed row counts but verified no values.  These gated forms close
+that gap with the repo's requirement-stating-oracle pattern (the one the
+ANN recall gates use): every emitted column is either
+
+- recomputable by DuckDB from the source tables (url, n_words -- real
+  cross-engine value checks), or
+- a REQUIREMENT boolean the oracle states as literal TRUE, so a kernel
+  regression flips the value and fails the driver's hash compare
+  instead of hiding in a rows-only row count.
+
+The rich per-doc outputs (keep, drop_reason, scrubbed_text, entities)
+remain on ``entry()`` (driver smoke surface), the public pipeline API,
+and the byte-identity pytest differentials; what moves to the driver
+contract here is the set of invariants those differentials prove.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _docs_as_pages(spark, sf_dir):
+    from ..pipeline import documents_as_pages
+
+    return documents_as_pages(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _scrubbed(spark, sf_dir) -> DataFrame:
+    from ..pipeline import run_scrub_pipeline
+
+    return run_scrub_pipeline(_docs_as_pages(spark, sf_dir), scrub_all=True)
+
+
+def _with_residual_count(df: DataFrame, text_col: str) -> DataFrame:
+    """Append ``n_residual``: entity count of a fresh kernel detection
+    over ``text_col`` (Arrow-batched; the same detect() the scrub ran,
+    so "scrub output re-detects clean" is checked with the scrubber's
+    own definition of PII)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("n_residual", T.IntegerType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ...kernel.scrub import detect
+
+        for pdf in batches:
+            yield pdf.assign(
+                n_residual=[
+                    len(detect(t)) if t is not None else 0
+                    for t in pdf[text_col]
+                ]
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def pipeline_scrub_documents(spark, sf_dir) -> DataFrame:
+    """Flagship quality-filter + PII-scrub pipeline, gated: one row per
+    document with
+
+    - ``url``, ``n_words``: recomputed exactly by DuckDB ('doc://' key,
+      whitespace token count -- parity with the kernel's text.split()
+      verified on every testdata sf);
+    - ``extract_ok``: the per-row byte-identity invariant (extracted
+      text == text column);
+    - ``decision_ok``: keep XOR drop_reason (a kept doc carries no drop
+      reason, a dropped doc names one);
+    - ``scrub_consistent_ok``: zero entities iff scrubbed == original;
+    - ``residual_ok``: re-running the detector over the scrubbed text
+      finds nothing (masks removed every detectable span).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.col("text").alias("__orig"),
+    )
+    out = _with_residual_count(_scrubbed(spark, sf_dir), "scrubbed_text")
+    return (
+        out.join(docs, "url")
+        .select(
+            "url",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("extracted_ok").alias("extract_ok"),
+            (
+                (F.col("keep") & F.col("drop_reason").isNull())
+                | (~F.col("keep") & F.col("drop_reason").isNotNull())
+            ).alias("decision_ok"),
+            (
+                (F.col("n_entities") == 0)
+                == (
+                    F.col("scrubbed_text").eqNullSafe(
+                        F.coalesce(F.col("__orig"), F.lit(""))
+                    )
+                )
+            ).alias("scrub_consistent_ok"),
+            (F.col("n_residual") == 0).alias("residual_ok"),
+        )
+        .orderBy("url")
+    )
+
+
+def pipeline_export_rebuild(spark, sf_dir) -> DataFrame:
+    """Review/export flow, gated: rebuild every document from its STORED
+    entities and require byte identity with the scrub output
+    (``rebuild_ok``) and applied-entity count agreement
+    (``n_applied_ok``) -- the r3 pytest byte-identity differential,
+    promoted to the driver contract."""
+    from ..export_flow import export_scrubbed
+
+    pages = _docs_as_pages(spark, sf_dir)
+    out = _scrubbed(spark, sf_dir).localCheckpoint()
+    rebuilt = export_scrubbed(pages, out)
+    return (
+        out.select("url", "n_entities", "scrubbed_text")
+        .join(rebuilt, "url")
+        .select(
+            "url",
+            F.col("exported_text").eqNullSafe(F.col("scrubbed_text"))
+            .alias("rebuild_ok"),
+            (F.col("n_applied") == F.col("n_entities"))
+            .alias("n_applied_ok"),
+        )
+        .orderBy("url")
+    )
+
+
+def pipeline_tabular_scrub(spark, sf_dir) -> DataFrame:
+    """Tabular row-scrub flow, gated: per customer row,
+
+    - ``clean_roundtrip_ok``: rows with no entities pass through byte-
+      identical to the joined PII-enabled cells;
+    - ``flagged_changed_ok``: rows WITH entities were actually modified;
+    - ``digit_run_flagged_ok``: any row whose joined text contains a
+      9-digit run (the SSN/account shape the pattern bank targets) was
+      flagged -- stated as an implication so it is data-independent;
+    - ``residual_ok``: re-detection over the scrubbed row text is clean.
+    """
+    from ..tabular_pipeline import scrub_tabular
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = _with_residual_count(
+        scrub_tabular(c, ["c_name", "c_mktsegment"]), "scrubbed_row_text"
+    )
+    joined = F.concat_ws(
+        " ",
+        F.coalesce(F.col("c_name").cast("string"), F.lit("")),
+        F.coalesce(F.col("c_mktsegment").cast("string"), F.lit("")),
+    )
+    return out.select(
+        "c_custkey",
+        ((F.col("n_entities") > 0)
+         | (F.col("scrubbed_row_text") == joined))
+        .alias("clean_roundtrip_ok"),
+        ((F.col("n_entities") == 0)
+         | (F.col("scrubbed_row_text") != joined))
+        .alias("flagged_changed_ok"),
+        (~joined.rlike(r"[0-9]{9}") | (F.col("n_entities") > 0))
+        .alias("digit_run_flagged_ok"),
+        (F.col("n_residual") == 0).alias("residual_ok"),
+    ).orderBy("c_custkey")
+
+
+QUERIES = {
+    "pipeline_scrub_documents": pipeline_scrub_documents,
+    "pipeline_export_rebuild": pipeline_export_rebuild,
+    "pipeline_tabular_scrub": pipeline_tabular_scrub,
+}
+
+ORACLES = {
+    "pipeline_scrub_documents": r"""
+        SELECT 'doc://' || doc_id AS url,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> ''))::BIGINT AS n_words,
+               TRUE AS extract_ok,
+               TRUE AS decision_ok,
+               TRUE AS scrub_consistent_ok,
+               TRUE AS residual_ok
+        FROM documents ORDER BY url
+    """,
+    "pipeline_export_rebuild": """
+        SELECT 'doc://' || doc_id AS url,
+               TRUE AS rebuild_ok,
+               TRUE AS n_applied_ok
+        FROM documents ORDER BY url
+    """,
+    "pipeline_tabular_scrub": """
+        SELECT c_custkey,
+               TRUE AS clean_roundtrip_ok,
+               TRUE AS flagged_changed_ok,
+               TRUE AS digit_run_flagged_ok,
+               TRUE AS residual_ok
+        FROM customer ORDER BY c_custkey
+    """,
+}
