@@ -572,6 +572,69 @@ def agg_approx_percentiles(spark, sf_dir, accuracy: int = 10000):
     )
 
 
+def agg_count_distinct_gated(spark, sf_dir, rsd: float = 0.05):
+    """Merged driver form of ``agg_count_distinct`` +
+    ``agg_approx_count_distinct`` (one scan, one slot -- the r4 merge
+    that freed a cap slot for the corpus-builder entry): exact distinct
+    counts oracle-recomputed, plus the HLL++ sketch's ``approx_ok``
+    bound gate.  Both single-purpose forms stay public functions
+    (pytest + bench surface); ``tests/test_merged_queries.py`` pins
+    this form equal to its parts."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.abs(F.col("__approx") - F.col("n_users"))
+                <= F.col("n_users") * (3 * rsd)
+            ).alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def agg_percentiles_gated(spark, sf_dir, accuracy: int = 10000):
+    """Merged driver form of ``agg_percentiles`` +
+    ``agg_approx_percentiles`` (one scan, one slot): exact
+    percentile_cont values oracle-recomputed, plus the Greenwald-Khanna
+    sketch's envelope gates."""
+    e = _t(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n")]
+    outs = []
+    checks = []
+    for q in (0.5, 0.9, 0.99):
+        lo, hi = max(q - 0.01, 0.0), min(q + 0.01, 1.0)
+        p = int(q * 100)
+        aggs += [
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"p{p}"),
+            F.expr(f"percentile_approx(value, {q}, {accuracy})")
+            .alias(f"a{p}"),
+            F.expr(f"percentile(value, {lo})").alias(f"lo{p}"),
+            F.expr(f"percentile(value, {hi})").alias(f"hi{p}"),
+        ]
+        outs.append(f"p{p}")
+        checks.append(
+            (
+                (F.col(f"a{p}") >= F.col(f"lo{p}") - 1e-9)
+                & (F.col(f"a{p}") <= F.col(f"hi{p}") + 1e-9)
+            ).alias(f"ok_p{p}")
+        )
+    return (
+        e.groupBy("event_type")
+        .agg(*aggs)
+        .select("event_type", *outs, "n", *checks)
+        .orderBy("event_type")
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}"
 
 
@@ -914,11 +977,11 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "window_sessionize": window_sessionize,
     "set_ops": set_ops,  # set_union_distinct + set_intersect_except
-    "agg_percentiles": agg_percentiles,
-    "agg_approx_percentiles": agg_approx_percentiles,
+    # exact + approx twins merged into one gated scan each (r4): the
+    # single-purpose forms stay public for pytest/bench
+    "agg_percentiles": agg_percentiles_gated,
     "agg_salted_skew": agg_salted_skew,
-    "agg_count_distinct": agg_count_distinct,
-    "agg_approx_count_distinct": agg_approx_count_distinct,
+    "agg_count_distinct": agg_count_distinct_gated,
     "scalar_mask": scalar_mask,  # scalar_mask_email + scalar_mask_repeat
     "scalar_concat_project": scalar_concat_project,
     "scalar_json_extract": scalar_json_extract,
@@ -1010,16 +1073,6 @@ ORACLES = {
                repeat('*', length(c_name)) AS masked_name
         FROM customer ORDER BY c_custkey
     """,
-    "agg_approx_count_distinct": """
-        SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
-               TRUE AS approx_ok
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    "agg_approx_percentiles": """
-        SELECT event_type, count(*) AS n,
-               TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
     "agg_session_rollup": """
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 4) AS sum_value,
@@ -1094,7 +1147,7 @@ ORACLES = {
     """,
     "agg_count_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users,
-               count(*) AS n_events
+               count(*) AS n_events, TRUE AS approx_ok
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "agg_salted_skew": """
@@ -1107,7 +1160,8 @@ ORACLES = {
                round(quantile_cont(value, 0.5), 4) AS p50,
                round(quantile_cont(value, 0.9), 4) AS p90,
                round(quantile_cont(value, 0.99), 4) AS p99,
-               count(*) AS n
+               count(*) AS n,
+               TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "window_time_bucket": """

@@ -238,3 +238,59 @@ def test_decontamination_flags_benchmark_leaks(spark):
     plan = t.decontaminate(train, evals)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_agg_gated_twins_match_parts(spark):
+    """The r4 exact+approx merges: the gated driver forms must agree
+    column-for-column with the single-purpose public forms."""
+    cd = _pdf(rel.agg_count_distinct(spark, SF)).set_index("event_type")
+    cdg = _pdf(
+        rel.agg_count_distinct_gated(spark, SF)
+    ).set_index("event_type")
+    acd = _pdf(
+        rel.agg_approx_count_distinct(spark, SF)
+    ).set_index("event_type")
+    for col in ("n_users", "n_events"):
+        pd.testing.assert_series_equal(
+            cdg[col], cd[col], check_dtype=False, check_names=False
+        )
+    pd.testing.assert_series_equal(
+        cdg["approx_ok"], acd["approx_ok"], check_names=False
+    )
+    assert cdg["approx_ok"].all()
+
+    p = _pdf(rel.agg_percentiles(spark, SF)).set_index("event_type")
+    pg = _pdf(rel.agg_percentiles_gated(spark, SF)).set_index("event_type")
+    ap = _pdf(
+        rel.agg_approx_percentiles(spark, SF)
+    ).set_index("event_type")
+    for col in ("p50", "p90", "p99", "n"):
+        pd.testing.assert_series_equal(
+            pg[col], p[col], check_dtype=False, check_names=False
+        )
+    for col in ("ok_p50", "ok_p90", "ok_p99"):
+        pd.testing.assert_series_equal(
+            pg[col], ap[col], check_names=False
+        )
+        assert pg[col].all()
+
+
+def test_minhash_verified_pairs_are_exact(spark):
+    """The r4 verified driver forms: every emitted pair's jaccard equals
+    the exhaustive exact computation (the LSH layer only proposes;
+    verification decides), and the estimator bound holds."""
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+    import pyspark.sql.functions as F
+
+    got = _pdf(dd.dedup_minhash_verified(spark, SF))
+    docs = dd._docs(spark, SF)
+    truth = _pdf(
+        dd._shingle_jaccard(dd._shingles(docs))
+        .filter(F.col("raw_j") >= dd.VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("raw_j", 4).alias("jaccard"))
+    )
+    got_pairs = got[["doc_a", "doc_b", "jaccard"]].sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    truth = truth.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_pairs, truth, check_dtype=False)
+    assert got["est_err_ok"].all()
