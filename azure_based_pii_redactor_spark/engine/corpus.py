@@ -37,8 +37,18 @@ def build_training_corpus(
     sample_pct: int | None = None,
     passage_n: int = 8,
     report_counts: bool = True,
+    quality_filter: bool = True,
     **pipeline_kwargs,
 ) -> tuple[DataFrame, dict]:
+    """See module docstring.  ``quality_filter=False`` runs the scrub
+    stage in keep-all mode (every row scrubbed, none dropped by the
+    langid / perplexity / heuristic gates) -- the recipe for corpora
+    whose quality decisions are evaluated separately, and the form the
+    driver-checked funnel query uses so every stage count is
+    recomputable by the DuckDB oracle (the keep decision itself is
+    gated by the flagship pipeline entry instead).  The report stage is
+    named ``after_scrub`` in that mode, ``after_quality_filter``
+    otherwise."""
     report: dict = {}
 
     def _count(stage: str, df: DataFrame) -> DataFrame:
@@ -55,10 +65,14 @@ def build_training_corpus(
             "after_url_dedup", dedup_pages_by_url(pages).drop("canonical_url")
         )
 
+    if not quality_filter:
+        pipeline_kwargs.setdefault("scrub_all", True)
     scrubbed = run_scrub_pipeline(pages, **pipeline_kwargs)
+    if quality_filter:
+        scrubbed = scrubbed.filter(F.col("keep"))
     kept = _count(
-        "after_quality_filter",
-        scrubbed.filter(F.col("keep")).select(
+        "after_quality_filter" if quality_filter else "after_scrub",
+        scrubbed.select(
             "url", "warc_ts", "lang", "lang_pred",
             F.col("scrubbed_text").alias("text"),
         ),

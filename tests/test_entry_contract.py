@@ -54,8 +54,8 @@ def duck():
     "name",
     ["agg_tpch_q1", "join_latest_per_key", "window_topk",
      "dedup_exact_hash", "knn_cosine_topk", "scalar_mask",
-     "text_doc_features", "agg_approx_count_distinct",
-     "agg_approx_percentiles", "join_semi_anti", "set_ops",
+     "text_doc_features", "agg_count_distinct",
+     "agg_percentiles", "join_semi_anti", "set_ops",
      "window_pagination", "agg_analytics_rollup",
      "text_dedup_passage_removal", "sample_stratified_deterministic",
      "dedup_simhash_hamming"],
