@@ -19,6 +19,50 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n_docs long, n_kept long, n_entities long"
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(
+    spark, changelog_checkpointing: bool = True
+) -> dict:
+    """Point NEW streaming queries of this session at the RocksDB state
+    store provider (ships with Spark 4; JNI lib bundled).  The default
+    HDFS-backed provider keeps every key of every stateful operator in
+    executor heap -- at 10^12-doc scale the watermark-window state of
+    dedup / interval-join / running-totals wants RocksDB's off-heap,
+    spill-to-disk store with changelog checkpointing (only the delta
+    ships to the checkpoint per epoch, not a full snapshot).
+
+    Returns the previous values of every conf it touched so callers can
+    restore them (``None`` for confs that were unset)."""
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled":
+            str(bool(changelog_checkpointing)).lower(),
+    }
+    prev: dict = {}
+    for k, v in conf.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
+
+def restore_state_store_conf(spark, prev: dict) -> None:
+    """Undo ``use_rocksdb_state_store`` (test/tooling helper)."""
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
 def _update(key, pdfs, state: GroupState):
     n_docs = n_kept = n_entities = 0
     if state.exists:
