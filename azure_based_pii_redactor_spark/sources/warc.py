@@ -182,3 +182,58 @@ def encode_warc(
         )
         out.append(gzip.compress(rec, mtime=0) if gzip_members else rec)
     return b"".join(out)
+
+
+def write_warc_corpus(
+    spark: SparkSession,
+    path: str,
+    n_rows: int,
+    seed: int = 42,
+    files: int = 256,
+    http_wrap: bool = True,
+) -> int:
+    """Materialize a deterministic pages corpus as ``files`` Common-
+    Crawl-layout ``.warc.gz`` files (one gzip member per record, html
+    nested in an HTTP response payload) -- the bench/test fixture for
+    the WARC front door.  Each Spark partition encodes and writes ONE
+    file (the same one-file-per-task granularity ``read_warc`` scans
+    back), so generation is distributed and the file count -- the unit
+    of scan parallelism -- is explicit.  Returns the page count."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .pages import generate_pages
+
+    os.makedirs(path, exist_ok=True)
+    pages = generate_pages(spark, n_rows, seed, parts=files)
+
+    def write_part(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            for url, ts, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"]
+            ):
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": None if ts is None else ts.to_pydatetime(),
+                        "html": b"" if html is None else bytes(html),
+                    }
+                )
+        blob = encode_warc(rows, gzip_members=True, http_wrap=http_wrap)
+        with open(
+            os.path.join(path, f"part-{pid:05d}.warc.gz"), "wb"
+        ) as f:
+            f.write(blob)
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    return int(
+        pages.mapInPandas(write_part, schema="n long")
+        .agg(F.sum("n"))
+        .first()[0]
+    )

@@ -114,6 +114,33 @@ def main() -> None:
     timings["pipeline_scrub"] = round(pipeline_sec, 3)
     docs_per_sec = round(n_pages / pipeline_sec, 1)
 
+    # -- WARC front door: Common-Crawl-layout ingestion ---------------------
+    # Same corpus as .warc.gz (one gzip member per record, html inside an
+    # HTTP response payload), 256 files -> one file per binaryFile task
+    # (~8 tasks/core), the same granularity a 100k-file crawl shard has.
+    # Timed: full scan + record parse + schema projection to PAGES rows.
+    # A single .warc.gz decodes in ONE task (gzip members are a byte-
+    # range affordance, not a parallelism one) -- file count IS the
+    # parallelism knob, which the fixture writer makes explicit.
+    from azure_based_pii_redactor_spark.sources.warc import (
+        read_warc,
+        write_warc_corpus,
+    )
+
+    warc_dir = os.path.join(SCRATCH, f"warc_{n_pages}")
+    if not os.path.exists(warc_dir):
+        write_warc_corpus(spark, warc_dir, n_pages, seed=42, files=256)
+    read_warc(spark, os.path.join(warc_dir, "*.warc.gz")).limit(
+        2000
+    ).write.format("noop").mode("overwrite").save()  # warm-up, untimed
+    best = 9e9
+    for _ in range(2):
+        t0 = time.time()
+        read_warc(spark, os.path.join(warc_dir, "*.warc.gz")).write.format(
+            "noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    timings["warc_scan"] = round(best, 3)
+
     # -- operator headliners ------------------------------------------------
     # Warm-up pass at sf0.001: JVM JIT + whole-stage-codegen compilation
     # otherwise dominates small-SF timings and masks the steady-state rate

@@ -184,3 +184,32 @@ def test_warc_naive_date_is_utc_and_gzip_corruption_contained():
     blob[-10] ^= 0xFF  # corrupt the SECOND member's tail
     got = parse_warc(bytes(blob))
     assert [r["url"] for r in got] == [PAGES[0]["url"]]  # first survives
+
+
+def test_write_warc_corpus_roundtrips(spark, tmp_path):
+    """The bench fixture writer: a distributed-written .warc.gz corpus
+    reads back page-for-page (url/ts/html) against the parquet-shaped
+    generator output, at the one-file-per-task granularity."""
+    import os
+
+    from azure_based_pii_redactor_spark.sources.pages import generate_pages
+    from azure_based_pii_redactor_spark.sources.warc import (
+        read_warc,
+        write_warc_corpus,
+    )
+
+    d = str(tmp_path / "warc")
+    n = write_warc_corpus(spark, d, 300, seed=11, files=8)
+    assert n == 300
+    assert len([f for f in os.listdir(d) if f.endswith(".warc.gz")]) == 8
+    got = read_warc(spark, d + "/*.warc.gz").select(
+        "url", "warc_ts", "html").toPandas().set_index("url").sort_index()
+    want = generate_pages(spark, 300, seed=11, parts=8).select(
+        "url", "warc_ts", "html").toPandas().set_index("url").sort_index()
+    assert len(got) == 300
+    assert (got.index == want.index).all()
+    assert (got["warc_ts"] == want["warc_ts"]).all()
+    assert all(
+        bytes(a) == bytes(b)
+        for a, b in zip(got["html"], want["html"])
+    )
