@@ -75,6 +75,136 @@ def run_at(cpus: int, corpus: str) -> float:
     return best
 
 
+SKEW_DOCS = int(os.environ.get("SCALING_SKEW_DOCS", "50000"))
+SKEW_EVENTS = int(os.environ.get("SCALING_SKEW_EVENTS", "2000000"))
+
+
+def _write_skew_corpora(spark) -> dict[str, str]:
+    """Uniform + skewed twins of the three skew-prone table shapes
+    (deterministic, JVM-side generation):
+
+    - documents: 40 unique pseudo-words per doc; the skewed twin appends
+      ONE fixed 8-word passage to every 5th doc (10^4 duplications at
+      50k docs -- the hot-passage shape of boilerplate at web scale);
+    - pages: unique urls; the skewed twin gives every 5th row the SAME
+      url (10^4 re-fetches of one hot page);
+    - events: 5 uniform types; the skewed twin routes 90% of rows to
+      one hot type (the zipfian-domain shape).
+    """
+    from pyspark.sql import functions as F
+
+    dirs = {}
+    for variant in ("uniform", "skewed"):
+        d = os.path.join(SCRATCH, f"skew_{variant}")
+        dirs[variant] = d
+        if os.path.exists(os.path.join(d, "events.parquet")):
+            continue
+        base = spark.range(SKEW_DOCS, numPartitions=64)
+        words = F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), i ->"
+            " substr(md5(concat(cast(id AS string), '-',"
+            " cast(i AS string))), 1, 6)))"
+        )
+        hot = F.lit(" ".join(f"hotword{i}" for i in range(8)))
+        text = (
+            F.when(F.col("id") % 5 == 0, F.concat(words, F.lit(" "), hot))
+            .otherwise(words)
+            if variant == "skewed"
+            else words
+        )
+        base.select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("src"), F.col("id") % 7).alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        url = (
+            F.when(
+                F.col("id") % 5 == 0, F.lit("https://hot.example/page")
+            ).otherwise(
+                F.concat(F.lit("https://u"), F.col("id"),
+                         F.lit(".example/p"))
+            )
+            if variant == "skewed"
+            else F.concat(F.lit("https://u"), F.col("id"),
+                          F.lit(".example/p"))
+        )
+        base.select(
+            url.alias("url"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id"))
+            .alias("warc_ts"),
+            F.encode(F.md5(F.col("id").cast("string")), "UTF-8")
+            .alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+        ).write.mode("overwrite").parquet(os.path.join(d, "pages.parquet"))
+        ev = spark.range(SKEW_EVENTS, numPartitions=64)
+        etype = (
+            F.when(
+                F.pmod(F.col("id"), F.lit(10)) < 9, F.lit("t_hot")
+            ).otherwise(F.concat(F.lit("t"), F.col("id") % 5))
+            if variant == "skewed"
+            else F.concat(F.lit("t"), F.col("id") % 5)
+        )
+        ev.select(
+            F.col("id").alias("event_id"),
+            etype.alias("event_type"),
+            (F.col("id") % 1000).alias("user_id"),
+            ((F.col("id") % 997) * 0.5).alias("value"),
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return dirs
+
+
+def _skew_sweep() -> list[tuple[str, float, float]]:
+    """(op, uniform sec, skewed sec) for the three skew-prone operators
+    on same-size corpora -- the 'no super-linear wall under skew'
+    evidence (VERDICT r3 #7).  Fixed local[32]; best-of-2 per cell."""
+    from azure_based_pii_redactor_spark.engine.operators import (
+        relational,
+        textstats,
+        urls,
+    )
+    from azure_based_pii_redactor_spark.engine.session import build_session
+
+    spark = build_session(app_name="skew_sweep", master="local[32]",
+                          shuffle_partitions=32)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    dirs = _write_skew_corpora(spark)
+
+    def ops(d):
+        return {
+            "text_dedup_passage_removal":
+                lambda: textstats.text_dedup_passage_removal(spark, d),
+            "dedup_pages_by_url":
+                lambda: urls.dedup_pages_by_url(
+                    spark.read.parquet(os.path.join(d, "pages.parquet"))
+                ).drop("canonical_url"),
+            "agg_salted_skew":
+                lambda: relational.agg_salted_skew(spark, d),
+        }
+
+    # warm-up on the uniform corpus, untimed (codegen + python workers)
+    for fn in ops(dirs["uniform"]).values():
+        fn().write.format("noop").mode("overwrite").save()
+    rows = []
+    for name in ops(dirs["uniform"]):
+        times = {}
+        for variant in ("uniform", "skewed"):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                ops(dirs[variant])[name]().write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.time() - t0)
+            times[variant] = best
+        rows.append((name, times["uniform"], times["skewed"]))
+    spark.stop()
+    return rows
+
+
 def main() -> None:
     from azure_based_pii_redactor_spark.engine.session import build_session
     from azure_based_pii_redactor_spark.sources.pages import generate_pages
@@ -93,6 +223,35 @@ def main() -> None:
     t_low2 = run_at(LOW2, corpus)
     t_high2 = run_at(HIGH2, corpus)
     eff2 = (t_low2 / t_high2) / (HIGH2 / LOW2)
+    skew_rows = (
+        [] if os.environ.get("SCALING_SKIP_SKEW") else _skew_sweep()
+    )
+    skew_md = ""
+    if skew_rows:
+        lines = "".join(
+            f"| {name} | {u:.2f} | {s:.2f} | {s / u:.2f}x |\n"
+            for name, u, s in skew_rows
+        )
+        skew_md = (
+            "\n## Skew sweep (fixed local[32])\n\n"
+            "Same-size uniform vs skewed corpora for the three\n"
+            "skew-prone operators: one 8-word passage duplicated across\n"
+            f"every 5th of {SKEW_DOCS:,} docs (10^4 hot-passage copies),\n"
+            f"one url re-fetched by every 5th of {SKEW_DOCS:,} pages, and\n"
+            f"90% of {SKEW_EVENTS:,} events on one hot key.  Best-of-2\n"
+            "per cell; the ratio is the skew cost -- a quadratic\n"
+            "blow-up (hot-shingle self-join, unguarded window fan-out)\n"
+            "would show as a 100x+ wall, not a small constant:\n\n"
+            "| op | uniform sec | skewed sec | skew/uniform |\n"
+            "|---|---|---|---|\n" + lines +
+            "\nWhy bounded: passage removal counts hot windows with\n"
+            "map-side partial aggregation and its removal explode is\n"
+            "sized by duplicated coverage (docs x window width), not\n"
+            "copies^2; url dedup's rank window receives one partition\n"
+            "of 10^4 rows for the hot key (linear sort, no join); the\n"
+            "salted aggregation spreads the hot key over 16 reducers\n"
+            "before the final collapse.\n"
+        )
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -107,6 +266,8 @@ def main() -> None:
         "gate": 0.8,
         "passes": eff >= 0.8,
     }
+    for name, u, s in skew_rows:
+        result[f"skew_ratio_{name}"] = round(s / u, 2)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
@@ -159,7 +320,8 @@ def main() -> None:
             "Rate RISES then holds as data grows 10x: fixed per-job\n"
             "overhead amortizes away and the steady-state kernel rate is\n"
             "flat -- no super-linear term in corpus size anywhere in the\n"
-            "plan (narrow stage, no shuffle).\n\n"
+            "plan (narrow stage, no shuffle).\n"
+            + skew_md + "\n"
             "Reference single-node ceiling: <= 100 rows/s (10 ms/row"
             " pacing, `file.go:461`) -- this pipeline exceeds it by "
             f"{(N_PAGES / t_high2) / 100:.0f}x at local[{HIGH2}] while also"
