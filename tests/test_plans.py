@@ -246,3 +246,38 @@ def test_passage_removal_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftOuter" in optimized_of(df), plan
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_minhash_verified_plan_bounded(spark):
+    """The r4 verified-minhash driver forms: candidates come from the
+    banded equi-join, the exact re-score is restricted to candidate
+    docs via a BROADCAST semi-join on the candidate id set, and no
+    cartesian/nested-loop join appears anywhere -- verification cost is
+    bounded by candidates, never corpus^2."""
+    from azure_based_pii_redactor_spark.engine.operators.dedup import (
+        dedup_minhash_verified,
+    )
+
+    df = dedup_minhash_verified(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    opt = optimized_of(df)
+    assert "LeftSemi" in opt, opt
+
+
+def test_decontaminate_driver_plan(spark):
+    """The driver form of decontamination keeps the library plan: eval
+    windows broadcast into a LEFT SEMI join, training side unshuffled
+    before it."""
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        text_decontaminate,
+    )
+
+    df = text_decontaminate(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE hash-partitioning exchange: the final groupBy above
+    # the semi join; the training side reaches the join unshuffled
+    assert plan.count("Exchange hashpartitioning") == 1, plan
