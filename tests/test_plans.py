@@ -278,6 +278,10 @@ def test_decontaminate_driver_plan(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # exactly ONE hash-partitioning exchange: the final groupBy above
-    # the semi join; the training side reaches the join unshuffled
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # exactly two hash exchanges, neither on the training windows: the
+    # eval-side DISTINCT (tiny, inside the broadcast subtree, keyed on
+    # win) and the per-doc count above the join (keyed on doc_id) --
+    # the training side reaches the semi join unshuffled
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert plan.count("Exchange hashpartitioning(win") == 1, plan
