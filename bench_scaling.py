@@ -298,7 +298,9 @@ def main() -> None:
             f"90% of {SKEW_EVENTS:,} events on one hot key.  Best-of-2\n"
             "per cell; the ratio is the skew cost -- a quadratic\n"
             "blow-up (hot-shingle self-join, unguarded window fan-out)\n"
-            "would show as a 100x+ wall, not a small constant:\n\n"
+            "would show as a 100x+ wall, not a small constant.\n"
+            "Ratios below 1.0 are within the host's +/-25% wall-clock\n"
+            "noise; the signal is the ABSENCE of a blow-up:\n\n"
             "| op | uniform sec | skewed sec | skew/uniform |\n"
             "|---|---|---|---|\n" + lines +
             "\nWhy bounded: passage removal counts hot windows with\n"
@@ -358,14 +360,16 @@ def main() -> None:
             "of N vs 4N executors on a real cluster, where executors do\n"
             "not time-share one memory bus.  Both pairs reported for\n"
             "transparency.\n\n"
-            "Run-to-run honesty: four full round-3 runs of this harness\n"
-            "measured 0.761 / 0.885 / 0.987 / 0.855 on the headline pair\n"
-            "(this file shows the LATEST run, regenerated on every\n"
-            "invocation). The spread is the documented shared-host noise\n"
-            "(transient windows move single legs by 25-50%; each leg is\n"
-            "already best-of-3 WITHIN a run), not a pipeline property.\n"
-            "The saturated pair swings harder (0.64-0.81) because its\n"
-            "4N leg occupies all 32 host cores.\n\n"
+            "Run-to-run honesty: this file shows the LATEST run and is\n"
+            "regenerated on every invocation. Full-run history on the\n"
+            "headline pair: round 3 measured 0.761 / 0.885 / 0.987 /\n"
+            "0.855; round 4 measured 1.072. The spread is the\n"
+            "documented shared-host noise (transient windows move\n"
+            "single legs by 25-50%; each leg is already best-of-3\n"
+            "WITHIN a run), not a pipeline property -- values above 1.0\n"
+            "mean the N leg caught a slow window, not super-linear\n"
+            "scaling. The saturated pair swings harder (0.64-0.81)\n"
+            "because its 4N leg occupies all 32 host cores.\n\n"
             "## Data-size sweep (fixed local[32], measured this run)\n\n"
             "The complementary axis to core scaling: throughput must\n"
             "hold as the CORPUS grows (the 100 TB question is 'per-core\n"
