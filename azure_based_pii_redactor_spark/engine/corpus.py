@@ -70,12 +70,23 @@ def build_training_corpus(
     scrubbed = run_scrub_pipeline(pages, **pipeline_kwargs)
     if quality_filter:
         scrubbed = scrubbed.filter(F.col("keep"))
+    kept = scrubbed.select(
+        "url", "warc_ts", "lang", "lang_pred",
+        F.col("scrubbed_text").alias("text"),
+    )
+    if report_counts:
+        # Report mode runs one count() per stage, and every downstream
+        # stage consumes its input several times (passage removal scans
+        # windows + words; decontamination scans windows + anti-joins)
+        # -- without a materialization barrier each of those re-runs
+        # the Python scrub kernel.  localCheckpoint bounds the kernel
+        # to ONE execution.  This is the debug/driver-scale surface;
+        # at production scale use report_counts=False (fully lazy, zero
+        # extra jobs) and read the funnel from the lineage/metrics
+        # tables the checkpoint sink writes.
+        kept = kept.localCheckpoint()
     kept = _count(
-        "after_quality_filter" if quality_filter else "after_scrub",
-        scrubbed.select(
-            "url", "warc_ts", "lang", "lang_pred",
-            F.col("scrubbed_text").alias("text"),
-        ),
+        "after_quality_filter" if quality_filter else "after_scrub", kept
     )
 
     if remove_dup_passages:
@@ -95,6 +106,10 @@ def build_training_corpus(
             )
             .filter(F.length("text") > 0)
         )
+        if report_counts:
+            kept = kept.localCheckpoint()  # same rationale as above:
+            # decontamination + sampling + the final consumer would
+            # each re-run the two-scan removal plan otherwise
         kept = _count("after_passage_removal", kept)
 
     if eval_docs is not None:
