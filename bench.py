@@ -130,6 +130,21 @@ def main() -> None:
     warc_dir = os.path.join(SCRATCH, f"warc_{n_pages}")
     if not os.path.exists(warc_dir):
         write_warc_corpus(spark, warc_dir, n_pages, seed=42, files=256)
+    # Split sizing for THIS corpus: a .warc.gz is atomic (one file, one
+    # decode), so partitions should pack ~2 files each for ~4 tasks/core
+    # -- the parquet-corpus maxPartitionBytes set above would pack all
+    # 256 tiny fixture files into a couple of tasks and serialize the
+    # decode.  (At production scale files are ~1 GB and one file per
+    # task falls out naturally.)
+    wfiles = [f for f in os.listdir(warc_dir) if f.endswith(".warc.gz")]
+    wtotal = sum(
+        os.path.getsize(os.path.join(warc_dir, f)) for f in wfiles
+    )
+    saved_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(2 * wtotal // max(len(wfiles), 1), 1)),
+    )
     read_warc(spark, os.path.join(warc_dir, "*.warc.gz")).limit(
         2000
     ).write.format("noop").mode("overwrite").save()  # warm-up, untimed
@@ -140,6 +155,7 @@ def main() -> None:
             "noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     timings["warc_scan"] = round(best, 3)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
 
     # -- operator headliners ------------------------------------------------
     # Warm-up pass at sf0.001: JVM JIT + whole-stage-codegen compilation
