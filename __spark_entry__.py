@@ -59,8 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ORDER IS CONTRACT: the driver harness
-    executes only the first 50 entries, so the three flagship pipeline
-    flows go first (the value-gated forms from
+    executes only the first 50 entries, so the four pipeline entries
+    go first (the value-gated forms from
     ``engine/operators/pipeline_gates.py`` -- since round 4 every
     registered entry carries a DuckDB oracle), then the operator suites
     (similarity, dedup, multimodal, textstats, relational -- every one

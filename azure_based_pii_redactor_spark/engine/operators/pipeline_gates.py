@@ -1,4 +1,5 @@
-"""Value-gated driver entries for the three pipeline flows.
+"""Value-gated driver entries for the pipeline flows (flagship scrub,
+export rebuild, tabular scrub, corpus-builder funnel).
 
 Round 3 registered the flagship scrub pipeline, the export/rebuild flow,
 and the tabular row-scrub as rows-only driver queries: the DuckDB oracle
@@ -26,6 +27,10 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+
+from .textstats import word_windows_sql
+
+_WIN = word_windows_sql()  # the shared 8-word-window SQL fragment
 
 
 def _docs_as_pages(spark, sf_dir):
@@ -255,7 +260,7 @@ ORACLES = {
     # urls, 8-word-window passage removal (keeper = string-min (url,
     # pos)), decontamination of the CLEANED text against the
     # doc_id % 41 eval windows, md5-bucket 50% sample
-    "pipeline_corpus_builder": """
+    "pipeline_corpus_builder": f"""
         WITH pages AS (
             SELECT 'doc://' || doc_id AS url, text FROM documents
         ), w AS (
@@ -263,9 +268,7 @@ ORACLES = {
         ), wins AS (
             SELECT url,
                    unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
-                   unnest([array_to_string(ws[i:i+7], ' ')
-                           for i in range(1, greatest(len(ws) - 6, 1))])
-                       AS win
+                   unnest({_WIN}) AS win
             FROM w
         ), ranked AS (
             SELECT url, pos,
@@ -288,21 +291,23 @@ ORACLES = {
                               WHERE rm.url = words.url
                                 AND rm.idx = words.idx)
             GROUP BY words.url
+        ), cleaned_nz AS (
+            -- mirror the builder's .filter(length(text) > 0): a doc
+            -- whose cleaned text is empty (all words removed, or an
+            -- empty source doc) leaves the funnel here
+            SELECT * FROM cleaned WHERE length(text) > 0
         ), eval_wins AS (
             SELECT DISTINCT
-                   unnest([array_to_string(ws[i:i+7], ' ')
-                           for i in range(1, greatest(len(ws) - 6, 1))])
-                       AS win
+                   unnest({_WIN}) AS win
             FROM (SELECT string_split(text, ' ') AS ws FROM documents
                   WHERE doc_id % 41 = 0)
         ), clean_wins AS (
             SELECT url,
-                   unnest([array_to_string(ws[i:i+7], ' ')
-                           for i in range(1, greatest(len(ws) - 6, 1))])
-                       AS win
-            FROM (SELECT url, string_split(text, ' ') AS ws FROM cleaned)
+                   unnest({_WIN}) AS win
+            FROM (SELECT url, string_split(text, ' ') AS ws
+                  FROM cleaned_nz)
         ), decon AS (
-            SELECT url FROM cleaned
+            SELECT url FROM cleaned_nz
             WHERE url NOT IN (SELECT DISTINCT url FROM clean_wins
                               WHERE win IN (SELECT win FROM eval_wins))
         ), sampled AS (
@@ -317,7 +322,7 @@ ORACLES = {
             UNION ALL SELECT 2, 'after_scrub',
                    (SELECT count(DISTINCT url) FROM pages)
             UNION ALL SELECT 3, 'after_passage_removal',
-                   (SELECT count(*) FROM cleaned)
+                   (SELECT count(*) FROM cleaned_nz)
             UNION ALL SELECT 4, 'after_decontamination',
                    (SELECT count(*) FROM decon)
             UNION ALL SELECT 5, 'after_sampling',

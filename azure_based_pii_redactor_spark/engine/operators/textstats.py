@@ -82,6 +82,18 @@ def _word_windows(n: int, with_pos: bool = False):
     )
 
 
+def word_windows_sql(n: int = 8) -> str:
+    """The ONE DuckDB definition of the ``n``-word window list over a
+    pre-split ``ws`` column -- the SQL twin of ``_word_windows`` above,
+    shared by every window-based oracle (decontaminate, dup passages,
+    passage removal, the corpus-builder funnel) so an oracle can never
+    disagree with the others on segmentation."""
+    return (
+        f"[array_to_string(ws[i:i+{n - 1}], ' ')"
+        f" for i in range(1, greatest(len(ws) - {n - 2}, 1))]"
+    )
+
+
 def text_dup_passages(spark, sf_dir, n: int = 8):
     """Cross-document duplicated passages: every ``n``-word window (with
     multiplicity -- positions matter, unlike set-shingle dedup) grouped by
@@ -542,8 +554,7 @@ ORACLES = {
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         ), twin AS (
             SELECT doc_id,
-                   unnest([array_to_string(ws[i:i+7], ' ')
-                           for i in range(1, greatest(len(ws) - 6, 1))])
+                   unnest({word_windows_sql()})
                        AS win
             FROM w
         )
@@ -554,14 +565,13 @@ ORACLES = {
                         WHERE doc_id % {EVAL_MOD} = 0)
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
-    "text_dedup_passage_removal": """
+    "text_dedup_passage_removal": f"""
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         ), wins AS (
             SELECT doc_id,
                    unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
-                   unnest([array_to_string(ws[i:i+7], ' ')
-                           for i in range(1, greatest(len(ws) - 6, 1))])
+                   unnest({word_windows_sql()})
                        AS win
             FROM w
         ), ranked AS (
@@ -604,13 +614,12 @@ ORACLES = {
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS kept_ids
         FROM kept GROUP BY lang ORDER BY lang
     """,
-    "text_dup_passages": """
+    "text_dup_passages": f"""
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         ), windows AS (
             SELECT doc_id,
-                   unnest([array_to_string(ws[i:i+7], ' ')
-                           for i in range(1, greatest(len(ws) - 6, 1))])
+                   unnest({word_windows_sql()})
                        AS passage
             FROM w
         )

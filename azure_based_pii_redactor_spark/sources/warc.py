@@ -221,7 +221,10 @@ def write_warc_corpus(
                 rows.append(
                     {
                         "url": url,
-                        "warc_ts": None if ts is None else ts.to_pydatetime(),
+                        # pandas delivers null timestamps as NaT, not
+                        # None -- pd.isna catches both
+                        "warc_ts": None if pd.isna(ts)
+                        else ts.to_pydatetime(),
                         "html": b"" if html is None else bytes(html),
                     }
                 )

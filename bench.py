@@ -116,22 +116,26 @@ def main() -> None:
 
     # -- WARC front door: Common-Crawl-layout ingestion ---------------------
     # Same corpus as .warc.gz (one gzip member per record, html inside an
-    # HTTP response payload), 256 files -> one file per binaryFile task
-    # (~8 tasks/core), the same granularity a 100k-file crawl shard has.
+    # HTTP response payload), 256 files packed ~2 per task (~4 tasks/
+    # core) -- the granularity knob a 100k-file crawl shard exposes.
     # Timed: full scan + record parse + schema projection to PAGES rows.
     # A single .warc.gz decodes in ONE task (gzip members are a byte-
     # range affordance, not a parallelism one) -- file count IS the
-    # parallelism knob, which the fixture writer makes explicit.
+    # parallelism unit, which the fixture writer makes explicit.
     from azure_based_pii_redactor_spark.sources.warc import (
         read_warc,
         write_warc_corpus,
     )
 
     warc_dir = os.path.join(SCRATCH, f"warc_{n_pages}")
-    if not os.path.exists(warc_dir):
+    warc_done = os.path.join(warc_dir, "_SUCCESS")
+    if not os.path.exists(warc_done):
+        # marker guards against reusing a PARTIAL fixture from an
+        # interrupted run (the writer creates the dir before any file)
+        shutil.rmtree(warc_dir, ignore_errors=True)
         write_warc_corpus(spark, warc_dir, n_pages, seed=42, files=256)
-    # Split sizing for THIS corpus: a .warc.gz is atomic (one file, one
-    # decode), so partitions should pack ~2 files each for ~4 tasks/core
+        open(warc_done, "w").close()
+    # Split sizing for THIS corpus: pack ~2 .warc.gz files per partition
     # -- the parquet-corpus maxPartitionBytes set above would pack all
     # 256 tiny fixture files into a couple of tasks and serialize the
     # decode.  (At production scale files are ~1 GB and one file per
@@ -145,17 +149,20 @@ def main() -> None:
         "spark.sql.files.maxPartitionBytes",
         str(max(2 * wtotal // max(len(wfiles), 1), 1)),
     )
-    read_warc(spark, os.path.join(warc_dir, "*.warc.gz")).limit(
-        2000
-    ).write.format("noop").mode("overwrite").save()  # warm-up, untimed
-    best = 9e9
-    for _ in range(2):
-        t0 = time.time()
-        read_warc(spark, os.path.join(warc_dir, "*.warc.gz")).write.format(
-            "noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    timings["warc_scan"] = round(best, 3)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
+    try:
+        read_warc(spark, os.path.join(warc_dir, "*.warc.gz")).limit(
+            2000
+        ).write.format("noop").mode("overwrite").save()  # warm-up, untimed
+        best = 9e9
+        for _ in range(2):
+            t0 = time.time()
+            read_warc(
+                spark, os.path.join(warc_dir, "*.warc.gz")
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings["warc_scan"] = round(best, 3)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
 
     # -- operator headliners ------------------------------------------------
     # Warm-up pass at sf0.001: JVM JIT + whole-stage-codegen compilation
