@@ -7,10 +7,12 @@ harness.  Names without an oracle entry are non-SQL-expressible and get
 the driver's rows-only check.
 
 Module order is CONTRACT: the driver harness executes only the first 50
-``queries()`` entries, so the registration order below (pipeline entries
-first -- added by ``__spark_entry__`` -- then similarity, dedup,
-multimodal, textstats, relational) plus per-module curation keeps every
-registered query inside that window.  ``queries()`` asserts the cap.
+``queries()`` entries, so the registration order below (pipeline_gates
+first, then similarity, dedup, multimodal, textstats, relational) plus
+per-module curation keeps every registered query inside that window.
+``__spark_entry__.queries()`` is exactly ``all_queries()`` and enforces
+the cap -- do NOT add entries there; register through a module's
+``QUERIES`` so the ordering stays auditable in one place.
 """
 
 from . import (

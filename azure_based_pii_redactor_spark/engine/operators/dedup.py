@@ -165,18 +165,13 @@ def _minhash_signatures(spark, sf_dir) -> DataFrame:
     )
 
 
-def _minhash_est_pairs(
-    spark, sf_dir, min_est: float | None = 0.5
-) -> DataFrame:
-    """MinHash-LSH candidate pairs with estimated Jaccard (fraction of
-    agreeing signature positions), banded 8x4: pairs agreeing on all 4
-    rows of any band become candidates; est >= ``min_est`` kept
-    (``min_est=None`` keeps every banded candidate -- the verified
-    driver forms re-score candidates EXACTLY and must not pre-drop a
-    true pair whose noisy estimate fell under the bar).  The shared
-    core of ``dedup_minhash_lsh`` (which adds exact-verification
-    columns) and ``dedup_minhash_clusters`` (which needs only the
-    pairs)."""
+def _minhash_candidates(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, cached signatures): the banded-LSH candidate
+    core -- distinct (doc_a, doc_b) agreeing on all ROWS_PER_BAND rows
+    of some band.  Callers that need the Jaccard ESTIMATE join the
+    signatures back on (``_minhash_est_pairs``); callers that re-score
+    exactly (``dedup_minhash_verified_clusters``) use the pairs alone
+    and skip the estimate stage entirely."""
     sig = _minhash_signatures(spark, sf_dir).cache()
     bands = sig.select(
         "doc_id",
@@ -211,6 +206,18 @@ def _minhash_est_pairs(
         )
         .distinct()
     )
+    return cand, sig
+
+
+def _minhash_est_pairs(
+    spark, sf_dir, min_est: float | None = 0.5
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard (fraction of
+    agreeing signature positions), banded 8x4; est >= ``min_est`` kept
+    (``min_est=None`` keeps every banded candidate -- the verified
+    driver form re-scores candidates EXACTLY and must not pre-drop a
+    true pair whose noisy estimate fell under the bar)."""
+    cand, sig = _minhash_candidates(spark, sf_dir)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     est = (
@@ -315,10 +322,12 @@ def dedup_minhash_verified_clusters(spark, sf_dir):
     the checked contract, exactly as in ``embedding_neardup_clusters``.
     The unverified candidate-graph form stays public as
     ``dedup_minhash_clusters`` (pytest surface)."""
-    # materialized once: _true_jaccard_for consumes the pairs twice (id
-    # set + completing join) and would re-run the banded self-join per
-    # consumer otherwise (measured 2.4x on the lsh twin)
-    cand = _minhash_est_pairs(spark, sf_dir, min_est=None).localCheckpoint()
+    # candidates only -- the estimate stage would be dead weight here
+    # (exact re-score decides membership); materialized once because
+    # _true_jaccard_for consumes the pairs twice (id set + completing
+    # join) and would re-run the banded self-join per consumer
+    # otherwise (measured 2.4x on the lsh twin)
+    cand = _minhash_candidates(spark, sf_dir)[0].localCheckpoint()
     edges = (
         _true_jaccard_for(cand.select("doc_a", "doc_b"),
                           _docs(spark, sf_dir))

@@ -83,7 +83,9 @@ def main() -> None:
 
     # -- flagship pipeline over a pre-materialized pages corpus ------------
     corpus = os.path.join(SCRATCH, f"pages_{n_pages}")
-    if not os.path.exists(corpus):
+    # guard on parquet's _SUCCESS marker: an interrupted run leaves a
+    # partial directory a bare exists() would silently benchmark
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         generate_pages(spark, n_pages, seed=42, parts=256).write.mode(
             "overwrite").parquet(corpus)
     total = sum(
@@ -205,7 +207,7 @@ def main() -> None:
     # timed reps below measure steady state, same policy as the batch
     # pipeline's untimed warm-up.
     warm_corpus = os.path.join(SCRATCH, "pages_warm_2000")
-    if not os.path.exists(warm_corpus):
+    if not os.path.exists(os.path.join(warm_corpus, "_SUCCESS")):
         generate_pages(spark, 2_000, seed=7, parts=8).write.mode(
             "overwrite").parquet(warm_corpus)
     wout = os.path.join(SCRATCH, "stream_warm_out")

@@ -93,12 +93,18 @@ def _write_skew_corpora(spark) -> dict[str, str]:
     """
     from pyspark.sql import functions as F
 
+    import shutil
+
     dirs = {}
     for variant in ("uniform", "skewed"):
         d = os.path.join(SCRATCH, f"skew_{variant}")
         dirs[variant] = d
-        if os.path.exists(os.path.join(d, "events.parquet")):
+        # guard on the LAST write's _SUCCESS marker, not directory
+        # existence -- an interrupted run leaves partial parquet dirs
+        # that a bare exists() check would silently benchmark
+        if os.path.exists(os.path.join(d, "events.parquet", "_SUCCESS")):
             continue
+        shutil.rmtree(d, ignore_errors=True)
         base = spark.range(SKEW_DOCS, numPartitions=64)
         words = F.expr(
             "concat_ws(' ', transform(sequence(1, 40), i ->"
@@ -229,7 +235,7 @@ def _size_sweep() -> list[tuple[int, float]]:
     rows = []
     for n in SIZE_SWEEP:
         corpus = os.path.join(SCRATCH, f"pages_{n}")
-        if not os.path.exists(corpus):
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             generate_pages(spark, n, seed=42, parts=256).write.mode(
                 "overwrite").parquet(corpus)
         total = sum(
@@ -261,7 +267,7 @@ def main() -> None:
     from azure_based_pii_redactor_spark.sources.pages import generate_pages
 
     corpus = os.path.join(SCRATCH, f"pages_{N_PAGES}")
-    if not os.path.exists(corpus):
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         spark = build_session(app_name="gen", master="local[32]")
         # 256 output files => fine-grained row groups for split tuning
         generate_pages(spark, N_PAGES, seed=42, parts=256).write.mode(
