@@ -30,6 +30,9 @@ def dedupe_stream(
     canonical key is a JVM projection, so the stateful operator's key
     cardinality shrinks and state stays bounded by the watermark either
     way."""
+    # event-time semantics: dropDuplicatesWithinWatermark needs a
+    # non-null warc_ts; null-stamped rows are not meaningful here (see
+    # windowed_quality_metrics note)
     key = "url"
     if canonicalize:
         from ..engine.operators.urls import canonical_url
@@ -49,10 +52,21 @@ def write_stream_exactly_once(
     out_stream: DataFrame,
     output_path: str,
     checkpoint_path: str,
+    processing_time: str | None = None,
 ):
     """foreachBatch sink with per-epoch partition overwrite (idempotent on
     replay).  Returns the started StreamingQuery.  Read the result with
-    ``spark.read.parquet(output_path)`` (epoch_id is a partition column)."""
+    ``spark.read.parquet(output_path)`` (epoch_id is a partition column).
+    Default trigger is availableNow (backfill); pass ``processing_time``
+    (e.g. ``"30 seconds"``) for the continuous-tailing case."""
+
+    if "epoch_id" in out_stream.columns:
+        # the sink partitions by its own epoch_id; silently overwriting
+        # a user column of that name would lose data
+        raise ValueError(
+            "out_stream already has an 'epoch_id' column -- rename it; "
+            "epoch_id is reserved for the exactly-once sink's partition"
+        )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -65,9 +79,12 @@ def write_stream_exactly_once(
             .parquet(output_path)
         )
 
-    return (
+    writer = (
         out_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -48,9 +48,17 @@ def scrub_stream(
 
 
 def windowed_quality_metrics(pages_out: DataFrame) -> DataFrame:
-    """Event-time windowed keep/drop counts: 1-hour tumbling windows on
-    warc_ts with a 2-hour watermark for late pages (the streaming twin of
-    metrics.drop_reason_counts)."""
+    """Event-time windowed keep/drop counts + entity totals: 1-hour
+    tumbling windows on warc_ts with a 2-hour watermark for late pages.
+    Coarser than the batch ``metrics.drop_reason_counts`` histogram
+    (keep/drop boolean, not per-reason buckets -- per-reason granularity
+    in a stream would multiply state by the reason cardinality; run the
+    batch histogram over the sink output when reasons are needed).
+
+    NOTE: event-time operators require a non-null event time -- rows
+    with null ``warc_ts`` are excluded by the window operator (crawl
+    sources always stamp WARC-Date; adapters like ``documents_as_pages``
+    that emit null timestamps must fill one before streaming here)."""
     return (
         pages_out.withWatermark("warc_ts", "2 hours")
         .groupBy(

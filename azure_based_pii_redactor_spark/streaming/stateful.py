@@ -83,14 +83,14 @@ def _update(key, pdfs, state: GroupState):
 
 
 def running_domain_counts(scrubbed_stream: DataFrame) -> DataFrame:
-    """Streaming kernel output -> per-domain running totals (stateful)."""
-    from ..engine.metrics import DOMAIN_RE
+    """Streaming kernel output -> per-domain running totals (stateful).
+    Domain extraction is ``engine.metrics.with_domain`` -- the SAME
+    expression the batch metrics (and the tests' ground truth) use, so
+    the two surfaces cannot diverge."""
+    from ..engine.metrics import with_domain
 
-    with_domain = scrubbed_stream.withColumn(
-        "domain", F.regexp_extract("url", DOMAIN_RE, 1)
-    )
     return (
-        with_domain.groupBy("domain")
+        with_domain(scrubbed_stream).groupBy("domain")
         .applyInPandasWithState(
             _update,
             outputStructType=OUTPUT_SCHEMA,

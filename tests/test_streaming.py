@@ -86,6 +86,14 @@ def test_windowed_metrics_stream(spark, tmp_path):
     merged = got.merge(
         batch, on=["window_start", "keep"], suffixes=("_s", "_b")
     )
+    # an empty merge (window-boundary/tz/dtype drift) would make the
+    # equality below vacuously true.  Append-mode windowed aggregation
+    # only EMITS windows the final watermark has closed, so the stream
+    # may withhold the trailing windows inside the 2-hour horizon --
+    # every emitted window must match batch exactly, and the withheld
+    # tail is bounded by horizon/window_size + 1.
+    assert len(merged) == len(got) > 0
+    assert len(batch) - len(merged) <= 3
     assert (merged["n_docs_s"] == merged["n_docs_b"]).all()
 
 
