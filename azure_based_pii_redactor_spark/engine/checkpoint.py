@@ -40,11 +40,20 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
 def completed_buckets(
     spark: SparkSession, lineage_path: str, run_id: str
 ) -> DataFrame | None:
-    """Distinct completed bucket ids for a run; None if no lineage yet."""
+    """Distinct completed bucket ids for a run; None if no lineage yet.
+
+    Only a MISSING lineage path means "fresh run"; any other read error
+    (transient storage failure, corrupt footer, permissions) re-raises --
+    swallowing it would silently restart the whole run AND append a
+    second copy of every lineage row."""
+    from pyspark.errors import AnalysisException
+
     try:
         lineage = spark.read.parquet(lineage_path)
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
     return (
         lineage.filter(F.col("run_id") == run_id)
         .select("part_bucket")
@@ -73,12 +82,15 @@ def write_scrub_output(
     run_id: str,
     bucket_ids: list[int],
     writer=None,
-) -> None:
+) -> int:
     """Write kernel output partitioned by bucket, then append lineage.
+    Returns the number of docs written by THIS invocation (summed from
+    the exact lineage rows it appends -- no lineage re-read, and immune
+    to duplicate rows a concurrent retry might have appended).
 
     ``out`` must contain a ``part_bucket`` column.  ``bucket_ids`` is the
-    set of buckets in this invocation (computed from the INPUT, so deriving
-    it does not re-run the kernel).  Requires
+    set of candidate buckets for this invocation (all-minus-completed,
+    derived driver-side -- no input scan).  Requires
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session.py) so
     only these buckets are replaced.
     """
@@ -92,7 +104,7 @@ def write_scrub_output(
     written = writer.read(spark, output_path).filter(
         F.col("part_bucket").isin(bucket_ids)
     )
-    lineage = (
+    rows = (
         written.groupBy("part_bucket")
         .agg(
             F.count("*").alias("n_docs"),
@@ -105,10 +117,16 @@ def write_scrub_output(
             "n_docs",
             "n_kept",
             "n_entities",
-            F.current_timestamp().alias("completed_ts"),
         )
+        .collect()  # <= n_buckets tiny rows, written AND counted below
     )
+    lineage = spark.createDataFrame(
+        rows,
+        "run_id string, part_bucket int, n_docs long, n_kept long,"
+        " n_entities long",
+    ).withColumn("completed_ts", F.current_timestamp())
     lineage.write.mode("append").parquet(lineage_path)
+    return int(sum(r.n_docs for r in rows))
 
 
 def run_checkpointed(
@@ -132,26 +150,26 @@ def run_checkpointed(
     """
     from .pipeline import run_scrub_pipeline
 
+    spark = pages.sparkSession
     remaining = filter_remaining(pages, lineage_path, run_id, n_buckets)
-    bucket_ids = [
-        r.part_bucket
-        for r in remaining.select("part_bucket").distinct().collect()
-    ]
+    # Candidate buckets are derived DRIVER-SIDE from the (tiny) lineage
+    # table: all-minus-completed.  Enumerating them from `remaining`
+    # would execute a full input scan + anti-join as a separate job
+    # before the kernel job re-runs the same scan -- an entire extra
+    # pass over the corpus at 10^12 docs.  Candidate buckets the input
+    # never populates are harmless: they produce no output partitions
+    # and no lineage rows.
+    done = completed_buckets(spark, lineage_path, run_id)
+    done_ids = (
+        {r.part_bucket for r in done.collect()} if done is not None else set()
+    )
+    bucket_ids = [b for b in range(n_buckets) if b not in done_ids]
     if not bucket_ids:
         return 0
     out = run_scrub_pipeline(remaining, **pipeline_kwargs)
     # part_bucket is recomputed from url (deterministic), keeping the
     # kernel output schema independent of checkpointing.
     out = with_bucket(out, n_buckets)
-    write_scrub_output(out, output_path, lineage_path, run_id, bucket_ids)
-    spark = pages.sparkSession
-    n = (
-        spark.read.parquet(lineage_path)
-        .filter(
-            (F.col("run_id") == run_id)
-            & F.col("part_bucket").isin(bucket_ids)
-        )
-        .agg(F.sum("n_docs"))
-        .collect()[0][0]
+    return write_scrub_output(
+        out, output_path, lineage_path, run_id, bucket_ids
     )
-    return int(n or 0)

@@ -35,8 +35,13 @@ class RunState:
     run_id: str
     status: str = "starting"  # starting -> processing -> completed | error
     error: str | None = None
+    sampler_error: str | None = None  # sampler-thread failure, recorded
+    # instead of dying silently (the run itself may still complete)
     snapshots: list[ProgressSnapshot] = field(default_factory=list)
-    # T3: bounded buffer with drop counter (websocket.go:123-127)
+    # T3: bounded buffer with drop counter (websocket.go:123-127).
+    # Drop-NEWEST is the reference's semantics (pinned by test); for a
+    # multi-hour run wanting end-of-run state, raise max_snapshots or
+    # widen interval_s -- the counter tells you when you must.
     max_snapshots: int = 1000
     dropped: int = 0
 
@@ -68,23 +73,29 @@ class ProgressReporter:
     def _sample(self) -> None:
         tracker = self.spark.sparkContext.statusTracker()
         while not self._stop.is_set():
-            stage_ids = tracker.getActiveStageIds()
-            active = completed = failed = 0
-            for sid in stage_ids:
-                info = tracker.getStageInfo(sid)
-                if info is not None:
-                    active += info.numActiveTasks
-                    completed += info.numCompletedTasks
-                    failed += info.numFailedTasks
-            self.state.record(
-                ProgressSnapshot(
-                    ts=time.time(),
-                    active_stages=len(stage_ids),
-                    active_tasks=active,
-                    completed_tasks=completed,
-                    failed_tasks=failed,
+            try:
+                stage_ids = tracker.getActiveStageIds()
+                active = completed = failed = 0
+                for sid in stage_ids:
+                    info = tracker.getStageInfo(sid)
+                    if info is not None:
+                        active += info.numActiveTasks
+                        completed += info.numCompletedTasks
+                        failed += info.numFailedTasks
+                self.state.record(
+                    ProgressSnapshot(
+                        ts=time.time(),
+                        active_stages=len(stage_ids),
+                        active_tasks=active,
+                        completed_tasks=completed,
+                        failed_tasks=failed,
+                    )
                 )
-            )
+            except Exception as exc:  # py4j hiccup / stopped context: a
+                # dead daemon thread would otherwise be indistinguishable
+                # from a healthy short run
+                self.state.sampler_error = repr(exc)
+                return
             self._stop.wait(self.interval_s)
 
     def __enter__(self) -> "ProgressReporter":
@@ -110,8 +121,11 @@ class ProgressReporter:
              s.completed_tasks, s.failed_tasks)
             for s in self.state.snapshots
         ]
+        # no fabricated placeholder row: a run shorter than interval_s
+        # yields an EMPTY frame (schema explicit), not a fake epoch-1970
+        # sample downstream duration math would trip over
         return self.spark.createDataFrame(
-            rows or [(self.state.run_id, 0.0, 0, 0, 0, 0)],
+            rows,
             "run_id string, ts double, active_stages int, active_tasks int,"
             " completed_tasks int, failed_tasks int",
         )

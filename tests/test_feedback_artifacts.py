@@ -49,3 +49,20 @@ def test_model_artifacts_roundtrip(spark, tmp_path):
     lt = spark.read.parquet(f"{base}/langid_trigrams")
     assert lt.count() > 1000
     assert spark.read.parquet(f"{base}/lm_bigrams").count() > 200
+
+
+def test_feedback_missing_required_column_fails_loudly(spark):
+    """A renamed/mis-cased feedback column must raise, not silently
+    disable every human correction downstream."""
+    import pytest
+
+    from azure_based_pii_redactor_spark.engine.feedback import (
+        load_training_feedback,
+    )
+
+    bad = spark.createDataFrame(
+        [("x", "email", "correct")],
+        "entityText string, entity_type string, decision string",
+    )
+    with pytest.raises(ValueError, match="missing required columns"):
+        load_training_feedback(spark, bad)
