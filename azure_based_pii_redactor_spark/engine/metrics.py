@@ -10,11 +10,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-DOMAIN_RE = r"https?://([^/]+)/"
-
-
 def with_domain(df: DataFrame) -> DataFrame:
-    return df.withColumn("domain", F.regexp_extract("url", DOMAIN_RE, 1))
+    """Domain = lowercased HOST of the url via ``try_parse_url`` (the
+    same parser family operators/urls.py canonicalization uses).  The
+    earlier path-slash regexp (``https?://([^/]+)/``) lumped bare-host
+    urls ('https://example.com', no trailing slash) and uppercase
+    schemes into one '' domain; unparseable urls still map to ''."""
+    return df.withColumn(
+        "domain",
+        F.lower(
+            F.coalesce(F.try_parse_url("url", F.lit("HOST")), F.lit(""))
+        ),
+    )
 
 
 def drop_reason_counts(out: DataFrame) -> DataFrame:

@@ -247,3 +247,25 @@ def test_spark_submit_py_files_packaging(tmp_path):
                      recursive=True)
     assert glob.glob(str(tmp_path / "lineage" / "**" / "*.parquet"),
                      recursive=True)
+
+
+def test_with_domain_handles_bare_and_cased_urls(spark):
+    """Bare-host urls (no path slash), uppercase schemes/hosts, and
+    malformed urls must not collapse into one '' domain (the old
+    path-slash regexp did exactly that)."""
+    from azure_based_pii_redactor_spark.engine.metrics import with_domain
+
+    df = spark.createDataFrame(
+        [("https://example.com",), ("https://example.com?q=1",),
+         ("HTTPS://Example.COM/p",), ("https://a.example/p/x",),
+         ("not a url",)],
+        "url string",
+    )
+    got = dict(
+        (r.url, r.domain) for r in with_domain(df).collect()
+    )
+    assert got["https://example.com"] == "example.com"
+    assert got["https://example.com?q=1"] == "example.com"
+    assert got["HTTPS://Example.COM/p"] == "example.com"
+    assert got["https://a.example/p/x"] == "a.example"
+    assert got["not a url"] == ""
