@@ -49,13 +49,21 @@ class ParquetBucketWriter:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """Probe for an Iceberg catalog on the session."""
+    """Probe for an Iceberg catalog on the session: BOTH the runtime
+    class on the classpath AND at least one configured
+    ``spark.sql.catalog.*`` entry -- jars alone cannot resolve a table
+    identifier, so picking the Iceberg writer on a jars-only cluster
+    would fail at write time with a catalog-resolution error."""
     try:
         java_import = spark.sparkContext._jvm.java.lang.Class
         java_import.forName("org.apache.iceberg.spark.SparkCatalog")
-        return True
     except Exception:
         return False
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return False
+    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
 
 
 class IcebergBucketWriter:
@@ -77,6 +85,13 @@ class IcebergBucketWriter:
         self.spark = spark
 
     def overwrite_buckets(self, df: DataFrame, target: str) -> None:  # pragma: no cover
+        # bootstrap: the first run of a new target has no table to
+        # overwrite into -- create it partitioned on the bucket column
+        # (the parquet writer creates its directory implicitly; without
+        # this branch the production path could never run job 1)
+        if not self.spark.catalog.tableExists(target):
+            df.writeTo(target).partitionedBy(F.col("part_bucket")).create()
+            return
         df.writeTo(target).overwritePartitions()
 
     def read(self, spark: SparkSession, target: str) -> DataFrame:  # pragma: no cover

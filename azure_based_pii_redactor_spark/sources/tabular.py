@@ -56,7 +56,8 @@ def sniff_delimiter(sample: str) -> str:
 
 
 def validate_upload(filename: str, size_bytes: int) -> None:
-    """S6 -- extension allowlist + size cap (raises ValueError)."""
+    """S6 -- extension allowlist + upload size cap (raises ValueError).
+    The processor-stage cap is ``validate_process_size``."""
     ext = os.path.splitext(filename)[1].lower()
     if ext not in ALLOWED_EXTENSIONS:
         raise ValueError(f"unsupported file type: {ext or '(none)'}")
@@ -66,24 +67,69 @@ def validate_upload(filename: str, size_bytes: int) -> None:
         )
 
 
+def validate_process_size(size_bytes: int) -> None:
+    """S6 (second cap) -- the processing-stage limit
+    (``file_processor.go:197-215``): applied before a decoded payload
+    enters the scrub path (decode can inflate past the upload cap)."""
+    if size_bytes > MAX_PROCESS_BYTES:
+        raise ValueError(
+            f"payload too large to process: {size_bytes} > "
+            f"{MAX_PROCESS_BYTES} bytes"
+        )
+
+
 def read_csv_sniffed(
-    spark: SparkSession, path: str, sample_lines: int = 20
+    spark: SparkSession, path: str, sample_lines: int = 20,
+    multiline: bool = True,
 ) -> tuple[DataFrame, str]:
     """S1 -- sniff the delimiter from the file head, then a proper
-    distributed CSV scan (header row 0, PERMISSIVE = ragged rows allowed,
-    matching FieldsPerRecord=-1)."""
+    distributed CSV scan (header row 0, PERMISSIVE = ragged rows
+    allowed).
+
+    Two divergences from Go's ``FieldsPerRecord=-1`` are closed here:
+
+    - PERMISSIVE silently TRUNCATES rows wider than the header (the
+      reference scans every field of every record, so a dropped field
+      is a missed-PII parity bug): the schema is widened to the widest
+      row in the sniff sample (``_extraN`` columns).  Rows wider than
+      anything sampled still truncate -- raise ``sample_lines`` for
+      pathological files.
+    - ``multiLine=True`` parses RFC-4180 quoted embedded newlines as
+      one record (Go does); it makes each file single-task, which is
+      the right trade for the reference's <=50 MB uploads -- pass
+      ``multiline=False`` for crawl-scale splittable scans of files
+      known to be newline-free.
+    """
     head = spark.read.text(path).limit(sample_lines).collect()
     sample = "\n".join(r.value for r in head)
     delim = sniff_delimiter(sample)
-    df = (
+    records = []
+    try:
+        records = list(csv.reader(io.StringIO(sample), delimiter=delim))
+    except csv.Error:
+        pass
+    header = records[0] if records else []
+    width = max((len(r) for r in records), default=0)
+    reader = (
         spark.read.option("header", True)
         .option("delimiter", delim)
         .option("mode", "PERMISSIVE")
         .option("quote", '"')
         .option("escape", '"')
-        .csv(path)
+        .option("multiLine", bool(multiline))
     )
-    return df, delim
+    if width > len(header) >= 1:
+        from pyspark.sql import types as T
+
+        names = list(header) + [
+            f"_extra{i}" for i in range(width - len(header))
+        ]
+        reader = reader.schema(
+            T.StructType(
+                [T.StructField(n, T.StringType()) for n in names]
+            )
+        )
+    return reader.csv(path), delim
 
 
 def read_txt_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -100,8 +146,16 @@ def read_txt_lines(spark: SparkSession, path: str) -> DataFrame:
 
 
 def decode_base64_column(df: DataFrame, col: str = "file_content") -> DataFrame:
-    """S5 -- ``F.unbase64`` (WebSocket payloads arrive base64)."""
-    return df.withColumn(col, F.unbase64(F.col(col)))
+    """S5 -- base64 payload decode (WebSocket payloads arrive base64).
+
+    ``try_to_binary``, not ``unbase64``: under Spark 4's ANSI default a
+    single malformed payload would throw from ``unbase64`` and kill the
+    whole batch job; the reference fails per-file (file.go:224-229), so
+    invalid rows decode to NULL for the caller to reject individually.
+    """
+    return df.withColumn(
+        col, F.try_to_binary(F.col(col), F.lit("base64"))
+    )
 
 
 _XLSX_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
@@ -242,11 +296,16 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
 
 def write_csv(df: DataFrame, path: str, delimiter: str = ",") -> None:
     """S7 -- streamed CSV export with the ORIGINAL delimiter restored
-    (``file.go:1679-1757``)."""
+    (``file.go:1679-1757``).  Quote/escape pinned to RFC-4180 doubled
+    quotes: Spark's default backslash-escape output would corrupt on
+    round-trip through Go's encoding/csv, Excel, or this module's own
+    read path."""
     (
         df.write.mode("overwrite")
         .option("header", True)
         .option("delimiter", delimiter)
+        .option("quote", '"')
+        .option("escape", '"')
         .csv(path)
     )
 

@@ -7,8 +7,11 @@ Cluster usage (the north-rule packaging contract):
         --input  <pages parquet/iceberg path> \\
         --output <scrubbed output path> \\
         --lineage <lineage table path> \\
-        --run-id run42 [--resume] [--mode replace] [--scrub-all] \\
+        --run-id run42 [--mode replace] [--scrub-all] \\
         [--generate N]   # synthesize the input corpus first (demo/bench)
+
+Resume is implicit: re-launching with the same --run-id/--lineage skips
+every bucket whose lineage row committed (no flag needed).
 
 On a real cluster pass ``--master yarn``/k8s and executor sizing to
 spark-submit; the job itself only sets SQL-level configs (AQE, split
@@ -26,7 +29,8 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input", required=True,
+                    help="pages table path (url, warc_ts, html, text, lang)")
     ap.add_argument("--input-format", default="parquet",
                     choices=["parquet", "warc"],
                     help="parquet pages table (default) or raw "
@@ -110,7 +114,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     wall = time.time() - t0
 
-    out = spark.read.parquet(args.output)
+    # target-aware read: run_checkpointed may have routed the output to
+    # an Iceberg table identifier; read it back the same way
+    from azure_based_pii_redactor_spark.engine.tableio import default_writer
+
+    out = default_writer(spark, args.output).read(spark, args.output)
     summary = run_summary(out, args.run_id).collect()[0].asDict()
     summary["processed_this_run"] = n
     summary["wall_sec"] = round(wall, 2)

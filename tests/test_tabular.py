@@ -23,6 +23,7 @@ from azure_based_pii_redactor_spark.kernel.export import (
 from azure_based_pii_redactor_spark.kernel.redact import RedactOptions
 from azure_based_pii_redactor_spark.kernel.scrub import detect_with_column
 from azure_based_pii_redactor_spark.sources.tabular import (
+    decode_base64_column,
     read_csv_sniffed,
     read_txt_lines,
     sniff_delimiter,
@@ -561,3 +562,69 @@ def test_parse_xlsx_absolute_rel_target():
             "<row><c><v>7</v></c></row></sheetData></worksheet>",
         )
     assert parse_xlsx(buf.getvalue()) == [("S", 0, ["7"])]
+
+
+def test_write_csv_quoted_field_roundtrip(spark, tmp_path):
+    """RFC-4180 doubled quotes on the sink: a cell containing a double
+    quote must survive write -> read through the engine's own paths
+    (Spark's default backslash escaping corrupts it)."""
+    d = str(tmp_path / "quoted")
+    df = spark.createDataFrame(
+        [(1, 'he said "hi"'), (2, "plain")], "id int, note string"
+    )
+    write_csv(df, d)
+    got, _ = read_csv_sniffed(spark, d)
+    vals = {int(r.id): r.note for r in got.collect()}
+    assert vals[1] == 'he said "hi"'
+    assert vals[2] == "plain"
+
+
+def test_decode_base64_invalid_payload_is_null(spark):
+    """One malformed base64 payload must not kill the batch (the
+    reference fails per-file): it decodes to NULL."""
+    df = spark.createDataFrame(
+        [("aGVsbG8=",), ("!!!not-base64!!!",)], "file_content string"
+    )
+    rows = decode_base64_column(df).collect()
+    assert bytes(rows[0].file_content) == b"hello"
+    assert rows[1].file_content is None
+
+
+def test_read_csv_ragged_wide_rows_keep_extra_fields(spark, tmp_path):
+    """Rows WIDER than the header keep their extra fields (Go
+    FieldsPerRecord=-1 scans every field; PERMISSIVE's silent
+    truncation would drop potential PII before the scrub)."""
+    p = tmp_path / "ragged.csv"
+    p.write_text("a,b\n1,2\n3,4,ssn 536-90-4399,x@y.example\n")
+    got, delim = read_csv_sniffed(spark, str(p))
+    assert delim == ","
+    assert got.columns == ["a", "b", "_extra0", "_extra1"]
+    wide = [r for r in got.collect() if r.a == "3"][0]
+    assert wide._extra0 == "ssn 536-90-4399"
+    assert wide._extra1 == "x@y.example"
+    narrow = [r for r in got.collect() if r.a == "1"][0]
+    assert narrow._extra0 is None
+
+
+def test_read_csv_quoted_embedded_newline(spark, tmp_path):
+    """A quoted cell containing a newline is ONE record (Go's
+    encoding/csv semantics; requires multiLine)."""
+    p = tmp_path / "multiline.csv"
+    p.write_text('id,note\n1,"line1\nline2"\n2,last\n')
+    got, _ = read_csv_sniffed(spark, str(p))
+    rows = {r.id: r.note for r in got.collect()}
+    assert len(rows) == 2
+    assert rows["1"] == "line1\nline2"
+
+
+def test_validate_process_size_cap():
+    import pytest
+
+    from azure_based_pii_redactor_spark.sources.tabular import (
+        MAX_PROCESS_BYTES,
+        validate_process_size,
+    )
+
+    validate_process_size(MAX_PROCESS_BYTES)
+    with pytest.raises(ValueError, match="too large to process"):
+        validate_process_size(MAX_PROCESS_BYTES + 1)
