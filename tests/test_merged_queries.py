@@ -294,3 +294,52 @@ def test_minhash_verified_pairs_are_exact(spark):
     truth = truth.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_pairs, truth, check_dtype=False)
     assert got["est_err_ok"].all()
+
+
+def test_oracle_rounding_rewrite():
+    """The registration-time oracle rewrite: every round(expr, n) becomes
+    the VARCHAR-mediated decimal form (Spark's shortest-repr HALF_UP),
+    including nested calls; scale-less round() and identifiers ending in
+    'round' are untouched."""
+    from azure_based_pii_redactor_spark.engine.operators.oracle_rounding import (
+        duck_round_like_spark as drls,
+    )
+
+    got = drls("SELECT round(sum(a), 4) FROM t")
+    assert got == (
+        "SELECT CAST(round(CAST(CAST((sum(a)) AS VARCHAR)"
+        " AS DECIMAL(38,18)), 4) AS DOUBLE) FROM t"
+    )
+    nested = drls("round(round(x, 6) / y, 4)")
+    assert nested.count("DECIMAL(38,18)") == 2
+    assert drls("bround(x, 2)") == "bround(x, 2)"
+    assert drls("round(x)") == "round(x)"
+
+    # the live registry: every float-rounding oracle went through it
+    from azure_based_pii_redactor_spark.engine.operators import all_oracles
+
+    rewritten = sum(
+        v.count("DECIMAL(38,18)") for v in all_oracles().values()
+    )
+    assert rewritten >= 25
+
+
+def test_oracle_rounding_matches_spark_on_boundary(spark, duck=None):
+    """The observed boundary value: avg 56.208749999999995 must round to
+    56.2087 on BOTH engines (plain DuckDB round says .2088)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.oracle_rounding import (
+        duck_round_like_spark as drls,
+    )
+
+    v = 56.208749999999995
+    s = spark.createDataFrame([(v,)], "x double").select(
+        F.round("x", 4).alias("r")
+    ).first().r
+    d = duckdb.connect().execute(
+        drls(f"SELECT round(CAST({v!r} AS DOUBLE), 4) AS r")
+    ).fetchone()[0]
+    assert s == d == 56.2087
