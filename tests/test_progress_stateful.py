@@ -13,18 +13,24 @@ from azure_based_pii_redactor_spark.sources.pages import generate_pages
 
 
 def test_progress_reporter_lifecycle(spark, tmp_path):
-    with ProgressReporter(spark, "runX", interval_s=0.05) as rep:
-        assert rep.state.status == "processing"
-        out = run_scrub_pipeline(generate_pages(spark, 300, seed=1))
-        out.write.mode("overwrite").parquet(str(tmp_path / "o"))
-    assert rep.state.status == "completed"
-    assert len(rep.state.snapshots) > 0
-    # at least one sample caught the job mid-flight (tasks active or
-    # already completed within a still-active stage)
-    assert any(
-        s.active_tasks > 0 or s.completed_tasks > 0
-        for s in rep.state.snapshots
-    )
+    # "a sample caught the job mid-flight" is timing-dependent (a fast
+    # job's stages can complete between 50 ms samples on a loaded host):
+    # retry the whole run up to 3x before judging the sampler
+    for attempt in range(3):
+        with ProgressReporter(spark, "runX", interval_s=0.02) as rep:
+            assert rep.state.status == "processing"
+            out = run_scrub_pipeline(generate_pages(spark, 300, seed=1))
+            out.write.mode("overwrite").parquet(str(tmp_path / "o"))
+        assert rep.state.status == "completed"
+        assert rep.state.sampler_error is None
+        assert len(rep.state.snapshots) > 0
+        caught = any(
+            s.active_tasks > 0 or s.completed_tasks > 0
+            for s in rep.state.snapshots
+        )
+        if caught:
+            break
+    assert caught
     assert rep.to_dataframe().count() == len(rep.state.snapshots)
 
 
