@@ -38,15 +38,14 @@ from azure_based_pii_redactor_spark.engine.operators import (
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline (langid -> perplexity -> Gopher/C4 -> detect -> scrub)
-    over the documents table adapted to the pages shape."""
-    from azure_based_pii_redactor_spark.engine.pipeline import (
-        documents_as_pages,
-        run_scrub_pipeline,
+    over the documents table adapted to the pages shape -- the same
+    frame the gated driver entries derive from (one definition:
+    ``pipeline_gates._scrubbed``)."""
+    from azure_based_pii_redactor_spark.engine.operators.pipeline_gates import (
+        _scrubbed,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = run_scrub_pipeline(documents_as_pages(docs), scrub_all=True)
-    return out.select(
+    return _scrubbed(spark, sf_dir).select(
         "url", "lang", "lang_pred", "keep", "drop_reason",
         "n_words", "n_entities", "scrubbed_text",
     ).orderBy("url")

@@ -124,13 +124,11 @@ def build_training_corpus(
         )
 
     if sample_pct is not None:
-        bucket = F.pmod(
-            F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(100),
-        )
+        from .operators.textstats import md5_bucket100
+
         kept = _count(
-            "after_sampling", kept.filter(bucket < sample_pct)
+            "after_sampling",
+            kept.filter(md5_bucket100("url") < sample_pct),
         )
 
     return kept, report

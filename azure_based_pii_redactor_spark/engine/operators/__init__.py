@@ -41,7 +41,15 @@ def all_queries():
 
 
 def all_oracles():
+    from .oracle_rounding import duck_round_like_spark
+
     out = {}
     for m in ALL_MODULES:
-        out.update(m.ORACLES)
+        # ONE application point for the cross-engine rounding rewrite
+        # (oracle_rounding.py): authors write plain round(); every
+        # registered oracle gets Spark's shortest-repr HALF_UP
+        # semantics here
+        out.update(
+            {k: duck_round_like_spark(v) for k, v in m.ORACLES.items()}
+        )
     return out

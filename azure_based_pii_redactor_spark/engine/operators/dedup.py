@@ -791,10 +791,3 @@ ORACLES = {
     """,
 }
 
-
-# align every oracle round() with Spark's shortest-repr HALF_UP
-# semantics (see oracle_rounding.py -- DuckDB's multiply-based double
-# rounding flips boundary digits, e.g. avg 56.208749999999995)
-from .oracle_rounding import duck_round_like_spark as _drls
-
-ORACLES = {k: _drls(v) for k, v in ORACLES.items()}

@@ -478,6 +478,21 @@ def decontaminate(
     )
 
 
+def md5_bucket100(col) -> "F.Column":
+    """Deterministic 0-99 bucket of a key column: md5-derived 60-bit
+    hash mod 100 -- the ONE definition of the reproducible sampling
+    decision (pure function of the key, retry/resume-safe), shared by
+    ``sample_stratified_deterministic`` and the corpus builder and
+    recomputed exactly by their DuckDB oracles.  At 10^12 rows swap for
+    ``pmod(xxhash64(col), 100)`` -- same plan, faster hash, losing only
+    the cross-engine oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        F.lit(100),
+    )
+
+
 EVAL_MOD = 41  # deterministic stand-in benchmark: every 41st document
 # plays the eval set in the driver-checked decontamination query
 
@@ -511,12 +526,9 @@ def sample_stratified_deterministic(spark, sf_dir, pct: int = 20):
     the cross-engine oracle.  Per-language keep counts prove the
     stratification; the hash is uniform so each stratum keeps ~pct%."""
     d = _docs(spark, sf_dir)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
-               16, 10).cast("long"),
-        F.lit(100),
-    )
-    kept = d.withColumn("__b", bucket).filter(F.col("__b") < pct)
+    kept = d.withColumn(
+        "__b", md5_bucket100(F.col("doc_id").cast("string"))
+    ).filter(F.col("__b") < pct)
     return (
         kept.groupBy("lang")
         .agg(
@@ -727,10 +739,3 @@ ORACLES = {
     """,
 }
 
-
-# align every oracle round() with Spark's shortest-repr HALF_UP
-# semantics (see oracle_rounding.py -- DuckDB's multiply-based double
-# rounding flips boundary digits, e.g. avg 56.208749999999995)
-from .oracle_rounding import duck_round_like_spark as _drls
-
-ORACLES = {k: _drls(v) for k, v in ORACLES.items()}
