@@ -243,3 +243,49 @@ def test_stopword_single_pass_matches_per_word(text):
     assert m["toxicity_hits"] == float(
         sum(1 for rx in _TOXICITY_RES if rx.search(lower))
     )
+
+
+def test_rounding_parity_three_engines(spark):
+    """The r4 oracle-rounding contract: Spark round(double, 4), the
+    rewritten DuckDB form, and the Python shortest-repr HALF_UP
+    reference agree on 4000 seeded random doubles plus the observed
+    boundary values.  Guards the cross-engine rewrite against engine
+    upgrades changing rounding semantics."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.oracle_rounding import (
+        duck_round_like_spark as drls,
+    )
+
+    rng = random.Random(99)
+    vals = (
+        [rng.uniform(-1e6, 1e6) for _ in range(2000)]
+        + [rng.random() for _ in range(2000)]
+        + [56.208749999999995, 46.996249999999996, 3147.6899999999996]
+    )
+    want = [
+        float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for v in vals
+    ]
+    duck = duckdb.connect().execute(
+        "SELECT list_transform($1::DOUBLE[], x -> "
+        + drls("round(x, 4)")
+        + ")",
+        [vals],
+    ).fetchone()[0]
+    assert duck == want
+    got_spark = [
+        r.r
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 4).alias("r"))
+        .collect()
+    ]
+    assert got_spark == want
