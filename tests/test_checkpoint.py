@@ -269,3 +269,53 @@ def test_with_domain_handles_bare_and_cased_urls(spark):
     assert got["HTTPS://Example.COM/p"] == "example.com"
     assert got["https://a.example/p/x"] == "a.example"
     assert got["not a url"] == ""
+
+
+def test_duplicate_lineage_rows_do_not_double_count(spark, tmp_path):
+    """A retry racing the lineage append can leave duplicate rows for a
+    (run_id, bucket); the processed-doc count must come from the rows
+    THIS invocation appended (write_scrub_output's return), and resume
+    must still treat the run as complete (distinct bucket ids)."""
+    from azure_based_pii_redactor_spark.engine.checkpoint import (
+        completed_buckets,
+        write_scrub_output,
+    )
+
+    pages = generate_pages(spark, 100, seed=5)
+    out_p = str(tmp_path / "out")
+    lin_p = str(tmp_path / "lin")
+    n = run_checkpointed(pages, out_p, lin_p, "r9", n_buckets=4)
+    assert n == 100
+    # simulate the racing retry: append a second copy of one bucket's
+    # lineage by re-running the writer for bucket 0 only
+    done = spark.read.parquet(lin_p)
+    # materialize BEFORE rewriting: the writer overwrites the very
+    # files a lazy plan would still be reading
+    bucket0_out = spark.read.parquet(out_p).filter(
+        F.col("part_bucket") == 0
+    ).localCheckpoint()
+    n_b0 = write_scrub_output(bucket0_out, out_p, lin_p, "r9", [0])
+    assert n_b0 == bucket0_out.count()  # return counts ITS rows only
+    lin = spark.read.parquet(lin_p).filter(F.col("run_id") == "r9")
+    assert lin.count() == done.count() + 1  # duplicate row exists
+    # resume: distinct completed buckets unaffected -> no-op, returns 0
+    assert completed_buckets(spark, lin_p, "r9").count() == 4
+    assert run_checkpointed(pages, out_p, lin_p, "r9", n_buckets=4) == 0
+
+
+def test_completed_buckets_reraises_non_missing_errors(spark, tmp_path):
+    """Only a MISSING lineage path means fresh run; a corrupt lineage
+    file must raise, not silently restart the whole corpus."""
+    from azure_based_pii_redactor_spark.engine.checkpoint import (
+        completed_buckets,
+    )
+
+    missing = str(tmp_path / "nope")
+    assert completed_buckets(spark, missing, "r") is None
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-0.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        df = completed_buckets(spark, str(corrupt), "r")
+        if df is not None:  # corruption may surface at action time
+            df.count()
