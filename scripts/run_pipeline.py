@@ -32,9 +32,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True,
                     help="pages table path (url, warc_ts, html, text, lang)")
     ap.add_argument("--input-format", default="parquet",
-                    choices=["parquet", "warc"],
-                    help="parquet pages table (default) or raw "
-                         ".warc/.warc.gz files (Common-Crawl layout)")
+                    choices=["parquet", "warc", "jsonl"],
+                    help="parquet pages table (default), raw "
+                         ".warc/.warc.gz files (Common-Crawl layout), or "
+                         ".jsonl[.gz] pages interchange (base64 html)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--run-id", required=True)
@@ -69,8 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.generate:
         if args.input_format != "parquet":
             ap.error("--generate writes a PARQUET corpus; it cannot be "
-                     "combined with --input-format warc (the WARC scan "
-                     "would silently decode 0 records from parquet files)")
+                     "combined with a non-parquet --input-format (the "
+                     "warc/jsonl scans would silently decode 0 records "
+                     "from parquet files)")
         from azure_based_pii_redactor_spark.sources.pages import (
             write_pages_corpus,
         )
@@ -81,6 +83,12 @@ def main(argv: list[str] | None = None) -> int:
         from azure_based_pii_redactor_spark.sources.warc import read_warc
 
         pages = read_warc(spark, args.input)
+    elif args.input_format == "jsonl":
+        from azure_based_pii_redactor_spark.sources.jsonl import (
+            read_pages_jsonl,
+        )
+
+        pages = read_pages_jsonl(spark, args.input)
     else:
         pages = spark.read.parquet(args.input)
     feedback = []
