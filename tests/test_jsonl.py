@@ -68,3 +68,32 @@ def test_jsonl_tolerates_malformed_base64_and_missing_fields(spark, tmp_path):
     assert got["https://a.example/p"].html is None  # bad b64 -> NULL
     assert got["https://b.example/p"].html is None  # missing -> NULL
     assert got["https://b.example/p"].text == "t2"
+
+
+def test_run_pipeline_jsonl_input(spark, tmp_path):
+    """The spark-submit entrypoint consumes .jsonl.gz input end to end
+    (--input-format jsonl); subprocess so the job's session lifecycle
+    doesn't touch the shared test session."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = str(tmp_path / "jl_in")
+    write_pages_jsonl(generate_pages(spark, 40, seed=3, parts=2), src)
+    env = dict(os.environ, PYTHONPATH=repo)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "run_pipeline.py"),
+         "--input", src, "--input-format", "jsonl",
+         "--output", str(tmp_path / "out"),
+         "--lineage", str(tmp_path / "lineage"),
+         "--run-id", "jsonltest"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][0]
+    )
+    assert summary["n_docs"] == 40
