@@ -289,3 +289,45 @@ def test_rounding_parity_three_engines(spark):
         .collect()
     ]
     assert got_spark == want
+
+
+def test_word_windows_sql_parity_random_texts(spark):
+    """word_windows_sql (the oracle-side window definition) must
+    segment identically to _word_windows (the Spark-side one) on
+    random texts incl. edge shapes (short docs, repeated words, empty
+    string, multiple spaces)."""
+    import random
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        _word_windows,
+        word_windows_sql,
+    )
+
+    rng = random.Random(4242)
+    vocab = ["alpha", "beta", "gamma", "x", "yy", "z9"]
+    texts = [""] + ["one two"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(200)
+    ] + ["a  b   c " * 4]  # runs of spaces + trailing space
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).withColumn("__words", F.split("text", " "))
+    got = {
+        r.doc_id: list(r.wins)
+        for r in df.select(
+            "doc_id", _word_windows(8).alias("wins")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want_rows = con.execute(
+        "SELECT i, "
+        f"[w for w in {word_windows_sql(8)}] FROM "
+        "(SELECT unnest(range(len($1))) AS i, "
+        " string_split(unnest($1), ' ') AS ws)",
+        [texts],
+    ).fetchall()
+    want = {i: list(w) for i, w in want_rows}
+    assert got == want
