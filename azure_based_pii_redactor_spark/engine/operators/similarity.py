@@ -249,6 +249,16 @@ NEARDUP_THRESHOLD = 0.5  # tuned to the synthetic random-vector corpus;
 # real embedding near-dup uses ~0.95, where the banding prunes hardest.
 
 
+# Banding honesty: the LSH layer is probabilistic -- a qualifying pair
+# whose bucket bits disagree in every band is missed with probability
+# ~1e-4 at the threshold (deterministic per corpus: the testdata passes
+# the exact all-pairs oracle at sf0.001/0.01/0.1, and has since round
+# 2).  A corpus redraw landing a borderline pair on the wrong side
+# would fail the driver compare LOUDLY (pair count mismatch), which is
+# the designed behavior: candidate recall is part of the checked
+# contract, exactly as in the verified-minhash forms.
+
+
 def embedding_cosine_neardup(spark, sf_dir, threshold: float = NEARDUP_THRESHOLD):
     """Embedding-cosine near-duplicate pairs -- the embedding leg of the
     dedup suite.  Candidate pairs come from banded hyperplane-LSH bucket
@@ -491,24 +501,25 @@ ORACLES = {
             WHERE q.vec_id < {N_QUERIES})
         WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
     """,
-    "embedding_cosine_neardup": """
+    "embedding_cosine_neardup": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.embedding::DOUBLE[],
                                       b.embedding::DOUBLE[]), 6) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.embedding::DOUBLE[],
-                               b.embedding::DOUBLE[]) >= 0.5
+                               b.embedding::DOUBLE[]) >= {NEARDUP_THRESHOLD}
         ORDER BY vec_a, vec_b
     """,
     # connected components as a recursive transitive closure: component
     # of a node = min reachable node id (mirrors the Spark min-label
     # propagation fixpoint exactly)
-    "embedding_neardup_clusters": """
+    "embedding_neardup_clusters": f"""
         WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS va, b.vec_id AS vb
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]) >= 0.5
+                                   b.embedding::DOUBLE[])
+                      >= {NEARDUP_THRESHOLD}
         ), edges AS (
             SELECT va AS src, vb AS dst FROM pairs
             UNION ALL SELECT vb, va FROM pairs

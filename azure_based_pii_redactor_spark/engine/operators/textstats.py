@@ -66,6 +66,11 @@ def text_fingerprint_md5(spark, sf_dir):
     )
 
 
+WINDOW_N = 8  # the n-word window width: default of every window-based
+# op (dup passages, passage removal, decontamination, word_windows_sql)
+# AND the literal the f-string oracles interpolate -- one knob
+
+
 def _word_windows(n: int, with_pos: bool = False):
     """The ONE definition of an ``n``-word window over the ``__words``
     column, shared by the duplicated-passage DETECTOR and the REMOVER so
@@ -82,7 +87,7 @@ def _word_windows(n: int, with_pos: bool = False):
     )
 
 
-def word_windows_sql(n: int = 8) -> str:
+def word_windows_sql(n: int = WINDOW_N) -> str:
     """The ONE DuckDB definition of the ``n``-word window list over a
     pre-split ``ws`` column -- the SQL twin of ``_word_windows`` above,
     shared by every window-based oracle (decontaminate, dup passages,
@@ -94,7 +99,7 @@ def word_windows_sql(n: int = 8) -> str:
     )
 
 
-def text_dup_passages(spark, sf_dir, n: int = 8):
+def text_dup_passages(spark, sf_dir, n: int = WINDOW_N):
     """Cross-document duplicated passages: every ``n``-word window (with
     multiplicity -- positions matter, unlike set-shingle dedup) grouped by
     content; windows appearing in >= 2 DISTINCT docs are boilerplate /
@@ -176,7 +181,48 @@ def text_langid_kernel(spark, sf_dir):
     )
 
 
-_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# explicit whitespace class: Java's \s includes \x0B, RE2's does not --
+# the same \s-vs-\v parity class round 1 fixed in the kernel; spelling
+# the class out makes Spark and the DuckDB oracle agree by construction
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]"
+
+# C4 kept-line rule, shared by text_c4_clean_lines and the merged
+# text_doc_features projection (ONE definition): >=5 words AND terminal
+# punctuation as the LAST CHARACTER -- right(.,1) IN (...) instead of a
+# regex '$' anchor, whose semantics differ between Java (matches before
+# a final \r) and RE2 (end of string only)
+_KEPT_LINES_SQL = """filter(split(text, '\n'),
+               l -> size(split(trim(l), ' ')) >= 5
+                    AND right(trim(l), 1) IN ('.', '!', '?', '\"'))"""
+
+_STOPWORD_MARKERS = {
+    "en": ("the", "and", "with", "that"),
+    "es": ("el", "la", "los", "que"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+def _stopword_votes():
+    """(en_hits, es_hits, de_hits, vote) column expressions over a
+    lowercased space-padded text -- the ONE definition shared by
+    text_lang_stopword_vote and the merged text_doc_features."""
+    low = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def hits(words):
+        expr = F.lit(0)
+        for w in words:
+            expr = expr + F.when(low.contains(f" {w} "), 1).otherwise(0)
+        return expr
+
+    en = hits(_STOPWORD_MARKERS["en"])
+    es = hits(_STOPWORD_MARKERS["es"])
+    de = hits(_STOPWORD_MARKERS["de"])
+    vote = (
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    return en, es, de, vote
 
 
 def text_token_bpe(spark, sf_dir):
@@ -200,22 +246,7 @@ def text_lang_stopword_vote(spark, sf_dir):
     pick the majority (the relational cousin of the kernel langid; exact
     oracle).  Ties resolve by fixed order en > es > de."""
     d = _docs(spark, sf_dir)
-    low = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-
-    def hits(words):
-        expr = F.lit(0)
-        for w in words:
-            expr = expr + F.when(low.contains(f" {w} "), 1).otherwise(0)
-        return expr
-
-    en = hits(["the", "and", "with", "that"])
-    es = hits(["el", "la", "los", "que"])
-    de = hits(["der", "die", "und", "das"])
-    vote = (
-        F.when((en >= es) & (en >= de), "en")
-        .when(es >= de, "es")
-        .otherwise("de")
-    )
+    en, es, de, vote = _stopword_votes()
     return (
         d.select("doc_id", en.alias("en_hits"), es.alias("es_hits"),
                  de.alias("de_hits"), vote.alias("lang_vote"))
@@ -229,22 +260,13 @@ def text_c4_clean_lines(spark, sf_dir):
     lambdas -- the transform stage that precedes doc-level filtering in a
     C4-style pipeline."""
     d = _docs(spark, sf_dir)
-    cleaned = F.expr(
-        """array_join(
-               filter(split(text, '\n'),
-                      l -> size(split(trim(l), ' ')) >= 5
-                           AND trim(l) rlike '[.!?\"]$'),
-               '\n')"""
-    )
+    kept = F.expr(_KEPT_LINES_SQL)  # bound ONCE (no CSE in interpreted
+    # higher-order functions -- see the split note above)
     return (
         d.select(
             "doc_id",
-            F.size(F.expr(
-                """filter(split(text, '\n'),
-                          l -> size(split(trim(l), ' ')) >= 5
-                               AND trim(l) rlike '[.!?\"]$')"""
-            )).alias("n_kept_lines"),
-            F.length(cleaned).alias("cleaned_len"),
+            F.size(kept).alias("n_kept_lines"),
+            F.length(F.array_join(kept, "\n")).alias("cleaned_len"),
         )
         .orderBy("doc_id")
     )
@@ -304,27 +326,8 @@ def text_doc_features(spark, sf_dir):
     words = F.split("text", " ")
     n_words = F.size(words)
     mean_len = (F.length("text") - n_words + 1) / n_words
-    low = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-
-    def hits(markers):
-        expr = F.lit(0)
-        for w in markers:
-            expr = expr + F.when(low.contains(f" {w} "), 1).otherwise(0)
-        return expr
-
-    en = hits(["the", "and", "with", "that"])
-    es = hits(["el", "la", "los", "que"])
-    de = hits(["der", "die", "und", "das"])
-    vote = (
-        F.when((en >= es) & (en >= de), "en")
-        .when(es >= de, "es")
-        .otherwise("de")
-    )
-    kept_lines = F.expr(
-        """filter(split(text, '\n'),
-                  l -> size(split(trim(l), ' ')) >= 5
-                       AND trim(l) rlike '[.!?\"]$')"""
-    )
+    en, es, de, vote = _stopword_votes()
+    kept_lines = F.expr(_KEPT_LINES_SQL)
     return (
         d.select(
             "doc_id",
@@ -350,7 +353,7 @@ def text_doc_features(spark, sf_dir):
     )
 
 
-def text_dedup_passage_removal(spark, sf_dir, n: int = 8):
+def text_dedup_passage_removal(spark, sf_dir, n: int = WINDOW_N):
     """Exact duplicated-passage REMOVAL (the ExactSubstr operation of Lee
     et al. 2022, arXiv:2107.06499, at window granularity): every ``n``-word
     window occurring more than once in the corpus is excised from all but
@@ -497,7 +500,7 @@ EVAL_MOD = 41  # deterministic stand-in benchmark: every 41st document
 # plays the eval set in the driver-checked decontamination query
 
 
-def text_decontaminate(spark, sf_dir, n: int = 8):
+def text_decontaminate(spark, sf_dir, n: int = WINDOW_N):
     """Driver entry for benchmark DECONTAMINATION (the GPT-3-appendix /
     Pile n-gram-overlap procedure) -- previously pytest-only because the
     50-slot cap was full (VERDICT r3 missing #2).  The eval set is a
@@ -513,7 +516,10 @@ def text_decontaminate(spark, sf_dir, n: int = 8):
     return decontaminate(d, eval_docs, n=n)
 
 
-def sample_stratified_deterministic(spark, sf_dir, pct: int = 20):
+SAMPLE_PCT = 20  # stratified-sampling default, interpolated into its oracle
+
+
+def sample_stratified_deterministic(spark, sf_dir, pct: int = SAMPLE_PCT):
     """Reproducible stratified downsampling -- the training-data staple
     for rebalancing a corpus (e.g. cap English at N%, keep every doc of
     a low-resource language).  The sampling decision is a PURE FUNCTION
@@ -582,7 +588,8 @@ ORACLES = {
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         ), wins AS (
             SELECT doc_id,
-                   unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
+                   unnest(range(0, greatest(len(ws) - {WINDOW_N - 1}, 0)))
+                       AS pos,
                    unnest({word_windows_sql()})
                        AS win
             FROM w
@@ -593,7 +600,8 @@ ORACLES = {
                        ORDER BY doc_id, pos) AS rn
             FROM wins
         ), rm AS (
-            SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx
+            SELECT DISTINCT doc_id,
+                   unnest(range(pos, pos + {WINDOW_N})) AS idx
             FROM ranked WHERE cnt >= 2 AND rn > 1
         ), words AS (
             SELECT doc_id, unnest(range(0, len(ws))) AS idx,
@@ -616,11 +624,11 @@ ORACLES = {
         FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
         ORDER BY w.doc_id
     """,
-    "sample_stratified_deterministic": """
+    "sample_stratified_deterministic": f"""
         WITH kept AS (
             SELECT lang, doc_id FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-                  % 100 < 20
+                  % 100 < {SAMPLE_PCT}
         )
         SELECT lang, count(*) AS n_kept,
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS kept_ids
@@ -668,14 +676,14 @@ ORACLES = {
         SELECT doc_id, rnk, word, round(raw_score, 4) AS tfidf
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
     """,
-    "text_doc_features": r"""
+    "text_doc_features": rf"""
         WITH base AS (
             SELECT doc_id, text,
                    len(string_split(text, ' ')) AS n_words,
                    ' ' || lower(text) || ' ' AS low,
                    list_filter(string_split(text, chr(10)),
                        l -> len(string_split(trim(l), ' ')) >= 5
-                            AND regexp_matches(trim(l), '[.!?"]$'))
+                            AND right(trim(l), 1) IN ('.', '!', '?', '"'))
                        AS kept
             FROM documents
         ), v AS (
@@ -703,7 +711,7 @@ ORACLES = {
                (n_words BETWEEN 50 AND 100000)
                    AND contains(text, ' the ') AS keep_simple,
                len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                   '{_BPE_RE}')) AS n_bpe_tokens,
                en_hits, es_hits, de_hits,
                CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
                     WHEN es_hits >= de_hits THEN 'es'

@@ -22,7 +22,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-_TRACKING_RE = "(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+# utm_\w+ (not [a-z]+): GA4 params like utm_source_platform /
+# utm_campaign_id carry underscores and digits; (=|$) also strips the
+# VALUELESS form (?fbclid).  'reference=' stays: after 'ref' the next
+# char must be '=' or end.
+_TRACKING_RE = r"(?i)^(utm_\w+|fbclid|gclid|msclkid|ref)(=|$)"
 
 
 def canonical_url(url) -> Column:
@@ -65,11 +69,20 @@ def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
     winner, breaking resume determinism).  Standard rank-window shape --
     shuffles once on the canonical key; no skew by construction
     (host+path keys are near-unique)."""
-    w = Window.partitionBy("canonical_url").orderBy(
+    order = [
         F.desc_nulls_last("warc_ts"),
         F.asc("url"),
         F.asc_nulls_first(F.md5(F.col("html"))),
-    )
+    ]
+    # interchange formats (jsonl) carry text/lang (or other columns) as
+    # INDEPENDENT input fields: two fetches can tie on (ts, url, html)
+    # and still differ there -- hash every remaining column into the
+    # order so the keeper's EVERY column is deterministic across
+    # retries/resumes
+    extra = [c for c in pages.columns if c not in ("url", "warc_ts", "html")]
+    if extra:
+        order.append(F.asc(F.xxhash64(*extra)))
+    w = Window.partitionBy("canonical_url").orderBy(*order)
     return (
         pages.withColumn("canonical_url", canonical_url("url"))
         .withColumn("__rn", F.row_number().over(w))

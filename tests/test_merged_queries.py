@@ -343,3 +343,45 @@ def test_oracle_rounding_matches_spark_on_boundary(spark, duck=None):
         drls(f"SELECT round(CAST({v!r} AS DOUBLE), 4) AS r")
     ).fetchone()[0]
     assert s == d == 56.2087
+
+
+def test_doc_features_dialect_parity_on_crlf_and_vtab(spark, tmp_path):
+    """The two Java-vs-RE2 divergence classes in text features: a line
+    ending '.\\r' (Java $ matches before a final \\r, RE2 does not) and
+    a \\x0B separator (in Java's \\s, not RE2's).  Both engines must now
+    agree -- computed on a scratch documents table through the SAME
+    query + oracle pair the driver runs."""
+    import duckdb
+
+    import azure_based_pii_redactor_spark.engine.operators.textstats as t
+
+    d = str(tmp_path / "docs")
+    rows = [
+        (0, "this line has five words.\r\nshort one", "en", "s", 10),
+        (1, "a\x0bb plain words here now.", "en", "s", 10),
+        (2, "normal line with five words.", "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = (
+        t.text_doc_features(spark, d)
+        .select("doc_id", "n_bpe_tokens", "n_kept_lines", "cleaned_len")
+        .toPandas().set_index("doc_id")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT *"
+        f" FROM '{d}/documents.parquet/*.parquet'"
+    )
+    from azure_based_pii_redactor_spark.engine.operators import all_oracles
+
+    want = (
+        con.execute(all_oracles()["text_doc_features"]).fetchdf()
+        .set_index("doc_id")[["n_bpe_tokens", "n_kept_lines", "cleaned_len"]]
+    )
+    for col in want.columns:
+        assert (got[col] == want[col]).all(), (col, got[col], want[col])
+    # the '.\r' line is NOT kept (last char is \r, both engines)
+    assert got.loc[0, "n_kept_lines"] == 0

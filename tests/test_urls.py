@@ -47,3 +47,52 @@ def test_dedup_pages_by_url_newest_wins(spark):
     assert len(out) == 2
     assert out["a.com/x"] == ("https://a.com/x", b"new")  # newest fetch
     assert out["b.com/y"][1] == b"only"
+
+
+def test_tracking_params_ga4_and_valueless(spark):
+    """GA4 underscore/digit utm params and VALUELESS tracking params are
+    stripped; 'reference=' (ref-prefixed real param) is kept."""
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [("https://x.example/p?utm_source_platform=web",),
+         ("https://x.example/p?fbclid",),
+         ("https://x.example/p?utm_campaign_id=7&b=1",),
+         ("https://x.example/p?reference=9",),
+         ("https://x.example/p",)],
+        "url string",
+    )
+    got = {r.url: r.c for r in df.select(
+        "url", canonical_url("url").alias("c")).collect()}
+    assert got["https://x.example/p?utm_source_platform=web"] == "x.example/p"
+    assert got["https://x.example/p?fbclid"] == "x.example/p"
+    assert got["https://x.example/p?utm_campaign_id=7&b=1"] == "x.example/p?b=1"
+    assert got["https://x.example/p?reference=9"] == "x.example/p?reference=9"
+    assert got["https://x.example/p"] == "x.example/p"
+
+
+def test_dedup_keeper_deterministic_on_extra_columns(spark):
+    """Two fetches tying on (ts, url, html) but differing in text must
+    resolve to ONE deterministic keeper (retry/resume safety for
+    interchange formats that carry text independently)."""
+    from datetime import datetime
+
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        dedup_pages_by_url,
+    )
+
+    rows = [
+        ("https://a.example/p", datetime(2024, 1, 1), None, "text A", "en"),
+        ("https://a.example/p", datetime(2024, 1, 1), None, "text B", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string,"
+        " lang string"
+    )
+    outs = {
+        dedup_pages_by_url(df.repartition(p)).first().text
+        for p in (1, 2, 4)
+    }
+    assert len(outs) == 1  # same keeper regardless of partitioning
