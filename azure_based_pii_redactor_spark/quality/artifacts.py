@@ -68,7 +68,13 @@ def verify_roundtrip(spark: SparkSession, base_path: str) -> bool:
     lt = spark.read.parquet(f"{base_path}/langid_trigrams").toPandas()
     ok = len(lt) == len(_langid._INDEX) + 1  # + the floor row
     for r in lt.itertuples(index=False):
-        idx = _langid._INDEX.get(r.trigram, 0)  # "" -> floor row 0
+        if r.trigram == "":
+            idx = 0  # the documented OOV-floor sentinel row
+        elif r.trigram in _langid._INDEX:
+            idx = _langid._INDEX[r.trigram]
+        else:
+            return False  # unknown key: NOT silently mapped to the
+            # floor row (a corrupted sentinel would otherwise verify)
         for i, lang in enumerate(_langid.LANGUAGES):
             ok = ok and getattr(r, f"logp_{lang}") == _langid._MATRIX[idx][i]
             if not ok:

@@ -14,7 +14,6 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-_ALPHA = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]")
 # one C-level pass counting whitespace-tokens that contain an alpha char
 # (same segmentation as str.split) -- replaces a per-word Python loop
 # with ~75 re.search calls per document
@@ -53,7 +52,11 @@ _STOPWORD_ALL = re.compile(
     r"\b(?:" + "|".join(GOPHER_STOPWORDS) + r")\b", re.ASCII
 )
 
-# C4-style content filters.
+# C4-style content filters.  The first two entries are bound to the
+# has_lorem_ipsum / has_curly_brace metric names below (gopher_c4_metrics
+# indexes this tuple -- extending it requires adding a metric + rule, and
+# the indexing makes that coupling break loudly instead of silently
+# no-opping).
 C4_BAD_SUBSTRINGS = ("lorem ipsum", "{")
 MIN_SENTENCES = 3
 
@@ -92,7 +95,14 @@ def _ngram_char_fractions(words: list[str], text_len: int) -> dict[str, float]:
             out[f"top_{n}gram_char_frac"] = 0.0
             continue
         grams = Counter(zip(*(islice(words, i, None) for i in range(n))))
-        gram, count = grams.most_common(1)[0]
+        # NOT most_common(1): its insertion-order tie-break could pick a
+        # SHORTER gram among count ties and understate the char fraction
+        # (letting a repetitive doc pass the gate); take the max by
+        # (count, chars, gram) -- deterministic and conservative
+        gram, count = max(
+            grams.items(),
+            key=lambda kv: (kv[1], sum(len(w) for w in kv[0]), kv[0]),
+        )
         if count == 1:
             all_unique = True  # all longer n-grams unique as well
         chars = sum(len(w) for w in gram)
@@ -190,8 +200,8 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
         "dup_para_char_frac": dup_para_char_frac,
         "n_sentences": float(sentences),
         "toxicity_hits": float(toxicity_hits),
-        "has_lorem_ipsum": float("lorem ipsum" in lower),
-        "has_curly_brace": float("{" in text),
+        "has_lorem_ipsum": float(C4_BAD_SUBSTRINGS[0] in lower),
+        "has_curly_brace": float(C4_BAD_SUBSTRINGS[1] in text),
     }
     metrics.update(_ngram_char_fractions(words, text_len))
     return metrics

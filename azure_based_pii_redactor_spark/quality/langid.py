@@ -10,10 +10,16 @@ Replaces the reference's hardcoded ``language: "en"`` Azure call parameter
 (``azure.go:104-112``) with a real per-document language decision, per the
 north star.
 
-Scoring: mean log-prob of the document's trigrams under each language
-profile; prediction = argmax; score = softmax margin of the winner
-(in (0,1], higher = more confident).  Documents with fewer than
-``MIN_TRIGRAMS`` usable trigrams predict ``("unk", 0.0)``.
+Scoring: TOTAL log-likelihood of the document's trigrams under each
+language profile; prediction = argmax; score = softmax margin of the
+winner over the totals (in (0,1], higher = more confident).  Because
+the softmax runs over totals rather than per-trigram means, the margin
+grows with document length: any clear winner saturates to ~1.0 beyond
+a few hundred characters, and the ``MIN_LANG_SCORE`` gate effectively
+filters short or genuinely ambiguous documents (the intended behavior
+-- a long document with a consistent trigram profile IS high
+confidence).  Documents with fewer than ``MIN_TRIGRAMS`` usable
+trigrams predict ``("unk", 0.0)``.
 """
 
 from __future__ import annotations

@@ -22,7 +22,7 @@ def test_script_style_head_dropped_entities_decoded():
 def test_unclosed_skip_subtrees_cannot_swallow_the_page():
     # unclosed <svg>: an HTML block tag breaks out (foreign content)
     out = html_to_text("<p>before</p><svg><circle/>junk<p>AFTER</p>")
-    assert out.splitlines() == ["before", "AFTER"]
+    assert out.splitlines() == ["before", "", "AFTER"]
     # unclosed <head>/<title>: <body> clears pending skips
     out = html_to_text("<head><title>T<body><p>content</p>")
     assert out == "content"
@@ -41,7 +41,42 @@ def test_table_cells_do_not_fuse():
 def test_block_structure_becomes_lines():
     out = html_to_text("<div>a</div><p>b</p><ul><li>c</li><li>d</li></ul>"
                        "e<br>f")
-    assert out.splitlines() == ["a", "b", "c", "d", "e", "f"]
+    # p boundaries are PARAGRAPH breaks (blank lines); div/li/br are
+    # line breaks only
+    assert out.splitlines() == ["a", "", "b", "", "c", "d", "e", "f"]
+
+
+def test_unclosed_head_title_cannot_swallow_flow_content():
+    """HTML5 auto-closes head/title when flow content starts; pages
+    missing </head> or <body> must not extract empty (they would be
+    silently dropped by the word-count gate)."""
+    assert html_to_text("<title>My page<p>Hello world</p>") == "Hello world"
+    assert html_to_text(
+        "<html><head><meta charset='utf-8'><div>hi there</div></html>"
+    ) == "hi there"
+    # nested: svg > title, both unclosed -- block tag pops BOTH
+    out = html_to_text("<p>a</p><svg><title>junk<p>AFTER</p>")
+    assert out.splitlines() == ["a", "", "AFTER"]
+    # noscript/template legitimately CONTAIN block markup: no breakout
+    assert "enable" not in html_to_text(
+        "<body><noscript><p>enable js</p></noscript><p>real</p></body>"
+    )
+
+
+def test_paragraph_structure_feeds_dup_paragraph_rules():
+    """The fallback extractor emits \n\n paragraph boundaries, so the
+    Gopher duplicate-paragraph metrics see the same structure the
+    wrapper fast path preserves."""
+    from azure_based_pii_redactor_spark.quality.heuristics import (
+        gopher_c4_metrics,
+    )
+
+    text = html_to_text(
+        "<p>alpha beta gamma delta.</p><p>alpha beta gamma delta.</p>"
+        "<p>unique closing thoughts here.</p>"
+    )
+    m = gopher_c4_metrics(text)
+    assert m["dup_para_frac"] > 0  # duplicated paragraph is VISIBLE
 
 
 def test_malformed_html_never_raises():

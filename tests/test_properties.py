@@ -146,7 +146,13 @@ def test_ngram_cascade_matches_uncascaded(words):
             assert got[f"top_{n}gram_char_frac"] == 0.0
             continue
         grams = Counter(zip(*(words[i:] for i in range(n))))
-        g, c = grams.most_common(1)[0]
+        # max by (count, chars, gram): among count ties the gram with
+        # the largest char coverage decides (the conservative Gopher
+        # reading; insertion-order most_common(1) understated it)
+        g, c = max(
+            grams.items(),
+            key=lambda kv: (kv[1], sum(len(w) for w in kv[0]), kv[0]),
+        )
         want = (c * sum(len(w) for w in g)) / text_len \
             if c > 1 and text_len else 0.0
         assert got[f"top_{n}gram_char_frac"] == want, (n, words)
