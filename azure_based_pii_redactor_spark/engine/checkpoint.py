@@ -90,19 +90,32 @@ def write_scrub_output(
 
     ``out`` must contain a ``part_bucket`` column.  ``bucket_ids`` is the
     set of candidate buckets for this invocation (all-minus-completed,
-    derived driver-side -- no input scan).  Requires
+    derived driver-side -- no input scan).  Lineage is read back ONLY for
+    the intersection of ``bucket_ids`` with the buckets this write
+    actually produced (observed in the same pass as the write -- no extra
+    job): candidate buckets the input never populates contribute nothing,
+    so stale partitions left in them by a prior run over a reused
+    ``output_path`` (different run_id, or a changed ``n_buckets``) are
+    never counted into THIS run's lineage or marked complete.  Requires
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session.py) so
-    only these buckets are replaced.
+    only the written buckets are replaced.
     """
+    from pyspark.sql import Observation
+
     from .tableio import default_writer
 
     spark = out.sparkSession
     writer = writer or default_writer(spark, output_path)
+    obs = Observation()
+    out = out.observe(obs, F.collect_set("part_bucket").alias("buckets"))
     writer.overwrite_buckets(out, output_path)
+    written_ids = sorted(set(obs.get["buckets"]) & set(bucket_ids))
+    if not written_ids:
+        return 0
     # Lineage is computed from the files just committed (partition-pruned
     # read), never from the pre-write plan -- avoids re-running the kernel.
     written = writer.read(spark, output_path).filter(
-        F.col("part_bucket").isin(bucket_ids)
+        F.col("part_bucket").isin(written_ids)
     )
     rows = (
         written.groupBy("part_bucket")
@@ -146,7 +159,10 @@ def run_checkpointed(
     CONTRACT: ``output_path`` belongs to ONE ``run_id``.  Lineage rows are
     run-keyed but bucket partitions are not; pointing a second run at the
     same path would overwrite the first run's buckets.  Callers embed the
-    run id in the path (as bench.py and the tests do).
+    run id in the path (as bench.py and the tests do).  Lineage itself is
+    immune to path reuse either way: ``write_scrub_output`` records only
+    the buckets each invocation actually writes, so stale partitions from
+    a prior run are never counted or resume-skipped as this run's work.
     """
     from .pipeline import run_scrub_pipeline
 
@@ -157,8 +173,10 @@ def run_checkpointed(
     # would execute a full input scan + anti-join as a separate job
     # before the kernel job re-runs the same scan -- an entire extra
     # pass over the corpus at 10^12 docs.  Candidate buckets the input
-    # never populates are harmless: they produce no output partitions
-    # and no lineage rows.
+    # never populates are harmless: write_scrub_output intersects them
+    # with the bucket set the write job actually observes, so they
+    # produce no lineage rows even when a reused output dir holds
+    # stale partitions under those bucket ids.
     done = completed_buckets(spark, lineage_path, run_id)
     done_ids = (
         {r.part_bucket for r in done.collect()} if done is not None else set()

@@ -175,7 +175,11 @@ def main() -> None:
         _resolve(name)(spark, warm_dir).write.format("noop").mode(
             "overwrite").save()
     for name in HEADLINE:
-        reps = 2 if name == "dedup_minhash_lsh" else 1  # noisiest entry
+        # best-of-2 for EVERY entry (r4 lesson: the single-rep artifact was
+        # noise-dominated -- a transient host window inflated 16 entries
+        # 1.4-1.7x with zero code change, making regression vs noise
+        # undecidable from the graded record)
+        reps = 2
         best = 9e9
         for _ in range(reps):
             t0 = time.time()
@@ -217,7 +221,9 @@ def main() -> None:
     scrub_stream(spark, warm_corpus, wout, wck,
                  max_files_per_trigger=8).awaitTermination()
     stream_sec = 9e9
-    for rep in range(2):  # best-of-2: stream wall-clock is the noisiest
+    for rep in range(3):  # best-of-3: stream wall-clock is the noisiest
+        # (r4 shipped a 74% scrub_stream "regression" that was a noise
+        # window hitting both of 2 reps; 3 reps bound that risk)
         stream_out = os.path.join(SCRATCH, f"stream_out{rep}")
         stream_ckpt = os.path.join(SCRATCH, f"stream_ckpt{rep}")
         for d in (stream_out, stream_ckpt):

@@ -303,6 +303,53 @@ def test_duplicate_lineage_rows_do_not_double_count(spark, tmp_path):
     assert run_checkpointed(pages, out_p, lin_p, "r9", n_buckets=4) == 0
 
 
+def test_reused_output_dir_does_not_count_stale_buckets(spark, tmp_path):
+    """A second run_id pointed at the SAME output dir, whose input does
+    not populate every bucket, must not absorb the first run's stale
+    partitions into its own lineage (counts, completion) -- the lineage
+    read-back is restricted to buckets THIS invocation's write job
+    actually observed (ADVICE r4: driver-side all-minus-completed
+    candidate buckets alone would count stale data as done)."""
+    from azure_based_pii_redactor_spark.engine.checkpoint import (
+        completed_buckets,
+    )
+
+    out_p, lin_p = str(tmp_path / "out"), str(tmp_path / "lin")
+    pages = generate_pages(spark, 200, seed=11)
+    assert run_checkpointed(pages, out_p, lin_p, "old", n_buckets=8) == 200
+    # new run over the SAME output dir, input confined to a bucket subset
+    subset = with_bucket(pages, 8).filter(F.col("part_bucket") < 2).drop(
+        "part_bucket"
+    )
+    n_sub = subset.count()
+    assert 0 < n_sub < 200
+    got = run_checkpointed(subset, out_p, lin_p, "new", n_buckets=8)
+    assert got == n_sub  # NOT inflated by stale buckets 2..7
+    new_lin = spark.read.parquet(lin_p).filter(F.col("run_id") == "new")
+    assert sorted(
+        r.part_bucket for r in new_lin.select("part_bucket").collect()
+    ) == [0, 1]
+    assert new_lin.agg(F.sum("n_docs")).collect()[0][0] == n_sub
+    # unpopulated buckets are NOT marked complete for the new run
+    assert completed_buckets(spark, lin_p, "new").count() == 2
+
+
+def test_write_scrub_output_empty_input_writes_no_lineage(spark, tmp_path):
+    """An invocation whose candidate buckets receive zero rows appends no
+    lineage and returns 0 (the observation set is empty)."""
+    from azure_based_pii_redactor_spark.engine.checkpoint import (
+        completed_buckets,
+        write_scrub_output,
+    )
+
+    out_p, lin_p = str(tmp_path / "o"), str(tmp_path / "l")
+    empty = with_bucket(
+        run_scrub_pipeline(generate_pages(spark, 20, seed=2)), 4
+    ).filter(F.lit(False))
+    assert write_scrub_output(empty, out_p, lin_p, "r", [0, 1, 2, 3]) == 0
+    assert completed_buckets(spark, lin_p, "r") is None
+
+
 def test_completed_buckets_reraises_non_missing_errors(spark, tmp_path):
     """Only a MISSING lineage path means fresh run; a corrupt lineage
     file must raise, not silently restart the whole corpus."""
