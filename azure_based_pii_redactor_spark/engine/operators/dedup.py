@@ -270,6 +270,21 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 VERIFY_THRESHOLD = 0.5  # exact-Jaccard bar for the verified driver forms
+# BANDING HONESTY (mirrors similarity.py's note; ADVICE r4): the verified
+# oracle enumerates EVERY true pair with raw_j >= VERIFY_THRESHOLD, which
+# makes LSH candidate recall a hard hash-compare requirement -- and with
+# 8 bands x 4 rows the candidate probability 1-(1-j^4)^b is only ~0.40
+# at j=0.50 and ~0.67 at j=0.60; it reaches ~0.985 at j=0.80 and ~0.9998
+# at j=0.90.  The contract is therefore honest ONLY because the fixture
+# corpus's qualifying pairs are engineered near-duplicates that sit well
+# above the threshold (true Jaccard >= 0.8, asserted per-sf by
+# test_verified_pairs_sit_above_banding_knee in
+# tests/test_merged_queries.py), where the per-pair miss probability is
+# <= ~1.5e-2 and the
+# all-pairs pass probability stays >= ~0.98 per run.  A corpus redraw
+# that lands borderline pairs (j in [0.5, 0.7)) WOULD fail the driver
+# loudly by design -- tighten ROWS_PER_BAND/N bands or regate the
+# fixture before admitting such data.
 EST_ERR_BOUND = 0.3  # |est - true| tolerance.  k=32 signature: std of the
 # unconditioned estimator is sqrt(j(1-j)/32) <= 0.088, AND banded
 # candidates are a biased sample (a band collision fixes ~ROWS_PER_BAND

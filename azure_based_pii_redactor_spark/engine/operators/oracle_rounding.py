@@ -25,34 +25,70 @@ uniformly at registration.
 from __future__ import annotations
 
 
+def _iter_unquoted(s: str, start: int = 0):
+    """Yield ``(idx, ch)`` for every character of ``s[start:]`` that sits
+    OUTSIDE a single-quoted SQL string literal (``''`` inside a literal
+    is an escaped quote, not a terminator).  The scanner below uses this
+    so a literal containing ``(``, ``)``, ``,`` or the word ``round(``
+    (e.g. ``split(x, '(')``) can never derail paren matching or the
+    argument split."""
+    i, n, in_q = start, len(s), False
+    while i < n:
+        ch = s[i]
+        if in_q:
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 2  # escaped quote, stay in the literal
+                    continue
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        else:
+            yield i, ch
+        i += 1
+
+
+def _find_round(sql: str, start: int) -> int:
+    """Index of the next un-quoted, non-identifier-suffix ``round(``."""
+    for i, ch in _iter_unquoted(sql, start):
+        if (
+            ch == "r"
+            and sql.startswith("round(", i)
+            # don't match identifiers ending in 'round' (e.g. bround)
+            and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+        ):
+            return i
+    return -1
+
+
 def duck_round_like_spark(sql: str) -> str:
     """Rewrite every ``round(EXPR, N)`` call in ``sql`` (recursively,
-    innermost included) to the decimal-cast form above."""
+    innermost included) to the decimal-cast form above.  Quote-aware:
+    string literals are opaque to the scanner."""
     out: list[str] = []
     i = 0
     while True:
-        j = sql.find("round(", i)
+        j = _find_round(sql, i)
         if j == -1:
             out.append(sql[i:])
             break
-        # don't match identifiers ending in 'round' (e.g. bround)
-        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
-            out.append(sql[i : j + 6])
-            i = j + 6
-            continue
         out.append(sql[i:j])
-        k = j + len("round(")
+        k = -1
         depth = 1
-        while depth:
-            if sql[k] == "(":
+        for idx, ch in _iter_unquoted(sql, j + len("round(")):
+            if ch == "(":
                 depth += 1
-            elif sql[k] == ")":
+            elif ch == ")":
                 depth -= 1
-            k += 1
+                if depth == 0:
+                    k = idx + 1
+                    break
+        if k == -1:
+            raise ValueError(f"unbalanced parens after round( at {j}: {sql[j:j+80]!r}")
         inner = sql[j + 6 : k - 1]
-        depth = 0
         split = -1
-        for idx, ch in enumerate(inner):
+        depth = 0
+        for idx, ch in _iter_unquoted(inner):
             if ch == "(":
                 depth += 1
             elif ch == ")":

@@ -28,9 +28,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import word_windows_sql
+from .textstats import EVAL_MOD, PY_WS_CLASS, WINDOW_N, word_windows_sql
 
-_WIN = word_windows_sql()  # the shared 8-word-window SQL fragment
+_WIN = word_windows_sql()  # the shared WINDOW_N-word-window SQL fragment
 
 
 def _docs_as_pages(spark, sf_dir):
@@ -232,9 +232,11 @@ QUERIES = {
 }
 
 ORACLES = {
-    "pipeline_scrub_documents": r"""
+    # n_words splits on PY_WS_CLASS, not RE2's ASCII-only '\s': the Spark
+    # value is the kernel's Python text.split(), which is full-Unicode
+    "pipeline_scrub_documents": f"""
         SELECT 'doc://' || doc_id AS url,
-               len(list_filter(string_split_regex(text, '\s+'),
+               len(list_filter(string_split_regex(text, '{PY_WS_CLASS}+'),
                                x -> x <> ''))::BIGINT AS n_words,
                TRUE AS extract_ok,
                TRUE AS decision_ok,
@@ -257,9 +259,11 @@ ORACLES = {
         FROM customer ORDER BY c_custkey
     """,
     # full cross-engine recomputation of the builder funnel: canonical
-    # urls, 8-word-window passage removal (keeper = string-min (url,
-    # pos)), decontamination of the CLEANED text against the
-    # doc_id % 41 eval windows, md5-bucket 50% sample
+    # urls, WINDOW_N-word-window passage removal (keeper = string-min
+    # (url, pos)), decontamination of the CLEANED text against the
+    # doc_id % EVAL_MOD eval windows, md5-bucket SAMPLE_PCT% sample --
+    # every literal interpolated from the SAME constants the Spark
+    # funnel uses (one knob; hand-synced numbers desynchronize silently)
     "pipeline_corpus_builder": f"""
         WITH pages AS (
             SELECT 'doc://' || doc_id AS url, text FROM documents
@@ -267,7 +271,8 @@ ORACLES = {
             SELECT url, string_split(text, ' ') AS ws FROM pages
         ), wins AS (
             SELECT url,
-                   unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
+                   unnest(range(0, greatest(len(ws) - {WINDOW_N - 1}, 0)))
+                       AS pos,
                    unnest({_WIN}) AS win
             FROM w
         ), ranked AS (
@@ -277,7 +282,8 @@ ORACLES = {
                        ORDER BY url, pos) AS rn
             FROM wins
         ), rm AS (
-            SELECT DISTINCT url, unnest(range(pos, pos + 8)) AS idx
+            SELECT DISTINCT url,
+                   unnest(range(pos, pos + {WINDOW_N})) AS idx
             FROM ranked WHERE cnt >= 2 AND rn > 1
         ), words AS (
             SELECT url, unnest(range(0, len(ws))) AS idx,
@@ -300,7 +306,7 @@ ORACLES = {
             SELECT DISTINCT
                    unnest({_WIN}) AS win
             FROM (SELECT string_split(text, ' ') AS ws FROM documents
-                  WHERE doc_id % 41 = 0)
+                  WHERE doc_id % {EVAL_MOD} = 0)
         ), clean_wins AS (
             SELECT url,
                    unnest({_WIN}) AS win
@@ -312,7 +318,8 @@ ORACLES = {
                               WHERE win IN (SELECT win FROM eval_wins))
         ), sampled AS (
             SELECT url FROM decon
-            WHERE ('0x' || substr(md5(url), 1, 15))::BIGINT % 100 < 50
+            WHERE ('0x' || substr(md5(url), 1, 15))::BIGINT % 100
+                  < {SAMPLE_PCT}
         )
         SELECT * FROM (
             SELECT 0 AS stage_ord, 'input' AS stage,

@@ -186,6 +186,20 @@ def text_langid_kernel(spark, sf_dir):
 # the class out makes Spark and the DuckDB oracle agree by construction
 _BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
+# Python str.split() separator class (the full str.isspace() set),
+# spelled out for RE2: the kernel computes n_words with text.split(),
+# which splits on ALL Unicode whitespace (\x0B, \x85, NBSP, ideographic
+# space, ...), while RE2's \s is ASCII-only -- the same dialect gap
+# _BPE_RE closes above.  Every oracle that recomputes a Python-split
+# word count interpolates THIS constant instead of '\s' so a corpus
+# containing exotic whitespace cannot desynchronize the hash compare
+# (parity fuzz-tested against str.split() over the whole isspace set in
+# tests/test_merged_queries.py::test_py_ws_class_matches_str_split).
+PY_WS_CLASS = (
+    r"[ \t\n\x0B\f\r\x1C-\x1F\x{0085}\x{00A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+
 # C4 kept-line rule, shared by text_c4_clean_lines and the merged
 # text_doc_features projection (ONE definition): >=5 words AND terminal
 # punctuation as the LAST CHARACTER -- right(.,1) IN (...) instead of a

@@ -296,6 +296,75 @@ def test_minhash_verified_pairs_are_exact(spark):
     assert got["est_err_ok"].all()
 
 
+def test_verified_pairs_sit_above_banding_knee(spark):
+    """Fixture gate backing the banding-honesty contract (dedup.py note):
+    the verified-pairs oracle makes LSH recall a hard requirement, and
+    with 8x4 banding the candidate probability is only ~0.40 at j=0.5 --
+    the contract is honest only while every qualifying pair in the
+    fixture corpus sits at j >= 0.8 (miss prob <= ~1.5e-2 per pair).  A
+    corpus redraw that lands borderline pairs must trip THIS test before
+    it trips the driver."""
+    import pyspark.sql.functions as F
+
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+
+    for sf_dir in ("/root/testdata/sf0.001", SF):
+        truth = (
+            dd._shingle_jaccard(dd._shingles(dd._docs(spark, sf_dir)))
+            .filter(F.col("raw_j") >= dd.VERIFY_THRESHOLD)
+            .agg(F.min("raw_j").alias("mn"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        assert truth.n > 0, f"{sf_dir}: no qualifying pairs at all"
+        assert truth.mn >= 0.8, (
+            f"{sf_dir}: qualifying pair at j={truth.mn} is inside the "
+            "banding knee -- regate the fixture or retune the bands"
+        )
+
+
+def test_py_ws_class_matches_str_split():
+    """PY_WS_CLASS (the oracle's n_words separator class) must reproduce
+    Python str.split() -- the kernel's tokenizer -- for EVERY Unicode
+    whitespace character, not just RE2's ASCII \\s (ADVICE r4: a corpus
+    containing \\x0B or NBSP would otherwise fail the driver hash compare
+    spuriously).  Checks (a) the class covers exactly the str.isspace()
+    set, (b) fuzzed count parity through DuckDB itself."""
+    import random
+
+    import duckdb
+
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        PY_WS_CLASS,
+    )
+
+    isspace = [chr(i) for i in range(0x110000) if chr(i).isspace()]
+    con = duckdb.connect()
+    # (a) exact coverage: each isspace char matches the class alone, and
+    # a sample of non-space chars does not
+    for ch in isspace:
+        assert con.execute(
+            "SELECT regexp_matches(?, ?)", [ch, f"^{PY_WS_CLASS}$"]
+        ).fetchone()[0], f"missing {ch!r} ({ord(ch):#x})"
+    for ch in ["a", "0", ".", "​", "﻿", "­"]:  # zero-width
+        # space, BOM, soft hyphen: NOT whitespace to str.split()
+        assert not con.execute(
+            "SELECT regexp_matches(?, ?)", [ch, f"^{PY_WS_CLASS}$"]
+        ).fetchone()[0], f"overmatch {ch!r}"
+    # (b) count parity on random mixed strings
+    rng = random.Random(13)
+    pool = isspace + list("abcXYZ09.@-")
+    for _ in range(300):
+        s = "".join(
+            rng.choice(pool) for _ in range(rng.randint(0, 40))
+        )
+        got = con.execute(
+            "SELECT len(list_filter(string_split_regex(?, ?),"
+            " x -> x <> ''))",
+            [s, f"{PY_WS_CLASS}+"],
+        ).fetchone()[0]
+        assert got == len(s.split()), repr(s)
+
+
 def test_oracle_rounding_rewrite():
     """The registration-time oracle rewrite: every round(expr, n) becomes
     the VARCHAR-mediated decimal form (Spark's shortest-repr HALF_UP),
@@ -314,6 +383,24 @@ def test_oracle_rounding_rewrite():
     assert nested.count("DECIMAL(38,18)") == 2
     assert drls("bround(x, 2)") == "bround(x, 2)"
     assert drls("round(x)") == "round(x)"
+
+    # quote-awareness (ADVICE r4): literals containing unbalanced parens,
+    # commas, escaped quotes, or the word 'round(' must be opaque to the
+    # scanner -- no mis-split, no IndexError at registration
+    got = drls("round(len(split(x, '(')), 2)")
+    assert got == (
+        "CAST(round(CAST(CAST((len(split(x, '('))) AS VARCHAR)"
+        " AS DECIMAL(38,18)), 2) AS DOUBLE)"
+    )
+    got = drls("round(len(split(x, ',)''(')), 3)")
+    assert "DECIMAL(38,18)), 3)" in got and "',)''('" in got
+    assert drls("SELECT 'round(x, 2)' AS s") == "SELECT 'round(x, 2)' AS s"
+    got = drls("round(strpos(x, 'a,b'), 1)")
+    assert got.endswith("DECIMAL(38,18)), 1) AS DOUBLE)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unbalanced"):
+        drls("round(x, 2")  # truly unbalanced: loud, not mis-split
 
     # the live registry: every float-rounding oracle went through it
     from azure_based_pii_redactor_spark.engine.operators import all_oracles
