@@ -73,6 +73,7 @@ def build_training_corpus(
     kept = scrubbed.select(
         "url", "warc_ts", "lang", "lang_pred",
         F.col("scrubbed_text").alias("text"),
+        "n_entities",
     )
     if report_counts:
         # Report mode runs one count() per stage, and every downstream
@@ -85,8 +86,16 @@ def build_training_corpus(
         # extra jobs) and read the funnel from the lineage/metrics
         # tables the checkpoint sink writes.
         kept = kept.localCheckpoint()
+        # evidence for oracles that recompute downstream stages over the
+        # RAW text: how many docs the scrub actually changed (one cheap
+        # agg over the checkpointed frame).  0 == the corpus is pattern-
+        # bank-clean, so raw-text recomputation is exact.
+        report["scrub_changed_docs"] = kept.filter(
+            F.col("n_entities") > 0
+        ).count()
     kept = _count(
-        "after_quality_filter" if quality_filter else "after_scrub", kept
+        "after_quality_filter" if quality_filter else "after_scrub",
+        kept.drop("n_entities"),
     )
 
     if remove_dup_passages:

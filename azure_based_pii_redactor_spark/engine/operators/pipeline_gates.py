@@ -197,8 +197,10 @@ def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
     funnel to zero rows; keep-all mode makes the composition itself the
     thing under test.  The oracle recomputes downstream stages over the
     raw text, which equals the scrubbed text here because the corpus is
-    pattern-bank-clean -- itself a driver-checked fact
-    (``scrub_consistent_ok`` + ``residual_ok`` in the flagship entry).
+    pattern-bank-clean -- a fact this query now carries ITSELF as the
+    ``corpus_bank_clean_ok`` column (scrub changed zero docs; oracle
+    states TRUE), in addition to the flagship entry's
+    ``scrub_consistent_ok`` + ``residual_ok``.
 
     The funnel counts are computed with one Spark job per stage (the
     numbers every production run logs); the composed plan itself stays
@@ -216,11 +218,20 @@ def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
         sample_pct=SAMPLE_PCT,
         quality_filter=False,
     )
+    # bank-clean gate (VERDICT r4 #5): the oracle recomputes downstream
+    # stages over RAW text, which is exact only while the scrub changes
+    # nothing.  Emit that fact as a column the oracle states TRUE -- if
+    # the driver's corpus ever gains pattern-bank-matching text, this
+    # entry fails LOUDLY here instead of subtly in the stage counts.
+    bank_clean = report.pop("scrub_changed_docs") == 0
     rows = [
-        (i, stage, int(n)) for i, (stage, n) in enumerate(report.items())
+        (i, stage, int(n), bank_clean)
+        for i, (stage, n) in enumerate(report.items())
     ]
     return spark.createDataFrame(
-        rows, "stage_ord int, stage string, n_rows long"
+        rows,
+        "stage_ord int, stage string, n_rows long,"
+        " corpus_bank_clean_ok boolean",
     ).orderBy("stage_ord")
 
 
@@ -321,7 +332,7 @@ ORACLES = {
             WHERE ('0x' || substr(md5(url), 1, 15))::BIGINT % 100
                   < {SAMPLE_PCT}
         )
-        SELECT * FROM (
+        SELECT *, TRUE AS corpus_bank_clean_ok FROM (
             SELECT 0 AS stage_ord, 'input' AS stage,
                    (SELECT count(*) FROM pages)::BIGINT AS n_rows
             UNION ALL SELECT 1, 'after_url_dedup',

@@ -85,3 +85,44 @@ def test_sampling_and_lazy_report(spark):
     assert sorted(r.url for r in corpus.collect()) == sorted(
         r.url for r in corpus2.collect()
     )  # reproducible selection
+
+
+def test_report_carries_scrub_changed_docs(spark):
+    """The bank-clean evidence behind the funnel oracle's raw-text
+    recomputation (corpus_bank_clean_ok): report mode counts how many
+    docs the scrub CHANGED -- 0 on a pattern-bank-clean corpus, >0 the
+    moment a page carries PII-matching text."""
+    _, clean_report = build_training_corpus(
+        _pages(spark), quality_filter=False
+    )
+    assert clean_report["scrub_changed_docs"] == 0
+
+    dirty = spark.createDataFrame(
+        [("https://p.example/pii", datetime(2024, 5, 1),
+          GOOD + " contact me at someone@corp.example.com please"),
+         ("https://p.example/clean", datetime(2024, 5, 2),
+          GOOD + " closing tokens here")],
+        "url string, warc_ts timestamp, text string",
+    ).select(
+        "url", "warc_ts",
+        F.concat(F.lit("<html><body>"), "text",
+                 F.lit("</body></html>")).cast("binary").alias("html"),
+        "text", F.lit("en").alias("lang"),
+    )
+    _, dirty_report = build_training_corpus(dirty, quality_filter=False)
+    assert dirty_report["scrub_changed_docs"] == 1
+
+
+def test_funnel_query_emits_bank_clean_column(spark):
+    """Driver surface: every funnel row carries corpus_bank_clean_ok
+    (TRUE on the shipped testdata)."""
+    from azure_based_pii_redactor_spark.engine.operators.pipeline_gates import (
+        pipeline_corpus_builder,
+    )
+
+    pdf = pipeline_corpus_builder(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert "corpus_bank_clean_ok" in pdf.columns
+    assert pdf["corpus_bank_clean_ok"].all()
+    assert len(pdf) == 6
