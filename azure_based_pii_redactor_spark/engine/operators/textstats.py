@@ -388,12 +388,24 @@ def text_dedup_passage_removal(spark, sf_dir, n: int = WINDOW_N):
     oracle can recompute removal exactly); the removal-index explode is
     bounded by the duplicated-window coverage, not the corpus; the word
     join co-partitions on doc_id.  Returns one row per document: words
-    before/after and the md5 of the cleaned text (exact oracle compares
-    all three)."""
-    cleaned = remove_duplicate_passages(_docs(spark, sf_dir), "doc_id", n=n)
+    before/after, MERGED removed-span statistics (n_spans /
+    max_span_len / mean_span_len -- DuckDB-recomputed evidence that a
+    long duplicate is excised as ONE unit, not 8-word confetti), and
+    the md5 of the cleaned text (exact oracle compares all of them)."""
+    cleaned = remove_duplicate_passages(
+        _docs(spark, sf_dir), "doc_id", n=n, span_stats=True
+    )
     return (
         cleaned.select(
-            "doc_id", "n_words", "n_removed",
+            "doc_id", "n_words", "n_removed", "n_spans", "max_span_len",
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(
+                    F.col("n_removed").cast("double") / F.col("n_spans"), 4
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_span_len"),
             F.md5("cleaned_text").alias("cleaned_md5"),
         )
         .orderBy("doc_id")
@@ -403,6 +415,7 @@ def text_dedup_passage_removal(spark, sf_dir, n: int = WINDOW_N):
 def remove_duplicate_passages(
     df, key: str, n: int = 8, text_col: str = "text",
     carry_cols: tuple[str, ...] = (),
+    span_stats: bool = False,
 ):
     """The keyed removal core shared by the driver query above and the
     corpus builder: returns one row per ``key`` with ``carry_cols``
@@ -410,7 +423,16 @@ def remove_duplicate_passages(
     ``text_dedup_passage_removal`` for the plan/scale notes -- this IS
     that plan, parameterized over the document key and the carried
     metadata columns (which ride the word-table aggregation as extra
-    group keys; they must be functionally dependent on ``key``)."""
+    group keys; they must be functionally dependent on ``key``).
+
+    ``span_stats=True`` additionally emits (n_spans, max_span_len):
+    statistics over the MERGED removed spans -- maximal runs of
+    consecutive removed word indexes, i.e. adjacent duplicated windows
+    fused into one excision unit.  Computed by a JVM ``aggregate`` fold
+    over the same sorted per-doc word array the cleaned text is built
+    from (zero extra scans, zero extra shuffles): a long duplicate is
+    evidenced as ONE long span, not ``len/n`` pieces of 8-word confetti.
+    """
     from pyspark.sql import Window
 
     group = [key, *carry_cols]
@@ -440,27 +462,55 @@ def remove_duplicate_passages(
         *group, F.posexplode("__words").alias("idx", "word")
     )
     kept_word = F.when(F.col("__rm").isNull(), F.col("word"))
-    return (
+    agg = (
         words_pos.join(rm_idx, [key, "idx"], "left")
         .groupBy(*group)
         .agg(
             F.count("*").cast("int").alias("n_words"),
             F.count(F.col("__rm")).cast("int").alias("n_removed"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.filter(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("idx", kept_word.alias("word"))
-                            )
-                        ),
-                        lambda s: s.word.isNotNull(),
-                    ),
-                    lambda s: s.word,
-                ),
-            ).alias("cleaned_text"),
+            F.array_sort(
+                F.collect_list(F.struct("idx", kept_word.alias("word")))
+            ).alias("__arr"),
         )
+    )
+    cleaned_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("__arr"), lambda s: s.word.isNotNull()),
+            lambda s: s.word,
+        ),
+    ).alias("cleaned_text")
+    if not span_stats:
+        return agg.select(*group, "n_words", "n_removed", cleaned_text)
+    # gaps-and-islands over the sorted word array: entries are every
+    # consecutive idx, so runs of word-IS-NULL entries ARE the merged
+    # removed spans.  One fold, computed beside the cleaned text.
+    cur = lambda acc, s: (  # noqa: E731 - run length after this entry
+        F.when(
+            s.word.isNull(), F.when(acc.cur > 0, acc.cur + 1).otherwise(1)
+        ).otherwise(F.lit(0))
+    )
+    fold = F.aggregate(
+        F.col("__arr"),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("mx"),
+            F.lit(0).alias("n"),
+        ),
+        lambda acc, s: F.struct(
+            cur(acc, s).alias("cur"),
+            F.greatest(acc.mx, cur(acc, s)).alias("mx"),
+            (
+                acc.n
+                + F.when(s.word.isNull() & (acc.cur == 0), 1).otherwise(0)
+            ).alias("n"),
+        ),
+    )
+    return agg.select(
+        *group, "n_words", "n_removed",
+        fold.n.alias("n_spans"),
+        fold.mx.alias("max_span_len"),
+        cleaned_text,
     )
 
 
@@ -630,12 +680,31 @@ ORACLES = {
             SELECT doc_id, count(*) AS n_kept,
                    md5(string_agg(word, ' ' ORDER BY idx)) AS cleaned_md5
             FROM kept GROUP BY doc_id
+        ), span_g AS (
+            -- gaps-and-islands: consecutive removed idx runs share
+            -- (idx - rank), i.e. the MERGED excision spans
+            SELECT doc_id,
+                   idx - row_number() OVER (PARTITION BY doc_id
+                       ORDER BY idx) AS grp
+            FROM rm
+        ), spans AS (
+            SELECT doc_id, count(*) AS span_len
+            FROM span_g GROUP BY doc_id, grp
+        ), sp AS (
+            SELECT doc_id, count(*) AS n_spans,
+                   max(span_len) AS max_span_len
+            FROM spans GROUP BY doc_id
         )
         SELECT w.doc_id,
                CAST(len(w.ws) AS INT) AS n_words,
                CAST(len(w.ws) - coalesce(c.n_kept, 0) AS INT) AS n_removed,
+               CAST(coalesce(sp.n_spans, 0) AS INT) AS n_spans,
+               CAST(coalesce(sp.max_span_len, 0) AS INT) AS max_span_len,
+               coalesce(round((len(w.ws) - coalesce(c.n_kept, 0)) * 1.0
+                              / sp.n_spans, 4), 0.0) AS mean_span_len,
                coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
         FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
+             LEFT JOIN sp ON w.doc_id = sp.doc_id
         ORDER BY w.doc_id
     """,
     "sample_stratified_deterministic": f"""

@@ -137,6 +137,42 @@ def test_passage_removal_keeps_first_occurrence(spark, tmp_path):
     # doc 3 untouched
     assert rows[3].n_removed == 0
     assert rows[3].cleaned_md5 == md5(docs[2][1])
+    # span stats: doc 2's excision is ONE merged 8-word span
+    assert (rows[2].n_spans, rows[2].max_span_len,
+            rows[2].mean_span_len) == (1, 8, 8.0)
+    assert (rows[1].n_spans, rows[1].max_span_len,
+            rows[1].mean_span_len) == (0, 0, 0.0)
+
+
+def test_long_duplicate_excised_as_one_span(spark, tmp_path):
+    """VERDICT r4 #6: a 24-word duplicated passage (17 overlapping
+    8-word windows) must be removed as ONE merged span of 24, and two
+    disjoint duplicated passages in one doc must count as two spans --
+    evidence that index-union merging excises long duplicates as units,
+    not 8-word confetti."""
+    import azure_based_pii_redactor_spark.engine.operators.textstats as t
+
+    long_p = " ".join(f"w{i}" for i in range(24))
+    p2 = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, f"{long_p} endone"),
+        (2, f"{long_p} endtwo"),
+        (3, f"{p2} lead1 lead2 filler1 filler2 filler3 filler4 {p2} x"),
+        (4, f"start0 {long_p} mid1 mid2 mid3 {p2} close0"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            t.text_dedup_passage_removal(spark, str(tmp_path)).collect()}
+    # doc 2: the whole 24-word passage goes as ONE span
+    assert rows[2].n_removed == 24
+    assert (rows[2].n_spans, rows[2].max_span_len,
+            rows[2].mean_span_len) == (1, 24, 24.0)
+    # doc 4: both duplicated passages removed, as TWO disjoint spans
+    assert rows[4].n_removed == 24 + 8
+    assert rows[4].n_spans == 2
+    assert rows[4].max_span_len == 24
+    assert rows[4].mean_span_len == 16.0
 
 
 def test_minhash_estimate_error_bound(spark):
