@@ -236,6 +236,76 @@ def main() -> None:
     timings["scrub_stream"] = round(stream_sec, 3)
     stream_docs_per_sec = round(n_pages / stream_sec, 1)
 
+    # -- stateful ops: default vs RocksDB state store (VERDICT r4 #3) ------
+    # The 10^12-scale state claim (stateful.py docstring: off-heap state +
+    # changelog checkpointing) gets a measured number: the two STATEFUL
+    # streaming ops (watermarked url dedup, applyInPandasWithState running
+    # totals) run over the same corpus under both providers.  The kernel is
+    # deliberately NOT in the plan (keep/n_entities are JVM literals): this
+    # times the state machinery, not the scrub.  At sf0.1 the state fits
+    # heap either way -- the measurement is the rocksdb PRICE (JNI +
+    # changelog) paid at a scale where its benefit (state >> heap) cannot
+    # show; the benefit claim stays architectural (provider proven engaged
+    # by test_dedup_stream.py::test_stream_dedup_under_rocksdb_state_store).
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.streaming.dedup_stream import (
+        dedupe_stream,
+    )
+    from azure_based_pii_redactor_spark.streaming.scrub_stream import (
+        read_pages_stream,
+    )
+    from azure_based_pii_redactor_spark.streaming.stateful import (
+        restore_state_store_conf,
+        running_domain_counts,
+        use_rocksdb_state_store,
+    )
+
+    def _run_stateful(tag: str, src: str, files_per_trigger: int) -> float:
+        """One pass of both stateful queries (sequential; chaining two
+        stateful operators in one query is version-sensitive)."""
+        t0 = time.time()
+        for i, make in enumerate((
+            lambda s: dedupe_stream(s),
+            lambda s: running_domain_counts(
+                s.select(
+                    "url", "warc_ts",
+                    F.lit(True).alias("keep"),
+                    F.lit(1).alias("n_entities"),
+                )
+            ),
+        )):
+            ck = os.path.join(SCRATCH, f"stateful_ck_{tag}_{i}")
+            shutil.rmtree(ck, ignore_errors=True)
+            q = (
+                make(read_pages_stream(spark, src, files_per_trigger))
+                .writeStream.format("noop")
+                .outputMode("update" if i else "append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return time.time() - t0
+
+    for provider in ("default", "rocksdb"):
+        prev = use_rocksdb_state_store(spark) if provider == "rocksdb" \
+            else None
+        try:
+            _run_stateful(f"warm_{provider}", warm_corpus, 8)  # untimed
+            best = 9e9
+            for rep in range(2):
+                best = min(
+                    best,
+                    _run_stateful(
+                        f"{provider}_{rep}", corpus, 256 // n_epochs
+                    ),
+                )
+            timings[f"stateful_stream_{provider}"] = round(best, 3)
+        finally:
+            if prev is not None:
+                restore_state_store_conf(spark, prev)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
