@@ -411,6 +411,20 @@ def main() -> None:
             "super-linear term in corpus size anywhere in the plan\n"
             "(narrow stage, no shuffle).\n"
             + skew_md + "\n"
+            "## State-store A/B (measured by bench.py, not this script)\n\n"
+            "The stateful streaming ops (watermarked url dedup +\n"
+            "applyInPandasWithState running totals) run under BOTH the\n"
+            "default heap provider and RocksDB-with-changelog on the\n"
+            "same corpus: see the stateful_stream_default /\n"
+            "stateful_stream_rocksdb entries of the latest BENCH_r\n"
+            "artifact (round-5 measure at sf0.1: 6.16 s vs 6.08 s --\n"
+            "a wash). At a scale where state fits executor heap the\n"
+            "RocksDB price (JNI + changelog) is ~zero, so enabling it\n"
+            "for 10^12-scale state, where per-key heap is not an\n"
+            "option and only the changelog delta ships per epoch, has\n"
+            "no up-front throughput cost. Provider engagement is\n"
+            "pinned by test_dedup_stream.py (asserts .changelog files,\n"
+            "rejects the heap provider's .delta).\n\n"
             "Reference single-node ceiling: <= 100 rows/s (10 ms/row"
             " pacing, `file.go:461`) -- this pipeline exceeds it by "
             f"{(N_PAGES / t_high2) / 100:.0f}x at local[{HIGH2}] while also"
