@@ -35,7 +35,7 @@ def build_training_corpus(
     dedup_urls: bool = True,
     remove_dup_passages: bool = True,
     sample_pct: int | None = None,
-    passage_n: int = 8,
+    passage_n: int | None = None,
     report_counts: bool = True,
     quality_filter: bool = True,
     **pipeline_kwargs,
@@ -48,7 +48,16 @@ def build_training_corpus(
     recomputable by the DuckDB oracle (the keep decision itself is
     gated by the flagship pipeline entry instead).  The report stage is
     named ``after_scrub`` in that mode, ``after_quality_filter``
-    otherwise."""
+    otherwise.
+
+    ``passage_n`` defaults to ``textstats.WINDOW_N`` -- the ONE window
+    knob the driver oracles interpolate; a hand-coded 8 here would
+    desynchronize the funnel from its oracle the moment the knob turns.
+    """
+    from .operators.textstats import WINDOW_N
+
+    if passage_n is None:
+        passage_n = WINDOW_N
     report: dict = {}
 
     def _count(stage: str, df: DataFrame) -> DataFrame:
@@ -86,13 +95,20 @@ def build_training_corpus(
         # extra jobs) and read the funnel from the lineage/metrics
         # tables the checkpoint sink writes.
         kept = kept.localCheckpoint()
-        # evidence for oracles that recompute downstream stages over the
-        # RAW text: how many docs the scrub actually changed (one cheap
-        # agg over the checkpointed frame).  0 == the corpus is pattern-
-        # bank-clean, so raw-text recomputation is exact.
-        report["scrub_changed_docs"] = kept.filter(
-            F.col("n_entities") > 0
-        ).count()
+        if not quality_filter:
+            # evidence for oracles that recompute downstream stages
+            # over the RAW text: how many docs the scrub changed (one
+            # cheap agg over the checkpointed frame).  0 == the corpus
+            # is pattern-bank-clean, so raw-text recomputation is
+            # exact.  Keep-all mode ONLY: under quality_filter the
+            # frame holds kept docs alone, so the count would not mean
+            # "docs the scrub changed" -- and no oracle needs it there.
+            # NOTE for report consumers: this is a side-channel key,
+            # not a funnel stage; pipeline_corpus_builder pops it
+            # before enumerating stages.
+            report["scrub_changed_docs"] = kept.filter(
+                F.col("n_entities") > 0
+            ).count()
     kept = _count(
         "after_quality_filter" if quality_filter else "after_scrub",
         kept.drop("n_entities"),

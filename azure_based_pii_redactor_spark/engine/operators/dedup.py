@@ -277,14 +277,16 @@ VERIFY_THRESHOLD = 0.5  # exact-Jaccard bar for the verified driver forms
 # at j=0.50 and ~0.67 at j=0.60; it reaches ~0.985 at j=0.80 and ~0.9998
 # at j=0.90.  The contract is therefore honest ONLY because the fixture
 # corpus's qualifying pairs are engineered near-duplicates that sit well
-# above the threshold (true Jaccard >= 0.8, asserted per-sf by
-# test_verified_pairs_sit_above_banding_knee in
-# tests/test_merged_queries.py), where the per-pair miss probability is
-# <= ~1.5e-2 and the
-# all-pairs pass probability stays >= ~0.98 per run.  A corpus redraw
-# that lands borderline pairs (j in [0.5, 0.7)) WOULD fail the driver
-# loudly by design -- tighten ROWS_PER_BAND/N bands or regate the
-# fixture before admitting such data.
+# above the threshold: test_verified_pairs_sit_above_banding_knee
+# (tests/test_merged_queries.py) asserts, at ALL THREE driver sfs, both
+# min true Jaccard >= 0.8 AND an aggregate budget on the expected
+# banding misses sum((1-j^4)^8) <= 0.05 -- a union bound on the
+# driver-failure probability (measured r5: 5.2e-4 / 2.0e-4 / 1.9e-2 at
+# sf0.001/0.01/0.1, i.e. all-pairs pass probability >= ~0.98).  A
+# corpus redraw that lands borderline pairs (j in [0.5, 0.7)) or blows
+# the budget WOULD fail the driver loudly by design -- tighten
+# ROWS_PER_BAND/N bands or regate the fixture before admitting such
+# data.
 EST_ERR_BOUND = 0.3  # |est - true| tolerance.  k=32 signature: std of the
 # unconditioned estimator is sqrt(j(1-j)/32) <= 0.088, AND banded
 # candidates are a biased sample (a band collision fixes ~ROWS_PER_BAND

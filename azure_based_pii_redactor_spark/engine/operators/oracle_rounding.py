@@ -28,10 +28,13 @@ from __future__ import annotations
 def _iter_unquoted(s: str, start: int = 0):
     """Yield ``(idx, ch)`` for every character of ``s[start:]`` that sits
     OUTSIDE a single-quoted SQL string literal (``''`` inside a literal
-    is an escaped quote, not a terminator).  The scanner below uses this
-    so a literal containing ``(``, ``)``, ``,`` or the word ``round(``
-    (e.g. ``split(x, '(')``) can never derail paren matching or the
-    argument split."""
+    is an escaped quote, not a terminator) and OUTSIDE a ``--`` line
+    comment (whose content -- including apostrophes, which would
+    otherwise flip the in-literal state and derail everything after --
+    is opaque until the newline).  The scanner below uses this so a
+    literal containing ``(``, ``)``, ``,`` or the word ``round(`` (e.g.
+    ``split(x, '(')``), or a comment like ``-- the builder's filter``,
+    can never derail paren matching or the argument split."""
     i, n, in_q = start, len(s), False
     while i < n:
         ch = s[i]
@@ -41,6 +44,10 @@ def _iter_unquoted(s: str, start: int = 0):
                     i += 2  # escaped quote, stay in the literal
                     continue
                 in_q = False
+        elif ch == "-" and i + 1 < n and s[i + 1] == "-":
+            nl = s.find("\n", i)
+            i = n if nl == -1 else nl  # resume AT the newline (yielded)
+            continue
         elif ch == "'":
             in_q = True
         else:

@@ -208,7 +208,6 @@ def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
     for the zero-extra-jobs form.
     """
     from ..corpus import build_training_corpus
-    from .textstats import EVAL_MOD
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)

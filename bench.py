@@ -288,6 +288,10 @@ def main() -> None:
             q.awaitTermination()
         return time.time() - t0
 
+    # A/B entries live OUTSIDE the summed total: adding them to "value"
+    # would read as a spurious ~12 s cross-round regression in the very
+    # round-over-round comparison the best-of-N policy exists to protect
+    ab: dict[str, float] = {}
     for provider in ("default", "rocksdb"):
         prev = use_rocksdb_state_store(spark) if provider == "rocksdb" \
             else None
@@ -301,7 +305,7 @@ def main() -> None:
                         f"{provider}_{rep}", corpus, 256 // n_epochs
                     ),
                 )
-            timings[f"stateful_stream_{provider}"] = round(best, 3)
+            ab[f"stateful_stream_{provider}"] = round(best, 3)
         finally:
             if prev is not None:
                 restore_state_store_conf(spark, prev)
@@ -314,6 +318,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "state_store_ab": ab,
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
                 "stream_docs_per_sec": stream_docs_per_sec,

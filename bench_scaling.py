@@ -318,8 +318,13 @@ def main() -> None:
             "per cell; the ratio is the skew cost -- a quadratic\n"
             "blow-up (hot-shingle self-join, unguarded window fan-out)\n"
             "would show as a 100x+ wall, not a small constant.\n"
-            "Ratios below 1.0 are within the host's +/-25% wall-clock\n"
-            "noise; the signal is the ABSENCE of a blow-up:\n\n"
+            "Ratios swing +/-25% with the host's wall-clock noise\n"
+            "(round-4 recorded passage removal at 0.79x, round-5\n"
+            "targeted re-measures at 1.09-1.23x over three separated\n"
+            "pairs -- the truth is a small real constant: the hot\n"
+            "window's count partition and the 10^4-doc rewrite cost\n"
+            "~10-25%, linear in the duplicated coverage); the signal\n"
+            "is the ABSENCE of a blow-up:\n\n"
             "| op | uniform sec | skewed sec | skew/uniform |\n"
             "|---|---|---|---|\n" + lines +
             "\nWhy bounded: passage removal counts hot windows with\n"
@@ -391,13 +396,19 @@ def main() -> None:
             "Run-to-run honesty: this file shows the LATEST run and is\n"
             "regenerated on every invocation. Full-run history on the\n"
             "headline pair: round 3 measured 0.761 / 0.885 / 0.987 /\n"
-            "0.855; round 4 measured 1.072. The spread is the\n"
-            "documented shared-host noise (transient windows move\n"
-            "single legs by 25-50%; each leg is already best-of-3\n"
-            "WITHIN a run), not a pipeline property -- values above 1.0\n"
-            "mean the N leg caught a slow window, not super-linear\n"
-            "scaling. The saturated pair swings harder (0.64-0.81)\n"
-            "because its 4N leg occupies all 32 host cores.\n\n"
+            "0.855; round 4 measured 1.072; round 5 measured 0.917,\n"
+            "then 0.761 and 0.672 inside a verified noise interval (a\n"
+            "16-way identical-CPU-loop calibration run at that moment\n"
+            "spread 1.21-1.97 s across cores -- the host itself was\n"
+            "60% uneven; the 4N leg, which needs 16 quiet cores at\n"
+            "once, absorbs such windows quadratically more often than\n"
+            "the N leg). The spread is the documented shared-host\n"
+            "noise (transient windows move single legs by 25-50%; each\n"
+            "leg is already best-of-3 WITHIN a run), not a pipeline\n"
+            "property -- values above 1.0 mean the N leg caught a slow\n"
+            "window, not super-linear scaling. The saturated pair\n"
+            "swings harder (0.64-0.81) because its 4N leg occupies all\n"
+            "32 host cores.\n\n"
             "## Data-size sweep (fixed local[32], measured this run)\n\n"
             "The complementary axis to core scaling: throughput must\n"
             "hold as the CORPUS grows (the 100 TB question is 'per-core\n"

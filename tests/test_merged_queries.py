@@ -336,25 +336,38 @@ def test_verified_pairs_sit_above_banding_knee(spark):
     """Fixture gate backing the banding-honesty contract (dedup.py note):
     the verified-pairs oracle makes LSH recall a hard requirement, and
     with 8x4 banding the candidate probability is only ~0.40 at j=0.5 --
-    the contract is honest only while every qualifying pair in the
-    fixture corpus sits at j >= 0.8 (miss prob <= ~1.5e-2 per pair).  A
-    corpus redraw that lands borderline pairs must trip THIS test before
-    it trips the driver."""
+    the contract is honest only while the fixture corpus's qualifying
+    pairs sit high enough that the AGGREGATE expected banding misses
+    (sum over pairs of (1-j^4)^8, a union bound on the driver-failure
+    probability) stay small.  Measured r5: 5.2e-4 / 2.0e-4 / 1.9e-2 at
+    sf0.001/0.01/0.1.  A corpus redraw that lands borderline pairs, or
+    enough knee pairs to blow the budget, must trip THIS test before it
+    trips the driver.  All three driver sfs checked (not just one)."""
     import pyspark.sql.functions as F
 
     import azure_based_pii_redactor_spark.engine.operators.dedup as dd
 
-    for sf_dir in ("/root/testdata/sf0.001", SF):
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
         truth = (
             dd._shingle_jaccard(dd._shingles(dd._docs(spark, sf_dir)))
             .filter(F.col("raw_j") >= dd.VERIFY_THRESHOLD)
-            .agg(F.min("raw_j").alias("mn"), F.count("*").alias("n"))
+            .agg(
+                F.min("raw_j").alias("mn"),
+                F.count("*").alias("n"),
+                F.sum(F.pow(1 - F.pow("raw_j", 4), 8)).alias("exp_miss"),
+            )
             .collect()[0]
         )
         assert truth.n > 0, f"{sf_dir}: no qualifying pairs at all"
         assert truth.mn >= 0.8, (
             f"{sf_dir}: qualifying pair at j={truth.mn} is inside the "
             "banding knee -- regate the fixture or retune the bands"
+        )
+        assert truth.exp_miss <= 0.05, (
+            f"{sf_dir}: expected banding misses {truth.exp_miss:.3f} "
+            f"across {truth.n} qualifying pairs -- the driver would "
+            "flake; regate the fixture or add bands"
         )
 
 
@@ -433,6 +446,13 @@ def test_oracle_rounding_rewrite():
     assert drls("SELECT 'round(x, 2)' AS s") == "SELECT 'round(x, 2)' AS s"
     got = drls("round(strpos(x, 'a,b'), 1)")
     assert got.endswith("DECIMAL(38,18)), 1) AS DOUBLE)")
+    # '--' comments are opaque: an apostrophe inside one must not flip
+    # the in-literal state (which would silently skip every later
+    # rewrite), and 'round(' inside one is not a call site
+    got = drls("SELECT x -- the builder's filter\n , round(y, 2) FROM t")
+    assert "DECIMAL(38,18)), 2)" in got and "builder's" in got
+    got = drls("-- round(ignore, 9)\nSELECT round(z, 3)")
+    assert got.count("DECIMAL(38,18)") == 1 and "round(ignore, 9)" in got
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unbalanced"):
