@@ -55,6 +55,35 @@ def _iter_unquoted(s: str, start: int = 0):
         i += 1
 
 
+def _strip_comments(s: str) -> str:
+    """Excise ``--`` line comments (quote-aware) -- used on the argument
+    text of a ``round()`` call before re-embedding it in the generated
+    CAST expression, where the original newline that terminated the
+    comment would be lost to ``.strip()`` and the comment would swallow
+    the rest of the generated line."""
+    out: list[str] = []
+    i, n, in_q = 0, len(s), False
+    while i < n:
+        ch = s[i]
+        if not in_q and ch == "-" and i + 1 < n and s[i + 1] == "-":
+            nl = s.find("\n", i)
+            i = n if nl == -1 else nl  # keep the newline itself
+            out.append(" ")
+            continue
+        if in_q:
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    out.append("''")
+                    i += 2
+                    continue
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _find_round(sql: str, start: int) -> int:
     """Index of the next un-quoted, non-identifier-suffix ``round(``."""
     for i, ch in _iter_unquoted(sql, start):
@@ -106,8 +135,13 @@ def duck_round_like_spark(sql: str) -> str:
             # round(x) with no scale: leave untouched
             out.append(sql[j:k])
         else:
-            expr = duck_round_like_spark(inner[:split].strip())
-            n = inner[split + 1 :].strip()
+            # comments inside the call are excised before re-embedding:
+            # the generated expression is one line, so a surviving '--'
+            # would comment out everything after it
+            expr = duck_round_like_spark(
+                _strip_comments(inner[:split]).strip()
+            )
+            n = _strip_comments(inner[split + 1 :]).strip()
             out.append(
                 f"CAST(round(CAST(CAST(({expr}) AS VARCHAR)"
                 f" AS DECIMAL(38,18)), {n}) AS DOUBLE)"

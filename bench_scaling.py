@@ -198,7 +198,11 @@ def _skew_sweep() -> list[tuple[str, float, float]]:
             # the banded minhash/simhash joins must not fan out
             "dedup_ngram_jaccard":
                 lambda: dedup.dedup_ngram_jaccard(spark, d),
-            "dedup_minhash_lsh":
+            # the verified candidates+re-score form -- what the DRIVER
+            # registers under the name dedup_minhash_lsh; labeled by its
+            # function name here so the artifact attributes the
+            # measurement to the operator actually timed
+            "dedup_minhash_verified":
                 lambda: dedup.dedup_minhash_verified(spark, d),
             "dedup_simhash_hamming":
                 lambda: dedup.dedup_simhash_hamming(spark, d),
@@ -426,10 +430,10 @@ def main() -> None:
             "The stateful streaming ops (watermarked url dedup +\n"
             "applyInPandasWithState running totals) run under BOTH the\n"
             "default heap provider and RocksDB-with-changelog on the\n"
-            "same corpus: see the stateful_stream_default /\n"
-            "stateful_stream_rocksdb entries of the latest BENCH_r\n"
-            "artifact (round-5 measure at sf0.1: 6.16 s vs 6.08 s --\n"
-            "a wash). At a scale where state fits executor heap the\n"
+            "same corpus: the CURRENT numbers are the state_store_ab\n"
+            "entries of the latest BENCH_r artifact (first measured in\n"
+            "round 5: a wash within noise).\n"
+            "At a scale where state fits executor heap the\n"
             "RocksDB price (JNI + changelog) is ~zero, so enabling it\n"
             "for 10^12-scale state, where per-key heap is not an\n"
             "option and only the changelog delta ships per epoch, has\n"

@@ -355,7 +355,13 @@ def test_verified_pairs_sit_above_banding_knee(spark):
             .agg(
                 F.min("raw_j").alias("mn"),
                 F.count("*").alias("n"),
-                F.sum(F.pow(1 - F.pow("raw_j", 4), 8)).alias("exp_miss"),
+                # the DRIVER's banding geometry, not hand-synced 4/8:
+                # miss prob per pair = (1 - j^rows)^bands
+                F.sum(
+                    F.pow(
+                        1 - F.pow("raw_j", dd.ROWS_PER_BAND), dd.BANDS
+                    )
+                ).alias("exp_miss"),
             )
             .collect()[0]
         )
@@ -453,6 +459,18 @@ def test_oracle_rounding_rewrite():
     assert "DECIMAL(38,18)), 2)" in got and "builder's" in got
     got = drls("-- round(ignore, 9)\nSELECT round(z, 3)")
     assert got.count("DECIMAL(38,18)") == 1 and "round(ignore, 9)" in got
+    # a comment INSIDE round(...) args is excised before re-embedding:
+    # the generated CAST is one line, so a surviving '--' would comment
+    # out the rest of it (silently dropping the rounding downstream)
+    got = drls("SELECT round(x -- avg\n, 2) AS r, y FROM t")
+    assert "-- avg" not in got and "DECIMAL(38,18)), 2)" in got
+    got = drls("round(x, 2 -- scale\n)")
+    assert got.endswith("2) AS DOUBLE)") and "--" not in got
+    import duckdb as _duck
+
+    assert _duck.connect().execute(
+        drls("SELECT round(1.23456 -- c\n, 2) AS r")
+    ).fetchone()[0] == 1.23
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unbalanced"):
