@@ -366,3 +366,41 @@ def test_completed_buckets_reraises_non_missing_errors(spark, tmp_path):
         df = completed_buckets(spark, str(corrupt), "r")
         if df is not None:  # corruption may surface at action time
             df.count()
+
+
+def test_incremental_ingest_composition(spark, tmp_path):
+    """The production day-over-day loop, composed from existing pieces
+    (no new surface): day-2's crawl slice is deduped against day-1's
+    OUTPUT via a broadcast left-anti join on url (history side is read
+    back partition-pruned; at 10^12 docs the anti-join key set is the
+    day-2 slice, which is the small side), then scrubbed through the
+    same checkpointed writer into the same lineage.  Invariants: no url
+    appears twice across the combined output, re-running either day is
+    a no-op, and the combined lineage counts match the combined output.
+    """
+    out_p, lin_p = str(tmp_path / "out"), str(tmp_path / "lin")
+    day1 = generate_pages(spark, 120, seed=21)
+    n1 = run_checkpointed(day1, out_p + "/d1", lin_p, "day1", n_buckets=8)
+    assert n1 == 120
+
+    # day-2 slice: 60 re-fetches of day-1 urls + 80 genuinely new pages
+    refetch = day1.limit(60)
+    fresh = generate_pages(spark, 80, seed=22, start_id=1_000_000)
+    day2_raw = refetch.unionByName(fresh)
+    seen = spark.read.parquet(out_p + "/d1").select("url")
+    day2 = day2_raw.join(F.broadcast(seen), "url", "left_anti")
+    n2 = run_checkpointed(day2, out_p + "/d2", lin_p, "day2", n_buckets=8)
+    assert n2 == 80  # only the fresh pages were processed
+
+    combined = spark.read.parquet(out_p + "/d1").unionByName(
+        spark.read.parquet(out_p + "/d2")
+    )
+    assert combined.count() == 200
+    assert combined.select("url").distinct().count() == 200
+    # idempotence: both days are complete, so both re-runs are no-ops
+    assert run_checkpointed(day1, out_p + "/d1", lin_p, "day1",
+                            n_buckets=8) == 0
+    assert run_checkpointed(day2, out_p + "/d2", lin_p, "day2",
+                            n_buckets=8) == 0
+    lineage = spark.read.parquet(lin_p)
+    assert lineage.agg(F.sum("n_docs")).collect()[0][0] == 200
