@@ -98,16 +98,28 @@ def _ngram_char_fractions(words: list[str], text_len: int) -> dict[str, float]:
         # NOT most_common(1): its insertion-order tie-break could pick a
         # SHORTER gram among count ties and understate the char fraction
         # (letting a repetitive doc pass the gate); take the max by
-        # (count, chars, gram) -- deterministic and conservative
-        gram, count = max(
-            grams.items(),
-            key=lambda kv: (kv[1], sum(len(w) for w in kv[0]), kv[0]),
-        )
+        # (count, chars, gram) -- deterministic and conservative.
+        # Two-pass form of that max: find the max COUNT first (C-level),
+        # then evaluate the char-length key only on the ties -- the
+        # single-pass lambda computed sum(len(w)) for EVERY distinct
+        # gram and was the hottest line of the heuristics stage
+        # (profiled r5: ~0.9 s of 2.7 s on 4k docs).  Result identical:
+        # argmax by (count, chars, gram) == argmax by (chars, gram)
+        # restricted to count == max.
+        count = max(grams.values())
         if count == 1:
+            # every gram ties at 1 and the fraction is 0.0 whichever
+            # wins the tie-break -- skip the per-gram key entirely
             all_unique = True  # all longer n-grams unique as well
+            out[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        gram = max(
+            (g for g, c in grams.items() if c == count),
+            key=lambda g: (sum(len(w) for w in g), g),
+        )
         chars = sum(len(w) for w in gram)
         out[f"top_{n}gram_char_frac"] = (
-            (count * chars) / text_len if count > 1 and text_len else 0.0
+            (count * chars) / text_len if text_len else 0.0
         )
     for n in range(5, 11):
         key = f"dup_{n}gram_char_frac"
