@@ -146,11 +146,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_signatures(spark, sf_dir) -> DataFrame:
+def _signatures_for(docs: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>[K]) via K affine-permuted min-hashes --
-    entirely JVM-side column expressions."""
-    d = _docs(spark, sf_dir)
-    sh = _shingles(d)
+    entirely JVM-side column expressions -- for any (doc_id, text) frame."""
+    sh = _shingles(docs)
     # K INDEPENDENT hash functions via seeded xxhash64(shingle, i): affine
     # transforms that never wrap the modulus are monotone in h, which
     # collapses every signature position to argmin(h) -- a degenerate
@@ -165,15 +164,15 @@ def _minhash_signatures(spark, sf_dir) -> DataFrame:
     )
 
 
-def _minhash_candidates(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
-    """(candidate pairs, cached signatures): the banded-LSH candidate
-    core -- distinct (doc_a, doc_b) agreeing on all ROWS_PER_BAND rows
-    of some band.  Callers that need the Jaccard ESTIMATE join the
-    signatures back on (``_minhash_est_pairs``); callers that re-score
-    exactly (``dedup_minhash_verified_clusters``) use the pairs alone
-    and skip the estimate stage entirely."""
-    sig = _minhash_signatures(spark, sf_dir).cache()
-    bands = sig.select(
+def _minhash_signatures(spark, sf_dir) -> DataFrame:
+    return _signatures_for(_docs(spark, sf_dir))
+
+
+def _band_hashes(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): one xxhash64 per ROWS_PER_BAND signature
+    rows per band -- the LSH band table (the thing a production ingest
+    pipeline PERSISTS per admitted doc)."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -192,6 +191,17 @@ def _minhash_candidates(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _minhash_candidates(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, cached signatures): the banded-LSH candidate
+    core -- distinct (doc_a, doc_b) agreeing on all ROWS_PER_BAND rows
+    of some band.  Callers that need the Jaccard ESTIMATE join the
+    signatures back on (``_minhash_est_pairs``); callers that re-score
+    exactly (``dedup_minhash_verified_clusters``) use the pairs alone
+    and skip the estimate stage entirely."""
+    sig = _minhash_signatures(spark, sf_dir).cache()
+    bands = _band_hashes(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -382,6 +392,66 @@ def _true_jaccard_for(pairs: DataFrame, docs: DataFrame) -> DataFrame:
             "doc_a", "doc_b", "raw_j",
             F.round(F.col("raw_j"), 4).alias("true_jaccard"),
         )
+    )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    history_docs: DataFrame,
+    threshold: float = VERIFY_THRESHOLD,
+) -> DataFrame:
+    """Near-dup check of a NEW ingest batch against a LARGE history
+    corpus -- the day-over-day crawl-admission loop at 10^12-doc scale,
+    shaped so the HISTORY NEVER SHUFFLES: the new batch's band table
+    (BANDS rows per new doc -- the small side by construction) is
+    BROADCAST against the history band table, which therefore streams
+    through a broadcast hash join straight off its scan; banded
+    candidates are then re-scored with exact shingle Jaccard, a cost
+    bounded by the candidate count, not either corpus.
+
+    In production the history band table (doc_id, band, bucket) is
+    PERSISTED and appended to as batches are admitted -- each doc's
+    signature is computed exactly once, on arrival -- so the daily cost
+    is one scan of the band table, not a re-shingling of history; here
+    it is derived from ``history_docs`` for self-containedness
+    (``_band_hashes(_signatures_for(history))`` IS the thing to
+    persist).  ``doc_id`` spaces must be disjoint across the two frames
+    (the exact re-score unions them and keys shingles by doc_id).
+
+    Returns one row per (new_id, hist_id) near-duplicate link at
+    ``jaccard >= threshold``; anti-join ``new_docs`` against ``new_id``
+    to admit only novel documents.  Recall is the banding recall at the
+    threshold (see the BANDING HONESTY note above)."""
+    cols = ["doc_id", "text"]
+    new_d, hist_d = new_docs.select(*cols), history_docs.select(*cols)
+    cand = (
+        _band_hashes(_signatures_for(hist_d)).alias("h")
+        .join(
+            F.broadcast(_band_hashes(_signatures_for(new_d)).alias("n")),
+            (F.col("h.band") == F.col("n.band"))
+            & (F.col("h.bucket") == F.col("n.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("h.doc_id").alias("hist_id"),
+        )
+        .distinct()
+        # the re-score core orders pairs (doc_a < doc_b); keep the
+        # new/hist roles alongside the ordered pair to map back after
+        .withColumn("doc_a", F.least("new_id", "hist_id"))
+        .withColumn("doc_b", F.greatest("new_id", "hist_id"))
+        .localCheckpoint()  # tiny; consumed by the id set, the
+        # completing join, AND the role-mapping join below
+    )
+    truth = _true_jaccard_for(
+        cand.select("doc_a", "doc_b"), new_d.unionByName(hist_d)
+    )
+    return (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .filter(F.col("raw_j") >= threshold)
+        .select("new_id", "hist_id",
+                F.col("true_jaccard").alias("jaccard"))
+        .orderBy("new_id", "hist_id")
     )
 
 

@@ -546,3 +546,44 @@ def test_doc_features_dialect_parity_on_crlf_and_vtab(spark, tmp_path):
         assert (got[col] == want[col]).all(), (col, got[col], want[col])
     # the '.\r' line is NOT kept (last char is \r, both engines)
     assert got.loc[0, "n_kept_lines"] == 0
+
+
+def test_minhash_dedup_incremental(spark):
+    """The day-over-day admission loop: a new batch checked against
+    history with the history side never shuffling (its band table meets
+    the broadcast new-batch band table straight off the scan).  An
+    exact re-fetch and a near-dup both link to their history doc; the
+    novel doc links to nothing; the band join is plan-pinned as a
+    BroadcastHashJoin."""
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet village green and children play games")
+    hist_rows = [(i, f"{base} variant{i} tail{i} words{i}")
+                 for i in range(10)]
+    history = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new_rows = [
+        (100, hist_rows[3][1]),                       # exact re-fetch
+        (101, f"{base} variant7 tail7 CHANGED"),      # near-dup of 7
+        (102, "completely different content about ships and harbors "
+              "and tides and the long journey across the cold sea"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    links = dd.minhash_dedup_incremental(new, history)
+    got = {(r.new_id, r.hist_id): r.jaccard for r in links.collect()}
+    assert (100, 3) in got and got[(100, 3)] == 1.0
+    assert (101, 7) in got and got[(101, 7)] >= dd.VERIFY_THRESHOLD
+    assert not any(nid == 102 for nid, _ in got)
+
+    # admit-only-novel composition: anti-join drops exactly the linked docs
+    from pyspark.sql import functions as F
+
+    admitted = new.join(
+        F.broadcast(links.select(F.col("new_id").alias("doc_id"))),
+        "doc_id", "left_anti",
+    )
+    assert sorted(r.doc_id for r in admitted.collect()) == [102]
+
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
