@@ -395,39 +395,19 @@ def _true_jaccard_for(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dedup_incremental(
-    new_docs: DataFrame,
-    history_docs: DataFrame,
-    threshold: float = VERIFY_THRESHOLD,
+def _incremental_candidates(
+    bands_hist: DataFrame, bands_new: DataFrame
 ) -> DataFrame:
-    """Near-dup check of a NEW ingest batch against a LARGE history
-    corpus -- the day-over-day crawl-admission loop at 10^12-doc scale,
-    shaped so the HISTORY NEVER SHUFFLES: the new batch's band table
-    (BANDS rows per new doc -- the small side by construction) is
-    BROADCAST against the history band table, which therefore streams
-    through a broadcast hash join straight off its scan; banded
-    candidates are then re-scored with exact shingle Jaccard, a cost
-    bounded by the candidate count, not either corpus.
-
-    In production the history band table (doc_id, band, bucket) is
-    PERSISTED and appended to as batches are admitted -- each doc's
-    signature is computed exactly once, on arrival -- so the daily cost
-    is one scan of the band table, not a re-shingling of history; here
-    it is derived from ``history_docs`` for self-containedness
-    (``_band_hashes(_signatures_for(history))`` IS the thing to
-    persist).  ``doc_id`` spaces must be disjoint across the two frames
-    (the exact re-score unions them and keys shingles by doc_id).
-
-    Returns one row per (new_id, hist_id) near-duplicate link at
-    ``jaccard >= threshold``; anti-join ``new_docs`` against ``new_id``
-    to admit only novel documents.  Recall is the banding recall at the
-    threshold (see the BANDING HONESTY note above)."""
-    cols = ["doc_id", "text"]
-    new_d, hist_d = new_docs.select(*cols), history_docs.select(*cols)
-    cand = (
-        _band_hashes(_signatures_for(hist_d)).alias("h")
+    """(new_id, hist_id) banded candidates: the NEW side is broadcast
+    (it is the small side by construction), so the history band table
+    streams through a broadcast hash join straight off its scan -- the
+    history-never-shuffles property, plan-pinned in
+    test_minhash_dedup_incremental on THIS frame (the public function
+    checkpoints downstream, which severs the executed plan)."""
+    return (
+        bands_hist.alias("h")
         .join(
-            F.broadcast(_band_hashes(_signatures_for(new_d)).alias("n")),
+            F.broadcast(bands_new.alias("n")),
             (F.col("h.band") == F.col("n.band"))
             & (F.col("h.bucket") == F.col("n.bucket")),
         )
@@ -436,21 +416,125 @@ def minhash_dedup_incremental(
             F.col("h.doc_id").alias("hist_id"),
         )
         .distinct()
-        # the re-score core orders pairs (doc_a < doc_b); keep the
-        # new/hist roles alongside the ordered pair to map back after
-        .withColumn("doc_a", F.least("new_id", "hist_id"))
-        .withColumn("doc_b", F.greatest("new_id", "hist_id"))
-        .localCheckpoint()  # tiny; consumed by the id set, the
-        # completing join, AND the role-mapping join below
     )
-    truth = _true_jaccard_for(
-        cand.select("doc_a", "doc_b"), new_d.unionByName(hist_d)
+
+
+def _cross_jaccard(
+    pairs: DataFrame, new_d: DataFrame, hist_d: DataFrame
+) -> DataFrame:
+    """Exact shingle Jaccard for cross-corpus (new_id, hist_id) pairs.
+    The two sides stay SEPARATE frames end-to-end: no same-side
+    (hist x hist / new x new) intersections are ever formed -- the
+    intersection join is new-shingles x hist-shingles only, so its cost
+    is genuinely bounded by the candidate docs -- and overlapping
+    doc_id values across the corpora are fine (a re-fetch under the
+    same id scores against itself correctly).  Every requested pair is
+    completed (no shared shingle, even zero-shingle docs -> 0.0), like
+    ``_shingle_jaccard``'s pairs mode."""
+    sh_new = _shingles(
+        new_d.join(
+            F.broadcast(
+                pairs.select(F.col("new_id").alias("doc_id")).distinct()
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    sh_hist = _shingles(
+        hist_d.join(
+            F.broadcast(
+                pairs.select(F.col("hist_id").alias("doc_id")).distinct()
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    inter = (
+        sh_new.alias("a")
+        .join(sh_hist.alias("b"),
+              F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("hist_id"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sz_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("sz_n"))
+    sz_hist = sh_hist.groupBy("doc_id").agg(F.count("*").alias("sz_h"))
+    i = F.coalesce(F.col("i"), F.lit(0))
+    denom = (
+        F.coalesce(F.col("sz_n"), F.lit(0))
+        + F.coalesce(F.col("sz_h"), F.lit(0))
+        - i
     )
     return (
-        cand.join(truth, ["doc_a", "doc_b"])
-        .filter(F.col("raw_j") >= threshold)
+        pairs.join(inter, ["new_id", "hist_id"], "left")
+        .join(sz_new, pairs["new_id"] == sz_new["doc_id"], "left")
+        .drop(sz_new["doc_id"])
+        .join(sz_hist, pairs["hist_id"] == sz_hist["doc_id"], "left")
+        .drop(sz_hist["doc_id"])
+        .select(
+            "new_id",
+            "hist_id",
+            F.when(denom == 0, F.lit(0.0)).otherwise(i / denom)
+            .alias("raw_j"),
+        )
+    )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    history_docs: DataFrame,
+    threshold: float = VERIFY_THRESHOLD,
+    history_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup check of a NEW ingest batch against a LARGE history
+    corpus -- the day-over-day crawl-admission loop at 10^12-doc scale,
+    shaped so the HISTORY NEVER SHUFFLES: the new batch's band table
+    (BANDS rows per new doc -- the small side by construction) is
+    BROADCAST against the history band table, which therefore streams
+    through a broadcast hash join straight off its scan; banded
+    candidates are then re-scored with exact cross-corpus shingle
+    Jaccard whose intersection join is new-side x hist-side ONLY (no
+    wasted hist x hist pairs inside a hot near-dup crowd), with the
+    history texts semi-joined down to candidate ids first.
+
+    ``history_bands``: pass the PERSISTED (doc_id, band, bucket) table
+    a production pipeline appends to as batches are admitted (each
+    doc's signature computed exactly once, on arrival --
+    ``_band_hashes(_signatures_for(docs))`` is the thing to persist);
+    the daily cost is then one scan of the band table plus a
+    candidate-pruned read of history texts for the re-score.  When
+    omitted, the band table is derived from ``history_docs``
+    (self-contained form; re-shingles history every call).
+
+    Overlapping ``doc_id`` values across the two frames are handled
+    correctly (a re-fetch under the same id links to itself at 1.0).
+    Intra-batch duplicates are OUT of scope by design: two copies
+    arriving in the same batch both pass this check -- run the batch
+    through ``dedup_minhash_verified_clusters`` (or exact-hash dedup)
+    first, as ``build_training_corpus`` does with url dedup.
+
+    Returns one row per (new_id, hist_id) near-duplicate link at
+    ``jaccard >= threshold``; anti-join ``new_docs`` against ``new_id``
+    to admit only novel documents.  Recall is the banding recall at the
+    threshold (see the BANDING HONESTY note above)."""
+    cols = ["doc_id", "text"]
+    new_d, hist_d = new_docs.select(*cols), history_docs.select(*cols)
+    bands_hist = (
+        history_bands
+        if history_bands is not None
+        else _band_hashes(_signatures_for(hist_d))
+    )
+    cand = _incremental_candidates(
+        bands_hist, _band_hashes(_signatures_for(new_d))
+    ).localCheckpoint()  # tiny; consumed by two semi-joins, the
+    # completing join, and the final result
+    truth = _cross_jaccard(cand, new_d, hist_d)
+    return (
+        truth.filter(F.col("raw_j") >= threshold)
         .select("new_id", "hist_id",
-                F.col("true_jaccard").alias("jaccard"))
+                F.round(F.col("raw_j"), 4).alias("jaccard"))
         .orderBy("new_id", "hist_id")
     )
 

@@ -550,11 +550,16 @@ def test_doc_features_dialect_parity_on_crlf_and_vtab(spark, tmp_path):
 
 def test_minhash_dedup_incremental(spark):
     """The day-over-day admission loop: a new batch checked against
-    history with the history side never shuffling (its band table meets
-    the broadcast new-batch band table straight off the scan).  An
-    exact re-fetch and a near-dup both link to their history doc; the
-    novel doc links to nothing; the band join is plan-pinned as a
-    BroadcastHashJoin."""
+    history with the history side never shuffling.  An exact re-fetch
+    and a near-dup both link to their history doc (including a re-fetch
+    under the SAME doc_id -- overlapping id spaces are in-contract);
+    the novel doc links to nothing; passing the persisted band table
+    gives identical links; and the band join itself is plan-pinned as
+    a BroadcastHashJoin building the NEW side (on the pre-checkpoint
+    candidate frame -- the public function's localCheckpoint severs
+    the executed plan, so pinning its output would be vacuous)."""
+    from pyspark.sql import functions as F
+
     import azure_based_pii_redactor_spark.engine.operators.dedup as dd
 
     base = ("the quick brown fox jumps over the lazy dog while rain "
@@ -567,6 +572,7 @@ def test_minhash_dedup_incremental(spark):
         (101, f"{base} variant7 tail7 CHANGED"),      # near-dup of 7
         (102, "completely different content about ships and harbors "
               "and tides and the long journey across the cold sea"),
+        (5, hist_rows[5][1]),          # re-fetch under the SAME doc_id
     ]
     new = spark.createDataFrame(new_rows, "doc_id long, text string")
 
@@ -574,16 +580,31 @@ def test_minhash_dedup_incremental(spark):
     got = {(r.new_id, r.hist_id): r.jaccard for r in links.collect()}
     assert (100, 3) in got and got[(100, 3)] == 1.0
     assert (101, 7) in got and got[(101, 7)] >= dd.VERIFY_THRESHOLD
+    assert (5, 5) in got and got[(5, 5)] == 1.0  # same-id self-link
     assert not any(nid == 102 for nid, _ in got)
 
-    # admit-only-novel composition: anti-join drops exactly the linked docs
-    from pyspark.sql import functions as F
+    # the persisted-band-table path (what production passes daily)
+    hist_bands = dd._band_hashes(dd._signatures_for(history))
+    links2 = dd.minhash_dedup_incremental(
+        new, history, history_bands=hist_bands
+    )
+    got2 = {(r.new_id, r.hist_id): r.jaccard for r in links2.collect()}
+    assert got2 == got
 
+    # admit-only-novel composition: anti-join drops exactly the linked docs
     admitted = new.join(
         F.broadcast(links.select(F.col("new_id").alias("doc_id"))),
         "doc_id", "left_anti",
     )
     assert sorted(r.doc_id for r in admitted.collect()) == [102]
 
-    plan = links._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # plan pin on the candidate stage itself: the band join is a
+    # BroadcastHashJoin on (band, bucket) -- history streams unshuffled
+    cand = dd._incremental_candidates(
+        hist_bands, dd._band_hashes(dd._signatures_for(new))
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+    ]
+    assert any("band" in ln and "bucket" in ln for ln in join_lines), plan
