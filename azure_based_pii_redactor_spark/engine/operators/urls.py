@@ -89,3 +89,38 @@ def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def cap_per_domain(pages: DataFrame, max_per_domain: int) -> DataFrame:
+    """Domain balancing: keep at most ``max_per_domain`` pages per
+    domain -- the standard Common-Crawl corpus-builder stage that stops
+    a handful of mega-hosts from dominating the training mix.
+
+    Keeper selection is DETERMINISTIC: pages are ranked inside each
+    domain by ``xxhash64(url)`` (url as tie-break), i.e. a reproducible
+    uniform shuffle -- the same pages survive across runs, retries and
+    resumes, with no rand() and no dependence on input order.  Domain =
+    ``engine.metrics.with_domain`` (the same try_parse_url HOST the
+    metrics rollups use).
+
+    Scale shape: ONE shuffle on domain into a rank window.  A 10^7-page
+    hot domain lands in one window partition and is sorted linearly
+    there; row_number is evaluated streaming (no full materialization),
+    so the cost is the sort of the hot partition.  At more extreme skew
+    swap in the two-phase threshold form -- per-domain counts
+    (map-side-combined), broadcast the over-quota domains, and filter
+    ``pmod(xxhash64(url), count) < quota`` for an approximate cap, or
+    compute each hot domain's quota-th smallest hash as an exact
+    per-domain threshold -- the hash keeper rule above makes both refine
+    THIS operator's semantics rather than replace them."""
+    from ..metrics import with_domain
+
+    w = Window.partitionBy("domain").orderBy(
+        F.xxhash64("url"), F.asc("url")
+    )
+    return (
+        with_domain(pages)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_domain)
+        .drop("__rn", "domain")
+    )

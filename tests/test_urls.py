@@ -96,3 +96,36 @@ def test_dedup_keeper_deterministic_on_extra_columns(spark):
         for p in (1, 2, 4)
     }
     assert len(outs) == 1  # same keeper regardless of partitioning
+
+
+def test_cap_per_domain(spark):
+    """Domain balancing: hot domains capped at the quota with a
+    deterministic keeper set (identical across runs / input order);
+    under-quota domains untouched."""
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        cap_per_domain,
+    )
+
+    rows = [(f"https://hot.example/p{i}", i) for i in range(50)]
+    rows += [(f"https://small.example/p{i}", 100 + i) for i in range(3)]
+    rows += [("not a url", 999)]  # unparseable -> '' domain, kept group
+    pages = spark.createDataFrame(rows, "url string, v long")
+
+    capped = cap_per_domain(pages, 10)
+    got = capped.groupBy(
+        F.lower(F.coalesce(F.try_parse_url("url", F.lit("HOST")),
+                           F.lit("")))
+        .alias("d")
+    ).count().collect()
+    by_domain = {r.d: r["count"] for r in got}
+    assert by_domain["hot.example"] == 10
+    assert by_domain["small.example"] == 3
+    assert by_domain[""] == 1
+    # determinism: same keepers regardless of input partitioning/order
+    shuffled = pages.orderBy(F.rand(7)).repartition(7)
+    again = sorted(r.url for r in cap_per_domain(shuffled, 10).collect())
+    assert again == sorted(r.url for r in capped.collect())
+    # non-url columns survive
+    assert set(capped.columns) == {"url", "v"}
