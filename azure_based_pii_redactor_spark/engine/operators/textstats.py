@@ -830,3 +830,80 @@ ORACLES = {
     """,
 }
 
+
+
+N_BUDGET_BUCKETS = 10_000  # token-budget selection granularity: the kept
+# set's total misses the budget by at most one bucket (~0.01% of corpus
+# tokens at uniform hashing)
+
+
+def sample_to_token_budget(
+    docs, budget_tokens: int, key_col: str = "doc_id",
+    text_col: str = "text", n_buckets: int = N_BUDGET_BUCKETS,
+):
+    """Deterministically select a subset whose total whitespace-token
+    count is as close to ``budget_tokens`` as bucket granularity allows
+    -- the "give me a 100B-token slice of this corpus" training staple.
+
+    Selection order is the md5-hash order of the key (the same pure-
+    function-of-the-key rule every sampler here uses): each doc lands in
+    one of ``n_buckets`` hash buckets; ONE map-side-combined aggregation
+    yields per-bucket token sums (``n_buckets`` rows -- driver-safe);
+    the cumulative sum over bucket ids picks the smallest prefix of
+    buckets reaching the budget, and docs in those buckets are kept.
+    Reproducible across runs/retries/resumes, two jobs total (the
+    bucket-sum pass + the consumer's), no global sort, no window over
+    the corpus.  Quantization: the kept total overshoots the budget by
+    LESS THAN the cutoff bucket's tokens (~corpus/n_buckets); raise
+    ``n_buckets`` for tighter tracking (the sums frame stays tiny).
+
+    Returns ``(kept_docs, kept_token_total)``."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    )
+    with_b = docs.withColumn("__b", bucket)
+    sums = (
+        with_b.groupBy("__b")
+        .agg(F.sum(toks).alias("t"))
+        .orderBy("__b")
+        .collect()  # <= n_buckets tiny rows
+    )
+    total = 0
+    cutoff = -1  # empty selection if even bucket 0 overshoots a 0 budget
+    for r in sums:
+        if total >= budget_tokens:
+            break
+        total += r.t
+        cutoff = r["__b"]
+    kept = with_b.filter(F.col("__b") <= cutoff).drop("__b")
+    return kept, total
+
+
+def sample_mixture(
+    docs, weights: dict, source_col: str = "source",
+    key_col: str = "doc_id",
+):
+    """Per-source mixture sampling: keep each source at its own
+    deterministic rate (``weights``: source -> keep fraction in [0, 1]),
+    the data-mixing step that up/down-weights sources in a training mix.
+    Sources absent from ``weights`` are DROPPED (explicit mixes only).
+    The keep decision is the same md5-bucket pure function of the key
+    as the stratified sampler -- reproducible everywhere; one scan, no
+    shuffle (the weight map compiles to a CASE expression in the scan
+    projection)."""
+    pct = None
+    for src, w in weights.items():
+        lit = F.lit(int(round(w * 100)))
+        cond = F.col(source_col) == src
+        pct = F.when(cond, lit) if pct is None else pct.when(cond, lit)
+    pct = pct.otherwise(F.lit(0)) if pct is not None else F.lit(0)
+    return docs.filter(
+        md5_bucket100(F.col(key_col).cast("string")) < pct
+    )

@@ -608,3 +608,59 @@ def test_minhash_dedup_incremental(spark):
         ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
     ]
     assert any("band" in ln and "bucket" in ln for ln in join_lines), plan
+
+
+def test_sample_to_token_budget(spark):
+    """Token-budget slicing: the kept total reaches the budget and
+    overshoots by less than one bucket's tokens; selection is a pure
+    function of the key (identical across input order); budget 0 keeps
+    nothing; an over-corpus budget keeps everything."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus_tokens = 500 * 10
+
+    kept, total = ts.sample_to_token_budget(docs, 2000, n_buckets=100)
+    n_kept = kept.count()
+    assert total >= 2000
+    # overshoot bounded by the cutoff bucket (~corpus/100 = 50 tokens
+    # in expectation; allow generous slack for bucket-size variance)
+    assert total - 2000 < 500
+    assert n_kept == total // 10  # 10 tokens per doc
+    # determinism under reshuffling
+    kept2, total2 = ts.sample_to_token_budget(
+        docs.orderBy(F.rand(3)).repartition(7), 2000, n_buckets=100
+    )
+    assert total2 == total
+    assert sorted(r.doc_id for r in kept2.collect()) == sorted(
+        r.doc_id for r in kept.collect()
+    )
+    assert ts.sample_to_token_budget(docs, 0, n_buckets=100)[0].count() == 0
+    kept_all, total_all = ts.sample_to_token_budget(
+        docs, 10 * corpus_tokens, n_buckets=100
+    )
+    assert kept_all.count() == 500 and total_all == corpus_tokens
+
+
+def test_sample_mixture(spark):
+    """Per-source mixture rates: each source kept at ~its weight via the
+    shared md5-bucket rule (exact per-key determinism, not approximate
+    rand); unlisted sources dropped; weight 1.0 keeps every doc."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"t{i}", f"src{i % 3}") for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = ts.sample_mixture(docs, {"src0": 1.0, "src1": 0.25})
+    counts = {r.source: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert counts["src0"] == 200            # weight 1.0: all kept
+    assert "src2" not in counts             # unlisted: dropped
+    assert 20 <= counts.get("src1", 0) <= 80  # ~25% of 200, hash variance
+    # exact determinism: the kept src1 ids equal the md5-bucket rule
+    expect = [r.doc_id for r in docs.filter(
+        (F.col("source") == "src1")
+        & (ts.md5_bucket100(F.col("doc_id").cast("string")) < 25)
+    ).collect()]
+    got = [r.doc_id for r in out.filter(F.col("source") == "src1").collect()]
+    assert sorted(got) == sorted(expect)
