@@ -545,19 +545,34 @@ def decontaminate(
     )
 
 
-def md5_bucket100(col) -> "F.Column":
-    """Deterministic 0-99 bucket of a key column: md5-derived 60-bit
-    hash mod 100 -- the ONE definition of the reproducible sampling
+def md5_bucket(col, n: int, null_sentinel: bool = True) -> "F.Column":
+    """Deterministic 0..n-1 bucket of a key column: md5-derived 60-bit
+    hash mod ``n`` -- the ONE definition of the reproducible sampling
     decision (pure function of the key, retry/resume-safe), shared by
-    ``sample_stratified_deterministic`` and the corpus builder and
-    recomputed exactly by their DuckDB oracles.  At 10^12 rows swap for
-    ``pmod(xxhash64(col), 100)`` -- same plan, faster hash, losing only
+    every sampler here.  With ``null_sentinel`` (the default for the
+    non-oracle callers), NULL keys bucket as the string ``'__null__'``
+    -- a raw NULL would bucket to NULL and silently fall out of every
+    range predicate, corrupting budget accounting.  The oracle-checked
+    percent form (``md5_bucket100``) disables it: DuckDB's
+    ``md5(NULL)`` is NULL, and cross-engine parity outranks NULL-key
+    convenience there.  At 10^12 rows swap for
+    ``pmod(xxhash64(col), n)`` -- same plan, faster hash, losing only
     the cross-engine oracle."""
     c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("string")
+    if null_sentinel:
+        c = F.coalesce(c, F.lit("__null__"))
     return F.pmod(
         F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
-        F.lit(100),
+        F.lit(n),
     )
+
+
+def md5_bucket100(col) -> "F.Column":
+    """``md5_bucket(col, 100)`` without the NULL sentinel -- the
+    percent-granularity form the stratified sampler and corpus builder
+    interpolate into DuckDB oracles (which see ``md5(NULL) = NULL``)."""
+    return md5_bucket(col, 100, null_sentinel=False)
 
 
 EVAL_MOD = 41  # deterministic stand-in benchmark: every 41st document
@@ -857,18 +872,18 @@ def sample_to_token_budget(
     LESS THAN the cutoff bucket's tokens (~corpus/n_buckets); raise
     ``n_buckets`` for tighter tracking (the sums frame stays tiny).
 
+    NULL keys bucket deterministically (md5_bucket sentinel) and NULL
+    texts count 0 tokens, so both stay in the accounting instead of
+    silently corrupting it.
+
     Returns ``(kept_docs, kept_token_total)``."""
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
-            16, 10,
-        ).cast("long"),
-        F.lit(n_buckets),
+    toks = F.coalesce(
+        F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        ),
+        F.lit(0),
     )
-    toks = F.size(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    )
-    with_b = docs.withColumn("__b", bucket)
+    with_b = docs.withColumn("__b", md5_bucket(key_col, n_buckets))
     sums = (
         with_b.groupBy("__b")
         .agg(F.sum(toks).alias("t"))
@@ -886,24 +901,37 @@ def sample_to_token_budget(
     return kept, total
 
 
+MIXTURE_DENOM = 1_000_000  # mixture-rate granularity: 1e-6 (a 0.4%
+# common-crawl downweight or a 0.0001 contamination trickle both
+# survive quantization; percent granularity would zero them out)
+
+
 def sample_mixture(
     docs, weights: dict, source_col: str = "source",
     key_col: str = "doc_id",
 ):
     """Per-source mixture sampling: keep each source at its own
-    deterministic rate (``weights``: source -> keep fraction in [0, 1]),
-    the data-mixing step that up/down-weights sources in a training mix.
-    Sources absent from ``weights`` are DROPPED (explicit mixes only).
-    The keep decision is the same md5-bucket pure function of the key
-    as the stratified sampler -- reproducible everywhere; one scan, no
-    shuffle (the weight map compiles to a CASE expression in the scan
-    projection)."""
-    pct = None
+    deterministic rate (``weights``: source -> keep fraction in [0, 1],
+    validated; quantized to 1e-6), the data-mixing step that
+    up/down-weights sources in a training mix.  Sources absent from
+    ``weights`` are DROPPED (explicit mixes only).  The keep decision
+    is the same md5-bucket pure function of the key as the stratified
+    sampler -- reproducible everywhere; one scan, no shuffle (the
+    weight map compiles to a CASE expression in the scan projection)."""
     for src, w in weights.items():
-        lit = F.lit(int(round(w * 100)))
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(
+                f"weight for {src!r} is {w}: keep fractions live in"
+                " [0, 1]"
+            )
+    thresh = None
+    for src, w in weights.items():
+        lit = F.lit(int(round(w * MIXTURE_DENOM)))
         cond = F.col(source_col) == src
-        pct = F.when(cond, lit) if pct is None else pct.when(cond, lit)
-    pct = pct.otherwise(F.lit(0)) if pct is not None else F.lit(0)
-    return docs.filter(
-        md5_bucket100(F.col(key_col).cast("string")) < pct
+        thresh = (
+            F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+        )
+    thresh = (
+        thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
     )
+    return docs.filter(md5_bucket(key_col, MIXTURE_DENOM) < thresh)

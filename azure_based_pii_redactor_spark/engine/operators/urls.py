@@ -99,28 +99,39 @@ def cap_per_domain(pages: DataFrame, max_per_domain: int) -> DataFrame:
     Keeper selection is DETERMINISTIC: pages are ranked inside each
     domain by ``xxhash64(url)`` (url as tie-break), i.e. a reproducible
     uniform shuffle -- the same pages survive across runs, retries and
-    resumes, with no rand() and no dependence on input order.  Domain =
-    ``engine.metrics.with_domain`` (the same try_parse_url HOST the
-    metrics rollups use).
+    resumes, with no rand() and no dependence on input order.
 
-    Scale shape: ONE shuffle on domain into a rank window.  A 10^7-page
-    hot domain lands in one window partition and is sorted linearly
-    there; row_number is evaluated streaming (no full materialization),
-    so the cost is the sort of the hot partition.  At more extreme skew
-    swap in the two-phase threshold form -- per-domain counts
-    (map-side-combined), broadcast the over-quota domains, and filter
-    ``pmod(xxhash64(url), count) < quota`` for an approximate cap, or
-    compute each hot domain's quota-th smallest hash as an exact
-    per-domain threshold -- the hash keeper rule above makes both refine
-    THIS operator's semantics rather than replace them."""
-    from ..metrics import with_domain
+    The capping key is the LOWERCASED HOST WITH ``www.`` STRIPPED --
+    the same collapse ``canonical_url`` applies, because a mega-host
+    crawled under both ``www.hot.com`` and ``hot.com`` must share ONE
+    quota, not two (this deliberately differs from
+    ``engine.metrics.with_domain``, which reports hosts as crawled).
+    URLs the parser cannot handle are EXEMPT from the cap (keyed by
+    their raw url, each its own group): a million odd-but-real pages
+    must not be silently truncated to one collective quota.  The key is
+    computed under a private name -- a caller's existing ``domain``
+    column passes through untouched.
 
-    w = Window.partitionBy("domain").orderBy(
+    Scale shape: ONE shuffle on the key into a rank window.  A
+    10^7-page hot domain lands in one window partition and is sorted
+    linearly there; row_number is evaluated streaming (no full
+    materialization), so the cost is the sort of the hot partition.  At
+    more extreme skew swap in the two-phase threshold form -- per-domain
+    counts (map-side-combined), broadcast the over-quota domains, and
+    filter ``pmod(xxhash64(url), count) < quota`` for an approximate
+    cap, or compute each hot domain's quota-th smallest hash as an
+    exact per-domain threshold -- the hash keeper rule above makes both
+    refine THIS operator's semantics rather than replace them."""
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url("url", F.lit("HOST"))), r"^www\.", ""
+    )
+    key = F.coalesce(host, F.col("url"))  # unparseable: own group
+    w = Window.partitionBy("__cap_key").orderBy(
         F.xxhash64("url"), F.asc("url")
     )
     return (
-        with_domain(pages)
+        pages.withColumn("__cap_key", key)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_per_domain)
-        .drop("__rn", "domain")
+        .drop("__rn", "__cap_key")
     )

@@ -657,10 +657,29 @@ def test_sample_mixture(spark):
     assert counts["src0"] == 200            # weight 1.0: all kept
     assert "src2" not in counts             # unlisted: dropped
     assert 20 <= counts.get("src1", 0) <= 80  # ~25% of 200, hash variance
-    # exact determinism: the kept src1 ids equal the md5-bucket rule
+    # exact determinism: the kept src1 ids equal the md5-bucket rule at
+    # MIXTURE_DENOM granularity
     expect = [r.doc_id for r in docs.filter(
         (F.col("source") == "src1")
-        & (ts.md5_bucket100(F.col("doc_id").cast("string")) < 25)
+        & (ts.md5_bucket("doc_id", ts.MIXTURE_DENOM)
+           < int(0.25 * ts.MIXTURE_DENOM))
     ).collect()]
     got = [r.doc_id for r in out.filter(F.col("source") == "src1").collect()]
     assert sorted(got) == sorted(expect)
+    # sub-percent weights survive quantization (percent granularity
+    # would zero them out and drop the source entirely); the md5 rule
+    # is deterministic for fixed ids, so the counts are exact
+    big = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("src1").alias("source")
+    )
+    tiny = ts.sample_mixture(big, {"src1": 0.004})
+    expect_tiny = big.filter(
+        ts.md5_bucket("doc_id", ts.MIXTURE_DENOM)
+        < int(0.004 * ts.MIXTURE_DENOM)
+    ).count()
+    assert tiny.count() == expect_tiny
+    assert 0 < expect_tiny < 200  # ~80 of 20k at 0.4%
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep fractions"):
+        ts.sample_mixture(docs, {"src0": 1.5})

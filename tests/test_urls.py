@@ -101,31 +101,35 @@ def test_dedup_keeper_deterministic_on_extra_columns(spark):
 def test_cap_per_domain(spark):
     """Domain balancing: hot domains capped at the quota with a
     deterministic keeper set (identical across runs / input order);
-    under-quota domains untouched."""
+    www/non-www share ONE quota; unparseable urls are exempt (each its
+    own group); under-quota domains and a caller's existing domain
+    column pass through untouched."""
     from pyspark.sql import functions as F
 
     from azure_based_pii_redactor_spark.engine.operators.urls import (
         cap_per_domain,
     )
 
-    rows = [(f"https://hot.example/p{i}", i) for i in range(50)]
+    rows = [(f"https://hot.example/p{i}", i) for i in range(25)]
+    rows += [(f"https://www.hot.example/q{i}", 50 + i) for i in range(25)]
     rows += [(f"https://small.example/p{i}", 100 + i) for i in range(3)]
-    rows += [("not a url", 999)]  # unparseable -> '' domain, kept group
+    rows += [(f"not a url {i}", 900 + i) for i in range(14)]  # exempt
     pages = spark.createDataFrame(rows, "url string, v long")
 
     capped = cap_per_domain(pages, 10)
-    got = capped.groupBy(
-        F.lower(F.coalesce(F.try_parse_url("url", F.lit("HOST")),
-                           F.lit("")))
-        .alias("d")
-    ).count().collect()
-    by_domain = {r.d: r["count"] for r in got}
-    assert by_domain["hot.example"] == 10
-    assert by_domain["small.example"] == 3
-    assert by_domain[""] == 1
+    urls = [r.url for r in capped.collect()]
+    # www + bare host share one quota of 10 (not 10 each)
+    assert sum("hot.example" in u for u in urls) == 10
+    assert sum("small.example" in u for u in urls) == 3
+    # unparseable urls are never capped away
+    assert sum(u.startswith("not a url") for u in urls) == 14
     # determinism: same keepers regardless of input partitioning/order
     shuffled = pages.orderBy(F.rand(7)).repartition(7)
     again = sorted(r.url for r in cap_per_domain(shuffled, 10).collect())
-    assert again == sorted(r.url for r in capped.collect())
-    # non-url columns survive
+    assert again == sorted(urls)
+    # non-url columns survive; a pre-existing domain column is untouched
     assert set(capped.columns) == {"url", "v"}
+    with_dom = pages.withColumn("domain", F.lit("mine"))
+    out = cap_per_domain(with_dom, 10)
+    assert set(out.columns) == {"url", "v", "domain"}
+    assert all(r.domain == "mine" for r in out.collect())
