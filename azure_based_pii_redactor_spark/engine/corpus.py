@@ -38,6 +38,8 @@ def build_training_corpus(
     passage_n: int | None = None,
     report_counts: bool = True,
     quality_filter: bool = True,
+    max_per_domain: int | None = None,
+    token_budget: int | None = None,
     **pipeline_kwargs,
 ) -> tuple[DataFrame, dict]:
     """See module docstring.  ``quality_filter=False`` runs the scrub
@@ -53,6 +55,20 @@ def build_training_corpus(
     ``passage_n`` defaults to ``textstats.WINDOW_N`` -- the ONE window
     knob the driver oracles interpolate; a hand-coded 8 here would
     desynchronize the funnel from its oracle the moment the knob turns.
+
+    Two optional stages (both off by default, so the driver-checked
+    funnel is unchanged): ``max_per_domain`` applies
+    ``urls.cap_per_domain`` right after url dedup (cheapest placement:
+    every later stage's cost scales with surviving rows, and capping
+    before the scrub saves the kernel on the truncated mega-hosts);
+    ``token_budget`` applies ``textstats.sample_to_token_budget`` as
+    the FINAL stage (a token budget only means something over the text
+    that actually ships), reporting the kept token total as
+    ``kept_tokens`` (a side-channel report key like
+    ``scrub_changed_docs``, not a stage).  Note: the budget's bucket-sum
+    pass is one eager job even with ``report_counts=False`` -- picking
+    the cutoff bucket requires it; the zero-extra-jobs guarantee of lazy
+    mode holds for every other stage.
     """
     from .operators.textstats import WINDOW_N
 
@@ -72,6 +88,13 @@ def build_training_corpus(
 
         pages = _count(
             "after_url_dedup", dedup_pages_by_url(pages).drop("canonical_url")
+        )
+
+    if max_per_domain is not None:
+        from .operators.urls import cap_per_domain
+
+        pages = _count(
+            "after_domain_cap", cap_per_domain(pages, max_per_domain)
         )
 
     if not quality_filter:
@@ -155,5 +178,15 @@ def build_training_corpus(
             "after_sampling",
             kept.filter(md5_bucket100("url") < sample_pct),
         )
+
+    if token_budget is not None:
+        from .operators.textstats import sample_to_token_budget
+
+        kept, kept_tokens = sample_to_token_budget(
+            kept, token_budget, key_col="url"
+        )
+        kept = _count("after_token_budget", kept)
+        if report_counts:
+            report["kept_tokens"] = kept_tokens
 
     return kept, report

@@ -126,3 +126,45 @@ def test_funnel_query_emits_bank_clean_column(spark):
     assert "corpus_bank_clean_ok" in pdf.columns
     assert pdf["corpus_bank_clean_ok"].all()
     assert len(pdf) == 6
+
+
+def test_optional_domain_cap_and_token_budget_stages(spark):
+    """The opt-in stages compose into the one-call recipe: domain cap
+    right after url dedup, token budget as the final stage; both report
+    their funnel counts, and the default-off form is unchanged."""
+    from pyspark.sql import functions as F
+
+    # a hot domain with 12 pages + the regular fixture
+    hot = spark.createDataFrame(
+        [(f"https://flood.example/p{i}", datetime(2024, 7, 1),
+          f"{GOOD} flood{i} words{i} here{i}") for i in range(12)],
+        "url string, warc_ts timestamp, text string",
+    ).select(
+        "url", "warc_ts",
+        F.concat(F.lit("<html><body>"), "text",
+                 F.lit("</body></html>")).cast("binary").alias("html"),
+        "text", F.lit("en").alias("lang"),
+    )
+    pages = _pages(spark).unionByName(hot)
+
+    corpus, report = build_training_corpus(
+        pages, quality_filter=False, max_per_domain=4, token_budget=400,
+    )
+    assert report["after_domain_cap"] < report["after_url_dedup"]
+    # flood.example capped at 4
+    n_flood = corpus.filter(
+        F.col("url").contains("flood.example")
+    ).count()
+    assert n_flood <= 4
+    assert report["kept_tokens"] >= 400 or (
+        report["after_token_budget"] == report["after_decontamination"]
+        if "after_decontamination" in report
+        else True
+    )
+    # the budget stage is last and monotone non-increasing
+    stages = [k for k in report if k.startswith("after")]
+    assert stages[-1] == "after_token_budget"
+    # default-off form reports no new stages
+    _, plain = build_training_corpus(pages, quality_filter=False)
+    assert "after_domain_cap" not in plain
+    assert "after_token_budget" not in plain and "kept_tokens" not in plain
