@@ -285,3 +285,47 @@ def test_decontaminate_driver_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
     assert plan.count("Exchange hashpartitioning(win") == 1, plan
+
+
+def test_cap_per_domain_single_shuffle(spark):
+    """Domain balancing is ONE hash exchange on the capping key into a
+    rank window -- no join, no second shuffle, and the key expression
+    lives in the projection (computable in the scan at 10^12 rows)."""
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        cap_per_domain,
+    )
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.concat(F.lit("https://d"), (F.col("doc_id") % 50),
+                 F.lit(".example/p"), "doc_id").alias("url"),
+        "text",
+    )
+    plan = plan_of(cap_per_domain(pages, 5))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_sampling_ops_shuffle_free(spark):
+    """sample_mixture is a pure scan-projection filter (zero exchanges);
+    sample_to_token_budget's kept frame is likewise a bare filter --
+    the budget's one aggregation job runs at call time, and what the
+    consumer executes afterwards shuffles nothing."""
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        sample_mixture,
+        sample_to_token_budget,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "source", F.concat(F.lit("s"), F.col("doc_id") % 3)
+    )
+    plan = plan_of(sample_mixture(docs, {"s0": 0.5, "s1": 1.0}))
+    assert "Exchange" not in plan, plan
+    kept, total = sample_to_token_budget(docs, 1000, n_buckets=50)
+    assert total >= 1000
+    plan = plan_of(kept)
+    assert "Exchange" not in plan, plan
