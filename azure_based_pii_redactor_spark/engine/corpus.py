@@ -182,11 +182,20 @@ def build_training_corpus(
     if token_budget is not None:
         from .operators.textstats import sample_to_token_budget
 
+        if report_counts:
+            # the budget op's bucket-sum collect(), the stage count, and
+            # the caller's consumption would each re-run everything
+            # after the last barrier (anti-join + sample filter) -- the
+            # same multi-consumer class bounded above
+            kept = kept.localCheckpoint()
         kept, kept_tokens = sample_to_token_budget(
             kept, token_budget, key_col="url"
         )
         kept = _count("after_token_budget", kept)
-        if report_counts:
-            report["kept_tokens"] = kept_tokens
+        # always reported: the total was already computed by the one
+        # eager job the budget op inherently pays -- discarding it in
+        # lazy mode would force callers to re-aggregate for it (the
+        # zero-extra-jobs guarantee concerns the funnel STAGE counts)
+        report["kept_tokens"] = kept_tokens
 
     return kept, report

@@ -147,8 +147,13 @@ def test_optional_domain_cap_and_token_budget_stages(spark):
     )
     pages = _pages(spark).unionByName(hot)
 
+    # NOTE: passage removal excises the shared GOOD passage from all but
+    # its first occurrence, so the corpus that reaches the budget stage
+    # holds only ~120 tokens -- the budget must sit BELOW that for the
+    # budget stage to actually select (a 400-token budget would keep
+    # everything and assert nothing)
     corpus, report = build_training_corpus(
-        pages, quality_filter=False, max_per_domain=4, token_budget=400,
+        pages, quality_filter=False, max_per_domain=4, token_budget=50,
     )
     assert report["after_domain_cap"] < report["after_url_dedup"]
     # flood.example capped at 4
@@ -156,11 +161,12 @@ def test_optional_domain_cap_and_token_budget_stages(spark):
         F.col("url").contains("flood.example")
     ).count()
     assert n_flood <= 4
-    assert report["kept_tokens"] >= 400 or (
-        report["after_token_budget"] == report["after_decontamination"]
-        if "after_decontamination" in report
-        else True
-    )
+    # the corpus at the budget stage (~120 tokens) exceeds the 50-token
+    # budget, so the kept total must actually reach it (a cutoff
+    # regression keeping nothing would fail here) AND the stage must
+    # have dropped something (the budget is a strict subset)
+    assert report["kept_tokens"] >= 50
+    assert 0 < report["after_token_budget"] < report["after_passage_removal"]
     # the budget stage is last and monotone non-increasing
     stages = [k for k in report if k.startswith("after")]
     assert stages[-1] == "after_token_budget"
