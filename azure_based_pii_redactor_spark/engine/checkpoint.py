@@ -92,13 +92,27 @@ def write_scrub_output(
     set of candidate buckets for this invocation (all-minus-completed,
     derived driver-side -- no input scan).  Lineage is read back ONLY for
     the intersection of ``bucket_ids`` with the buckets this write
-    actually produced (observed in the same pass as the write -- no extra
-    job): candidate buckets the input never populates contribute nothing,
-    so stale partitions left in them by a prior run over a reused
-    ``output_path`` (different run_id, or a changed ``n_buckets``) are
-    never counted into THIS run's lineage or marked complete.  Requires
+    actually produced: candidate buckets the input never populates
+    contribute nothing, so stale partitions left in them by a prior run
+    over a reused ``output_path`` (different run_id, or a changed
+    ``n_buckets``) are never counted into THIS run's lineage or marked
+    complete.  Requires
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session.py) so
     only the written buckets are replaced.
+
+    How the produced-bucket set is learned depends on the writer
+    (``tableio.BucketTableWriter``): writers exposing
+    ``written_buckets`` (Iceberg: snapshot-scoped commit metadata)
+    report it themselves -- observed metrics are verified to propagate
+    only through the v1 parquet writer path, and an ``Observation``
+    whose metrics never fire would block this function forever on a
+    DSv2 write.  Other writers take the zero-cost in-job Observation
+    (collect_set over the same pass as the write).  If a metadata-aware
+    writer returns None (metadata shape surprise), the fallback is a
+    partition-pruned read of the candidate buckets -- which restores
+    the weaker pre-Observation semantics (a stale candidate partition
+    on a reused path WOULD be counted), so it is a last resort, not the
+    default.
     """
     from pyspark.sql import Observation
 
@@ -106,10 +120,30 @@ def write_scrub_output(
 
     spark = out.sparkSession
     writer = writer or default_writer(spark, output_path)
-    obs = Observation()
-    out = out.observe(obs, F.collect_set("part_bucket").alias("buckets"))
+    self_reporting = callable(getattr(writer, "written_buckets", None))
+    if self_reporting:  # pragma: no cover -- only the Iceberg writer
+        obs = None
+    else:
+        obs = Observation()
+        out = out.observe(
+            obs, F.collect_set("part_bucket").alias("buckets")
+        )
     writer.overwrite_buckets(out, output_path)
-    written_ids = sorted(set(obs.get["buckets"]) & set(bucket_ids))
+    if obs is not None:
+        produced = set(obs.get["buckets"])
+    else:  # pragma: no cover -- needs Iceberg jars
+        wb = writer.written_buckets(spark, output_path)
+        if wb is None:
+            wb = [
+                r.part_bucket
+                for r in writer.read(spark, output_path)
+                .filter(F.col("part_bucket").isin(list(bucket_ids)))
+                .select("part_bucket")
+                .distinct()
+                .collect()
+            ]
+        produced = set(wb)
+    written_ids = sorted(produced & set(bucket_ids))
     if not written_ids:
         return 0
     # Lineage is computed from the files just committed (partition-pruned

@@ -85,11 +85,14 @@ def _strip_comments(s: str) -> str:
 
 
 def _find_round(sql: str, start: int) -> int:
-    """Index of the next un-quoted, non-identifier-suffix ``round(``."""
+    """Index of the next un-quoted, non-identifier-suffix ``round(``
+    (CASE-INSENSITIVE, like SQL function resolution -- an uppercase
+    ``ROUND(`` in an oracle must get the same parity rewrite, not
+    silently skip it; ADVICE r5)."""
     for i, ch in _iter_unquoted(sql, start):
         if (
-            ch == "r"
-            and sql.startswith("round(", i)
+            ch in "rR"
+            and sql[i : i + 6].lower() == "round("
             # don't match identifiers ending in 'round' (e.g. bround)
             and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_"))
         ):

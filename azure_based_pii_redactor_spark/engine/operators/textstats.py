@@ -545,6 +545,19 @@ def decontaminate(
     )
 
 
+def md5_hash60(col) -> "F.Column":
+    """The repo's cross-engine-exact 60-bit hash of a (string-castable)
+    column: ``conv(substr(md5(x), 1, 15), 16, 10)`` as a BIGINT, equal
+    to DuckDB's ``('0x' || substr(md5(x), 1, 15))::BIGINT`` (verified
+    incl. unicode/empty strings).  The shared primitive under
+    ``md5_bucket``, simhash's token hash, and ``cap_per_domain``'s
+    keeper rank."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def md5_bucket(col, n: int, null_sentinel: bool = True) -> "F.Column":
     """Deterministic 0..n-1 bucket of a key column: md5-derived 60-bit
     hash mod ``n`` -- the ONE definition of the reproducible sampling
@@ -562,10 +575,7 @@ def md5_bucket(col, n: int, null_sentinel: bool = True) -> "F.Column":
     c = c.cast("string")
     if null_sentinel:
         c = F.coalesce(c, F.lit("__null__"))
-    return F.pmod(
-        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
-        F.lit(n),
-    )
+    return F.pmod(md5_hash60(c), F.lit(n))
 
 
 def md5_bucket100(col) -> "F.Column":
@@ -876,10 +886,20 @@ def sample_to_token_budget(
     texts count 0 tokens, so both stay in the accounting instead of
     silently corrupting it.
 
+    Tokens are counted with the ``PY_WS_CLASS`` whitespace class -- the
+    kernel's ``text.split()`` convention (full Unicode whitespace), NOT
+    Java's ASCII-leaning ``\\s`` -- so the budget's token totals agree
+    with ``n_words`` on corpora containing NBSP / ideographic space /
+    U+2028 (ADVICE r5: the budget previously split on ``\\s+`` and
+    diverged from ``n_words`` on exactly those).
+
     Returns ``(kept_docs, kept_token_total)``."""
     toks = F.coalesce(
         F.size(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+            F.filter(
+                F.split(F.col(text_col), PY_WS_CLASS + "+"),
+                lambda w: w != "",
+            )
         ),
         F.lit(0),
     )

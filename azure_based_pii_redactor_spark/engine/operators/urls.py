@@ -29,20 +29,26 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _TRACKING_RE = r"(?i)^(utm_\w+|fbclid|gclid|msclkid|ref)(=|$)"
 
 
-def canonical_url(url) -> Column:
-    """Canonical form of a url column/name (see module docstring)."""
-    u = F.col(url) if isinstance(url, str) else url
-    # AUTHORITY, not HOST: Spark's HOST part silently drops the port,
-    # which would collapse distinct origins (example.com:8080 vs
-    # example.com).  Strip userinfo, lowercase, strip www. and the
-    # DEFAULT ports only -- a non-default port stays in the key.
+def collapsed_authority(u: Column) -> Column:
+    """The AUTHORITY-derived host key both ``canonical_url`` and
+    ``cap_per_domain`` collapse on: userinfo stripped, lowercased,
+    leading ``www.`` stripped, DEFAULT ports (:80/:443) stripped -- a
+    non-default port stays, so ``host.example:8080`` remains a distinct
+    origin (Spark's HOST part would silently drop it).  NULL for urls
+    ``try_parse_url`` cannot handle."""
     host = F.lower(
         F.regexp_replace(
             F.try_parse_url(u, F.lit("AUTHORITY")), r"^[^@]*@", ""
         )
     )
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    return F.regexp_replace(host, r":(80|443)$", "")
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a url column/name (see module docstring)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = collapsed_authority(u)
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/+$", "")
     query = F.try_parse_url(u, F.lit("QUERY"))
@@ -97,14 +103,22 @@ def cap_per_domain(pages: DataFrame, max_per_domain: int) -> DataFrame:
     a handful of mega-hosts from dominating the training mix.
 
     Keeper selection is DETERMINISTIC: pages are ranked inside each
-    domain by ``xxhash64(url)`` (url as tie-break), i.e. a reproducible
-    uniform shuffle -- the same pages survive across runs, retries and
-    resumes, with no rand() and no dependence on input order.
+    domain by the md5-derived 60-bit hash of the url (url as
+    tie-break), i.e. a reproducible uniform shuffle -- the same pages
+    survive across runs, retries and resumes, with no rand() and no
+    dependence on input order.  The md5 derivation is the repo's
+    cross-engine-exact hash (``textstats.md5_hash60``), so a DuckDB
+    oracle recomputes the KEEPER SET, not just the capped counts --
+    the corpus-builder funnel relies on this; at 10^12 rows swap for
+    ``xxhash64(url)`` (same plan, faster hash) and lose only the
+    oracle.
 
-    The capping key is the LOWERCASED HOST WITH ``www.`` STRIPPED --
-    the same collapse ``canonical_url`` applies, because a mega-host
-    crawled under both ``www.hot.com`` and ``hot.com`` must share ONE
-    quota, not two (this deliberately differs from
+    The capping key is ``collapsed_authority`` -- EXACTLY the collapse
+    ``canonical_url`` applies (userinfo stripped, lowercased, ``www.``
+    and default :80/:443 stripped, non-default ports KEPT), because a
+    mega-host crawled under both ``www.hot.com`` and ``hot.com`` must
+    share ONE quota while ``hot.com:8080`` remains a separate origin
+    with its own (this deliberately differs from
     ``engine.metrics.with_domain``, which reports hosts as crawled).
     URLs the parser cannot handle are EXEMPT from the cap (keyed by
     their raw url, each its own group): a million odd-but-real pages
@@ -122,12 +136,13 @@ def cap_per_domain(pages: DataFrame, max_per_domain: int) -> DataFrame:
     cap, or compute each hot domain's quota-th smallest hash as an
     exact per-domain threshold -- the hash keeper rule above makes both
     refine THIS operator's semantics rather than replace them."""
-    host = F.regexp_replace(
-        F.lower(F.try_parse_url("url", F.lit("HOST"))), r"^www\.", ""
+    from .textstats import md5_hash60
+
+    key = F.coalesce(
+        collapsed_authority(F.col("url")), F.col("url")  # unparseable: own group
     )
-    key = F.coalesce(host, F.col("url"))  # unparseable: own group
     w = Window.partitionBy("__cap_key").orderBy(
-        F.xxhash64("url"), F.asc("url")
+        md5_hash60(F.col("url")), F.asc("url")
     )
     return (
         pages.withColumn("__cap_key", key)

@@ -22,7 +22,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class BucketTableWriter(Protocol):
-    """Idempotent bucket-partitioned writer (MERGE-equivalent)."""
+    """Idempotent bucket-partitioned writer (MERGE-equivalent).
+
+    A writer MAY additionally expose
+    ``written_buckets(spark, target) -> list[int] | None`` -- the set of
+    ``part_bucket`` partitions its LAST ``overwrite_buckets`` call
+    touched, from the format's own commit metadata.  When present and
+    non-None, ``checkpoint.write_scrub_output`` uses it instead of the
+    in-job ``Observation`` (collect_set over the write pass): observed
+    metrics are VERIFIED to propagate only through the v1 parquet
+    ``DataFrameWriter`` path here; whether they fire through a DSv2
+    ``writeTo().overwritePartitions()`` plan is untestable without
+    Iceberg jars, and an ``obs.get`` that never fires blocks forever.
+    Writers without the method (or returning None) take the Observation
+    path."""
 
     def overwrite_buckets(self, df: DataFrame, target: str) -> None: ...
 
@@ -96,6 +109,36 @@ class IcebergBucketWriter:
 
     def read(self, spark: SparkSession, target: str) -> DataFrame:  # pragma: no cover
         return spark.read.table(target)
+
+    def written_buckets(  # pragma: no cover -- needs Iceberg jars
+        self, spark: SparkSession, target: str
+    ) -> list | None:
+        """Buckets touched by the LAST commit, from Iceberg's own
+        snapshot metadata (the ``entries`` metadata table restricted to
+        the latest snapshot's ADDED manifest entries, status = 1) -- a
+        metadata-only read, snapshot-scoped so partitions left by PRIOR
+        runs over a reused table are never counted (the same
+        stale-partition immunity the Observation gives the parquet
+        path).  Returns None on any metadata-shape surprise so the
+        caller can fall back to a partition-pruned data read rather
+        than trust a wrong set."""
+        try:
+            sid = (
+                spark.sql(
+                    f"SELECT snapshot_id FROM {target}.snapshots"
+                    " ORDER BY committed_at DESC LIMIT 1"
+                ).collect()
+            )
+            if not sid:
+                return []
+            rows = spark.sql(
+                "SELECT DISTINCT data_file.partition.part_bucket AS b"
+                f" FROM {target}.entries"
+                f" WHERE snapshot_id = {int(sid[0][0])} AND status = 1"
+            ).collect()
+            return sorted(int(r.b) for r in rows if r.b is not None)
+        except Exception:
+            return None
 
 
 def _looks_like_path(target: str) -> bool:

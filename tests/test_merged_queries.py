@@ -476,6 +476,13 @@ def test_oracle_rounding_rewrite():
     with _pytest.raises(ValueError, match="unbalanced"):
         drls("round(x, 2")  # truly unbalanced: loud, not mis-split
 
+    # case-insensitivity (ADVICE r5): SQL resolves ROUND( like round(,
+    # so the parity rewrite must too -- an uppercase call silently
+    # skipping the rewrite would reintroduce the boundary-digit flips
+    got = drls("SELECT ROUND(x, 4), Round(avg(y), 2) FROM t")
+    assert got.count("DECIMAL(38,18)") == 2 and "ROUND(" not in got
+    assert drls("BROUND(x, 2)") == "BROUND(x, 2)"  # identifier suffix
+
     # the live registry: every float-rounding oracle went through it
     from azure_based_pii_redactor_spark.engine.operators import all_oracles
 
@@ -641,6 +648,16 @@ def test_sample_to_token_budget(spark):
         docs, 10 * corpus_tokens, n_buckets=100
     )
     assert kept_all.count() == 500 and total_all == corpus_tokens
+
+    # tokenization dialect (ADVICE r5): budget tokens follow the
+    # kernel's Python str.split() convention (PY_WS_CLASS -- full
+    # Unicode whitespace), so NBSP / U+2028 / ideographic-space-joined
+    # words count the same as n_words, not as one ASCII-\s token
+    uni = spark.createDataFrame(
+        [(1, "a b c　d e")], "doc_id long, text string"
+    )
+    _, uni_total = ts.sample_to_token_budget(uni, 10**6, n_buckets=10)
+    assert uni_total == len("a b c　d e".split()) == 5
 
 
 def test_sample_mixture(spark):

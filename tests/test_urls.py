@@ -112,14 +112,20 @@ def test_cap_per_domain(spark):
 
     rows = [(f"https://hot.example/p{i}", i) for i in range(25)]
     rows += [(f"https://www.hot.example/q{i}", 50 + i) for i in range(25)]
+    rows += [(f"https://hot.example:443/r{i}", 200 + i) for i in range(5)]
+    rows += [(f"https://hot.example:8080/s{i}", 300 + i) for i in range(12)]
     rows += [(f"https://small.example/p{i}", 100 + i) for i in range(3)]
     rows += [(f"not a url {i}", 900 + i) for i in range(14)]  # exempt
     pages = spark.createDataFrame(rows, "url string, v long")
 
     capped = cap_per_domain(pages, 10)
     urls = [r.url for r in capped.collect()]
-    # www + bare host share one quota of 10 (not 10 each)
-    assert sum("hot.example" in u for u in urls) == 10
+    # www + bare host + default :443 share ONE quota of 10 (the
+    # collapsed_authority key, same collapse canonical_url applies)...
+    assert sum("hot.example" in u and ":8080" not in u for u in urls) == 10
+    # ...while a NON-default port is a distinct origin with its own
+    # quota (ADVICE r5: the HOST key silently merged ports)
+    assert sum(":8080" in u for u in urls) == 10
     assert sum("small.example" in u for u in urls) == 3
     # unparseable urls are never capped away
     assert sum(u.startswith("not a url") for u in urls) == 14
