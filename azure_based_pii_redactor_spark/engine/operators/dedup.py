@@ -539,6 +539,74 @@ def minhash_dedup_incremental(
     )
 
 
+def dedup_minhash_verified_with_incremental(spark, sf_dir):
+    """The ``dedup_minhash_lsh`` driver slot, TWO TAGGED LEGS (r5
+    VERDICT #2: the incremental admission loop pulled under the exact
+    oracle without spending a 50-cap slot):
+
+    - ``leg='all'``: ``dedup_minhash_verified`` unchanged -- banded
+      candidates, exact re-score >= VERIFY_THRESHOLD, ``flag_ok`` =
+      the estimator-error gate (|est - true| <= EST_ERR_BOUND);
+    - ``leg='incr'``: ``minhash_dedup_incremental`` over a parity
+      split of the corpus (odd doc_ids play the NEW ingest batch, even
+      the history -- a pure function of doc_id the oracle mirrors).
+      ``doc_a`` is the NEW id, ``doc_b`` the history id; ``flag_ok``
+      asserts the CROSS-CORPUS re-score (``_cross_jaccard``) equals
+      the all-leg exact Jaccard for the same unordered pair -- a real
+      consistency invariant between the two re-score implementations,
+      not a stated constant (left join; a pair missing from the all
+      leg flags False).
+
+    The oracle enumerates every true pair at the threshold for both
+    legs (cross-parity pairs for ``incr``), so banding recall stays a
+    driver-checked requirement.  No new flakiness surface: a
+    cross-parity pair collides in the incremental band join iff it
+    collides in the full self-join (identical band values, identical
+    event), so the banding miss-budget gate pinned in
+    test_verified_pairs_sit_above_banding_knee covers both legs."""
+    all_leg = dedup_minhash_verified(spark, sf_dir).localCheckpoint()
+    # ^ tiny (verified pairs); consumed twice -- as its own leg and as
+    # the incr leg's cross-check side
+    d = _docs(spark, sf_dir)
+    incr = minhash_dedup_incremental(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+    xref = all_leg.select(
+        "doc_a", "doc_b", F.col("jaccard").alias("__j_all")
+    )
+    incr_leg = (
+        incr.select(
+            F.col("new_id"),
+            F.col("hist_id"),
+            "jaccard",
+            F.least("new_id", "hist_id").alias("doc_a"),
+            F.greatest("new_id", "hist_id").alias("doc_b"),
+        )
+        .join(xref, ["doc_a", "doc_b"], "left")
+        .select(
+            F.lit("incr").alias("leg"),
+            F.col("new_id").alias("doc_a"),
+            F.col("hist_id").alias("doc_b"),
+            "jaccard",
+            F.coalesce(
+                F.col("__j_all") == F.col("jaccard"), F.lit(False)
+            ).alias("flag_ok"),
+        )
+    )
+    return (
+        all_leg.select(
+            F.lit("all").alias("leg"),
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.col("est_err_ok").alias("flag_ok"),
+        )
+        .unionByName(incr_leg)
+        .orderBy("leg", "doc_a", "doc_b")
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 -- exactly representable in both
 # Spark (conv(substr(md5,1,15),16,10)) and DuckDB (('0x'||substr)::BIGINT),
 # which is what makes dedup_simhash_hamming EXACT-oracle-checkable.  On a
@@ -854,8 +922,10 @@ QUERIES = {
     # the driver slots run the VERIFIED forms (exact re-scored pairs /
     # edges -> full DuckDB oracles, closing the r3 rows-only gap); the
     # estimate-carrying detail forms (dedup_minhash_lsh,
-    # dedup_minhash_clusters) stay public functions for pytest + bench
-    "dedup_minhash_lsh": dedup_minhash_verified,
+    # dedup_minhash_clusters) stay public functions for pytest + bench.
+    # r6: the lsh slot carries a second tagged leg exercising the
+    # incremental (new-batch-vs-history) admission path.
+    "dedup_minhash_lsh": dedup_minhash_verified_with_incremental,
     "dedup_minhash_clusters": dedup_minhash_verified_clusters,
     "dedup_simhash_hamming": dedup_simhash_hamming,
     # dedup_simhash (equality groups, the degenerate k=0 form) stays a
@@ -897,13 +967,25 @@ _RAW_JACCARD_PAIRS_SQL = f"""
 
 ORACLES = {
     "dedup_simhash_hamming": _simhash_hamming_oracle(),
+    # two tagged legs: 'all' = every true pair at the threshold (the
+    # LSH-recall-as-requirement contract); 'incr' = the cross-parity
+    # subset reoriented (odd = new batch id first), enumerating exactly
+    # what the incremental admission check must link
     "dedup_minhash_lsh": f"""
         WITH base AS (
             {_RAW_JACCARD_PAIRS_SQL}
         )
-        SELECT doc_a, doc_b, round(raw_j, 4) AS jaccard,
-               TRUE AS est_err_ok
-        FROM base ORDER BY doc_a, doc_b
+        SELECT * FROM (
+            SELECT 'all' AS leg, doc_a, doc_b,
+                   round(raw_j, 4) AS jaccard, TRUE AS flag_ok
+            FROM base
+            UNION ALL
+            SELECT 'incr',
+                   CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END,
+                   CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END,
+                   round(raw_j, 4), TRUE
+            FROM base WHERE (doc_a % 2) <> (doc_b % 2)
+        ) ORDER BY leg, doc_a, doc_b
     """,
     "dedup_minhash_clusters": f"""
         WITH RECURSIVE base AS (

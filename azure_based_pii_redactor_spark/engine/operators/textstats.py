@@ -636,6 +636,62 @@ def sample_stratified_deterministic(spark, sf_dir, pct: int = SAMPLE_PCT):
     )
 
 
+MIXTURE_DENOM = 1_000_000  # mixture-rate granularity: 1e-6 (a 0.4%
+# common-crawl downweight or a 0.0001 contamination trickle both
+# survive quantization; percent granularity would zero them out)
+
+MIXTURE_WEIGHTS = {"en": 0.5, "de": 1.0, "es": 0.04, "zh": 0.004}
+# the mixture leg's per-source keep fractions, chosen to exercise every
+# interesting regime on the shipped corpus: full keep (de), half (en),
+# a few-percent downweight (es), a SUB-percent rate that percent
+# granularity would quantize to zero (zh), and an OMITTED source (fr --
+# explicit mixes drop unlisted sources).  Interpolated into the oracle
+# as a CASE at MIXTURE_DENOM granularity -- one knob.
+
+
+def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
+    """The ``sample_stratified_deterministic`` driver slot, TWO TAGGED
+    LEGS (r5 VERDICT #3: mixture sampling pulled under the exact oracle
+    without a new 50-cap slot):
+
+    - ``leg='strat'``: ``sample_stratified_deterministic`` unchanged
+      (uniform md5-bucket pct% keep, per-language kept counts + sorted
+      id lists);
+    - ``leg='mix'``: ``sample_mixture`` with ``MIXTURE_WEIGHTS`` keyed
+      on ``lang`` as the source column -- each language kept at its own
+      deterministic rate (the CASE-in-scan-projection form), same
+      per-language rollup.  A language kept at rate 0 in a small
+      corpus simply has no row, identically on both engines.
+
+    Both legs are pure functions of doc_id, so the DuckDB oracle
+    recomputes the exact kept-id lists for each."""
+    d = _docs(spark, sf_dir)
+
+    def rollup(kept, leg):
+        return (
+            kept.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list("doc_id"))
+                ).alias("kept_ids"),
+            )
+            .select(F.lit(leg).alias("leg"), "lang", "n_kept", "kept_ids")
+        )
+
+    strat = d.withColumn(
+        "__b", md5_bucket100(F.col("doc_id").cast("string"))
+    ).filter(F.col("__b") < pct)
+    mix = sample_mixture(
+        d, MIXTURE_WEIGHTS, source_col="lang", key_col="doc_id"
+    )
+    return (
+        rollup(strat, "strat")
+        .unionByName(rollup(mix, "mix"))
+        .orderBy("leg", "lang")
+    )
+
+
 QUERIES = {
     "text_tfidf_top": text_tfidf_top,
     "text_dup_passages": text_dup_passages,
@@ -644,7 +700,9 @@ QUERIES = {
     "text_doc_features": text_doc_features,
     "text_dedup_passage_removal": text_dedup_passage_removal,
     "text_decontaminate": text_decontaminate,
-    "sample_stratified_deterministic": sample_stratified_deterministic,
+    # r6: the stratified slot carries a second tagged leg exercising
+    # per-source mixture sampling (sample_mixture) under the same oracle
+    "sample_stratified_deterministic": sample_stratified_with_mixture,
     # scalar_line_split's F6 semantics (size(split(text,' '))) are the
     # n_words column of text_doc_features, oracle-checked there; its
     # standalone slot was freed for the passage-removal op.
@@ -732,15 +790,33 @@ ORACLES = {
              LEFT JOIN sp ON w.doc_id = sp.doc_id
         ORDER BY w.doc_id
     """,
+    # both legs are generated from the SAME constants the Spark query
+    # uses (SAMPLE_PCT; MIXTURE_WEIGHTS quantized at MIXTURE_DENOM, the
+    # exact thresholds sample_mixture compiles into its CASE)
     "sample_stratified_deterministic": f"""
-        WITH kept AS (
+        WITH strat AS (
             SELECT lang, doc_id FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
                   % 100 < {SAMPLE_PCT}
+        ), mix AS (
+            SELECT lang, doc_id FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % {MIXTURE_DENOM} <
+                  CASE lang {' '.join(
+                      f"WHEN '{s}' THEN {int(round(w * MIXTURE_DENOM))}"
+                      for s, w in MIXTURE_WEIGHTS.items())}
+                  ELSE 0 END
         )
-        SELECT lang, count(*) AS n_kept,
-               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS kept_ids
-        FROM kept GROUP BY lang ORDER BY lang
+        SELECT * FROM (
+            SELECT 'strat' AS leg, lang, count(*) AS n_kept,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                       AS kept_ids
+            FROM strat GROUP BY lang
+            UNION ALL
+            SELECT 'mix', lang, count(*),
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+            FROM mix GROUP BY lang
+        ) ORDER BY leg, lang
     """,
     "text_dup_passages": f"""
         WITH w AS (
@@ -919,11 +995,6 @@ def sample_to_token_budget(
         cutoff = r["__b"]
     kept = with_b.filter(F.col("__b") <= cutoff).drop("__b")
     return kept, total
-
-
-MIXTURE_DENOM = 1_000_000  # mixture-rate granularity: 1e-6 (a 0.4%
-# common-crawl downweight or a 0.0001 contamination trickle both
-# survive quantization; percent granularity would zero them out)
 
 
 def sample_mixture(

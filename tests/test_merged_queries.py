@@ -700,3 +700,64 @@ def test_sample_mixture(spark):
 
     with _pytest.raises(ValueError, match="keep fractions"):
         ts.sample_mixture(docs, {"src0": 1.5})
+
+
+def test_lsh_slot_legs_match_parts(spark):
+    """The r6 two-leg dedup_minhash_lsh driver slot: leg='all' is
+    byte-for-byte dedup_minhash_verified; leg='incr' is the incremental
+    admission check over the parity split, every cross-check flag true
+    (cross-corpus re-score == global re-score), and its pair set is
+    exactly the cross-parity subset of the verified pairs."""
+    from pyspark.sql import functions as F
+
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+
+    merged = _pdf(dd.dedup_minhash_verified_with_incremental(spark, SF))
+    all_leg = merged[merged.leg == "all"].drop(columns="leg")
+    part = _pdf(dd.dedup_minhash_verified(spark, SF)).rename(
+        columns={"est_err_ok": "flag_ok"}
+    )
+    pd.testing.assert_frame_equal(
+        all_leg.reset_index(drop=True), part, check_dtype=False
+    )
+    incr = merged[merged.leg == "incr"]
+    assert incr.flag_ok.all()
+    got_pairs = {
+        (min(a, b), max(a, b)) for a, b in zip(incr.doc_a, incr.doc_b)
+    }
+    want = {
+        (a, b)
+        for a, b in zip(part.doc_a, part.doc_b)
+        if (a % 2) != (b % 2)
+    }
+    assert got_pairs == want
+    # new-batch id (odd) leads in every incr row
+    assert all(a % 2 == 1 and b % 2 == 0
+               for a, b in zip(incr.doc_a, incr.doc_b))
+
+
+def test_stratified_slot_legs_match_parts(spark):
+    """The r6 two-leg sample_stratified_deterministic driver slot:
+    leg='strat' equals the single-purpose stratified sampler; leg='mix'
+    equals sample_mixture(MIXTURE_WEIGHTS) rolled up per language, with
+    the omitted source (fr) absent and the sub-percent source kept at
+    its exact md5-rule count."""
+    from pyspark.sql import functions as F
+
+    merged = _pdf(ts.sample_stratified_with_mixture(spark, SF))
+    strat_leg = merged[merged.leg == "strat"].drop(columns="leg")
+    part = _pdf(ts.sample_stratified_deterministic(spark, SF))
+    pd.testing.assert_frame_equal(
+        strat_leg.reset_index(drop=True), part, check_dtype=False
+    )
+    mix = merged[merged.leg == "mix"].set_index("lang")
+    assert "fr" not in mix.index  # unlisted source dropped
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    expect = _pdf(
+        ts.sample_mixture(
+            docs, ts.MIXTURE_WEIGHTS, source_col="lang", key_col="doc_id"
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    ).set_index("lang")
+    assert mix["n_kept"].to_dict() == expect["n_kept"].to_dict()
