@@ -199,3 +199,67 @@ def build_training_corpus(
         report["kept_tokens"] = kept_tokens
 
     return kept, report
+
+
+def admit_batch(
+    new_docs: DataFrame,
+    history_docs: DataFrame,
+    history_bands: DataFrame | None = None,
+    threshold: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One call of the day-over-day crawl-admission loop (VERDICT r5
+    #7): near-dup-check ``new_docs`` (doc_id, text) against the history
+    corpus and return ``(admitted_docs, admitted_bands)`` --
+
+    - ``admitted_docs``: the rows of ``new_docs`` that link to NO
+      history document at ``threshold`` (exact cross-corpus shingle
+      Jaccard over banded MinHash candidates,
+      ``dedup.minhash_dedup_incremental``);
+    - ``admitted_bands``: the (doc_id, band, bucket) LSH band-table
+      rows of exactly those admitted docs -- the increment a production
+      pipeline APPENDS to its persisted band store, so tomorrow's call
+      passes the store as ``history_bands`` and history is NEVER
+      re-shingled (each admitted doc's signature is computed once, on
+      admission; the caller appends admitted_docs to the history text
+      store the same way).
+
+    Scale shape: the new batch's bands broadcast against the history
+    band table (history streams unshuffled off its scan); history TEXTS
+    are read only for the candidate ids the re-score needs.  With
+    ``history_bands=None`` the band table is derived from
+    ``history_docs`` (self-contained form -- re-shingles history every
+    call; fine for tests, wrong for 10^12 docs).
+
+    Intra-batch duplicates are the caller's stage (url/exact dedup or
+    ``dedup_minhash_verified_clusters`` BEFORE admission, as
+    ``build_training_corpus`` orders them): two copies arriving in one
+    batch both pass the against-history check by design.
+
+    Compose with ``build_training_corpus`` by running the admitted
+    frame through it (the funnel's own stages operate intra-corpus)::
+
+        admitted, bands = admit_batch(day_n, history, history_bands=hb)
+        corpus, report = build_training_corpus(as_pages(admitted), ...)
+        # then append `bands` to the band store and `admitted` to the
+        # history text store
+    """
+    from .operators.dedup import (
+        VERIFY_THRESHOLD,
+        _band_hashes,
+        _signatures_for,
+        minhash_dedup_incremental,
+    )
+
+    if threshold is None:
+        threshold = VERIFY_THRESHOLD
+    links = minhash_dedup_incremental(
+        new_docs, history_docs, threshold, history_bands
+    )
+    dup_ids = links.select(
+        F.col("new_id").alias("doc_id")
+    ).distinct()
+    admitted = new_docs.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+    admitted_bands = _band_hashes(
+        _signatures_for(admitted.select("doc_id", "text"))
+    )
+    return admitted, admitted_bands

@@ -186,3 +186,70 @@ def test_optional_domain_cap_and_token_budget_stages(spark):
     _, plain = build_training_corpus(pages, quality_filter=False)
     assert "after_domain_cap" not in plain
     assert "after_token_budget" not in plain and "kept_tokens" not in plain
+
+
+def test_admit_batch_day_over_day(spark, tmp_path):
+    """corpus.admit_batch: the one-call admission loop.  Day 1 admits
+    against seed history (re-fetch and near-dup rejected, novel doc
+    admitted), returns the band-table INCREMENT for exactly the
+    admitted docs; appending it to the band store makes day 2 reject a
+    near-dup OF A DAY-1 ADMISSION without ever re-shingling history --
+    plan-pinned: the candidate stage scans the persisted band store,
+    never the history documents' text."""
+    from azure_based_pii_redactor_spark.engine.corpus import admit_batch
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet village green and children play games")
+    hist_rows = [(i, f"{base} variant{i} tail{i} words{i}")
+                 for i in range(8)]
+    novel = ("completely different content about ships and harbors "
+             "and tides and the long journey across the cold sea")
+    hist_p = str(tmp_path / "histdocs")
+    band_p = str(tmp_path / "bandstore")
+    spark.createDataFrame(
+        hist_rows, "doc_id long, text string"
+    ).write.parquet(hist_p)
+    history = spark.read.parquet(hist_p)
+    dd._band_hashes(dd._signatures_for(history)).write.parquet(band_p)
+    bands = spark.read.parquet(band_p)
+
+    day1 = spark.createDataFrame(
+        [(100, hist_rows[3][1]),                   # re-fetch: reject
+         (101, f"{base} variant5 tail5 CHANGED"),  # near-dup: reject
+         (102, novel)],                            # novel: admit
+        "doc_id long, text string",
+    )
+    admitted, inc_bands = admit_batch(day1, history, history_bands=bands)
+    assert [r.doc_id for r in admitted.collect()] == [102]
+    # the increment covers exactly the admitted docs, BANDS rows each
+    inc = inc_bands.collect()
+    assert {r.doc_id for r in inc} == {102}
+    assert len(inc) == dd.BANDS
+
+    # never-re-shingles pin: the candidate stage's executed plan holds
+    # exactly ONE shingle stage (the NEW batch -- re-shingling history
+    # would add a second) and the history side is a bare parquet
+    # FileScan of the band store (path strings truncate in plan
+    # rendering, so pin the operators, not the path)
+    cand = dd._incremental_candidates(
+        bands, dd._band_hashes(dd._signatures_for(day1))
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode(array_distinct(transform") == 1
+    assert "FileScan parquet" in plan
+
+    # day 2: append the increment, then a near-dup of day-1's ADMITTED
+    # doc must now be rejected, and a fresh doc admitted
+    inc_bands.write.mode("append").parquet(band_p)
+    history2 = history.unionByName(admitted)
+    bands2 = spark.read.parquet(band_p)
+    day2 = spark.createDataFrame(
+        [(200, novel + " slight change"),          # near-dup of 102
+         (201, "figures on the hillside counting stars before the "
+               "storm arrives and the lanterns are lit one by one")],
+        "doc_id long, text string",
+    )
+    admitted2, inc2 = admit_batch(day2, history2, history_bands=bands2)
+    assert [r.doc_id for r in admitted2.collect()] == [201]
+    assert {r.doc_id for r in inc2.collect()} == {201}
