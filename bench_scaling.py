@@ -88,6 +88,10 @@ def _write_skew_corpora(spark) -> dict[str, str]:
       50k docs -- the hot-passage shape of boilerplate at web scale);
     - pages: unique urls; the skewed twin gives every 5th row the SAME
       url (10^4 re-fetches of one hot page);
+    - cappages: ~10 pages per domain; the skewed twin routes every 5th
+      row to ONE mega-host under DISTINCT paths (10^4 pages on one
+      domain -- the single-window-partition shape cap_per_domain's rank
+      sort must absorb linearly, VERDICT r5 #6);
     - events: 5 uniform types; the skewed twin routes 90% of rows to
       one hot type (the zipfian-domain shape).
     """
@@ -102,7 +106,11 @@ def _write_skew_corpora(spark) -> dict[str, str]:
         # guard on the LAST write's _SUCCESS marker, not directory
         # existence -- an interrupted run leaves partial parquet dirs
         # that a bare exists() check would silently benchmark
-        if os.path.exists(os.path.join(d, "events.parquet", "_SUCCESS")):
+        if os.path.exists(
+            os.path.join(d, "events.parquet", "_SUCCESS")
+        ) and os.path.exists(
+            os.path.join(d, "cappages.parquet", "_SUCCESS")
+        ):
             continue
         shutil.rmtree(d, ignore_errors=True)
         base = spark.range(SKEW_DOCS, numPartitions=64)
@@ -147,6 +155,28 @@ def _write_skew_corpora(spark) -> dict[str, str]:
             F.lit(None).cast("string").alias("text"),
             F.lit("en").alias("lang"),
         ).write.mode("overwrite").parquet(os.path.join(d, "pages.parquet"))
+        # cappages: the domain-cap skew shape -- DISTINCT paths so the
+        # hot domain is a real mega-host (10^4-row window partition),
+        # not 10^4 copies of one url
+        cap_url = F.concat(
+            F.lit("https://u"),
+            F.pmod(F.col("id"), F.lit(SKEW_DOCS // 10)),
+            F.lit(".example/p"),
+            F.col("id"),
+        )
+        if variant == "skewed":
+            cap_url = F.when(
+                F.col("id") % 5 == 0,
+                F.concat(F.lit("https://hot.example/p"), F.col("id")),
+            ).otherwise(cap_url)
+        base.select(
+            cap_url.alias("url"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id"))
+            .alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "cappages.parquet")
+        )
         ev = spark.range(SKEW_EVENTS, numPartitions=64)
         etype = (
             F.when(
@@ -206,6 +236,18 @@ def _skew_sweep() -> list[tuple[str, float, float]]:
                 lambda: dedup.dedup_minhash_verified(spark, d),
             "dedup_simhash_hamming":
                 lambda: dedup.dedup_simhash_hamming(spark, d),
+            # the single-rank-window domain cap (VERDICT r5 #6): the
+            # skewed twin's 10^4-page mega-host lands in ONE window
+            # partition; the ratio tells whether the streaming
+            # row_number sort stays linear or the two-phase
+            # broadcast-threshold variant (urls.py docstring) is needed
+            "cap_per_domain":
+                lambda: urls.cap_per_domain(
+                    spark.read.parquet(
+                        os.path.join(d, "cappages.parquet")
+                    ),
+                    10,
+                ),
         }
 
     # warm-up on the uniform corpus, untimed (codegen + python workers)
@@ -317,7 +359,9 @@ def main() -> None:
             "operators (window/agg ops AND the banded dedup joins):\n"
             "one 8-word passage duplicated across\n"
             f"every 5th of {SKEW_DOCS:,} docs (10^4 hot-passage copies),\n"
-            f"one url re-fetched by every 5th of {SKEW_DOCS:,} pages, and\n"
+            f"one url re-fetched by every 5th of {SKEW_DOCS:,} pages,\n"
+            f"one mega-host holding every 5th of {SKEW_DOCS:,} pages\n"
+            "under distinct paths (the domain-cap shape), and\n"
             f"90% of {SKEW_EVENTS:,} events on one hot key.  Best-of-2\n"
             "per cell; the ratio is the skew cost -- a quadratic\n"
             "blow-up (hot-shingle self-join, unguarded window fan-out)\n"
@@ -346,7 +390,12 @@ def main() -> None:
             "share only ~8 of ~48 words, j~0.09, band-collision\n"
             "probability ~5e-4); simhash's Manku block join runs over\n"
             "DISTINCT hashes, and the 40 random words per doc keep\n"
-            "hashes distinct regardless of the shared passage.\n"
+            "hashes distinct regardless of the shared passage;\n"
+            "cap_per_domain's mega-host lands in ONE rank-window\n"
+            "partition whose streaming row_number sort is linear in\n"
+            "the hot domain's pages (the documented two-phase\n"
+            "broadcast-threshold variant stays unimplemented while\n"
+            "this ratio holds near 1x).\n"
         )
     result = {
         "metric": "scaling_efficiency",
