@@ -219,9 +219,11 @@ def admit_batch(
       rows of exactly those admitted docs -- the increment a production
       pipeline APPENDS to its persisted band store, so tomorrow's call
       passes the store as ``history_bands`` and history is NEVER
-      re-shingled (each admitted doc's signature is computed once, on
-      admission; the caller appends admitted_docs to the history text
-      store the same way).
+      re-shingled.  The batch's band table is computed ONCE
+      (materialized, fed to both the candidate join and this
+      increment via an anti-join on the rejected ids -- the batch is
+      never shingled twice); the caller appends admitted_docs to the
+      history text store the same way.
 
     Scale shape: the new batch's bands broadcast against the history
     band table (history streams unshuffled off its scan); history TEXTS
@@ -252,14 +254,22 @@ def admit_batch(
 
     if threshold is None:
         threshold = VERIFY_THRESHOLD
+    # the batch's band table, computed ONCE: localCheckpoint because it
+    # feeds both the candidate join inside the incremental check and
+    # the admitted-band increment below (bounded: BANDS rows per batch
+    # doc) -- recomputing it from text would shingle the batch twice
+    new_bands = _band_hashes(
+        _signatures_for(new_docs.select("doc_id", "text"))
+    ).localCheckpoint()
     links = minhash_dedup_incremental(
-        new_docs, history_docs, threshold, history_bands
+        new_docs, history_docs, threshold, history_bands,
+        new_bands=new_bands,
     )
     dup_ids = links.select(
         F.col("new_id").alias("doc_id")
     ).distinct()
     admitted = new_docs.join(F.broadcast(dup_ids), "doc_id", "left_anti")
-    admitted_bands = _band_hashes(
-        _signatures_for(admitted.select("doc_id", "text"))
+    admitted_bands = new_bands.join(
+        F.broadcast(dup_ids), "doc_id", "left_anti"
     )
     return admitted, admitted_bands

@@ -487,6 +487,7 @@ def minhash_dedup_incremental(
     history_docs: DataFrame,
     threshold: float = VERIFY_THRESHOLD,
     history_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup check of a NEW ingest batch against a LARGE history
     corpus -- the day-over-day crawl-admission loop at 10^12-doc scale,
@@ -508,6 +509,12 @@ def minhash_dedup_incremental(
     omitted, the band table is derived from ``history_docs``
     (self-contained form; re-shingles history every call).
 
+    ``new_bands``: the new batch's own precomputed band table, for
+    callers that need it for more than this call (``corpus.admit_batch``
+    derives the admitted docs' band increment from it) -- passing it
+    avoids shingling the batch twice.  When omitted, derived from
+    ``new_docs``.
+
     Overlapping ``doc_id`` values across the two frames are handled
     correctly (a re-fetch under the same id links to itself at 1.0).
     Intra-batch duplicates are OUT of scope by design: two copies
@@ -526,8 +533,13 @@ def minhash_dedup_incremental(
         if history_bands is not None
         else _band_hashes(_signatures_for(hist_d))
     )
+    bands_new = (
+        new_bands
+        if new_bands is not None
+        else _band_hashes(_signatures_for(new_d))
+    )
     cand = _incremental_candidates(
-        bands_hist, _band_hashes(_signatures_for(new_d))
+        bands_hist, bands_new
     ).localCheckpoint()  # tiny; consumed by two semi-joins, the
     # completing join, and the final result
     truth = _cross_jaccard(cand, new_d, hist_d)

@@ -664,32 +664,29 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
       corpus simply has no row, identically on both engines.
 
     Both legs are pure functions of doc_id, so the DuckDB oracle
-    recomputes the exact kept-id lists for each."""
-    d = _docs(spark, sf_dir)
-
-    def rollup(kept, leg):
-        return (
-            kept.groupBy("lang")
-            .agg(
-                F.count("*").alias("n_kept"),
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list("doc_id"))
-                ).alias("kept_ids"),
-            )
-            .select(F.lit(leg).alias("leg"), "lang", "n_kept", "kept_ids")
+    recomputes the exact kept-id lists for each.  The strat leg IS
+    ``sample_stratified_deterministic`` by construction (called, not
+    re-implemented -- an edit to the single-purpose sampler's keep rule
+    cannot silently diverge the driver slot); the mix leg applies the
+    same rollup to the mixture selection."""
+    strat = sample_stratified_deterministic(spark, sf_dir, pct).select(
+        F.lit("strat").alias("leg"), "lang", "n_kept", "kept_ids"
+    )
+    mix = (
+        sample_mixture(
+            _docs(spark, sf_dir), MIXTURE_WEIGHTS,
+            source_col="lang", key_col="doc_id",
         )
-
-    strat = d.withColumn(
-        "__b", md5_bucket100(F.col("doc_id").cast("string"))
-    ).filter(F.col("__b") < pct)
-    mix = sample_mixture(
-        d, MIXTURE_WEIGHTS, source_col="lang", key_col="doc_id"
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("kept_ids"),
+        )
+        .select(F.lit("mix").alias("leg"), "lang", "n_kept", "kept_ids")
     )
-    return (
-        rollup(strat, "strat")
-        .unionByName(rollup(mix, "mix"))
-        .orderBy("leg", "lang")
-    )
+    return strat.unionByName(mix).orderBy("leg", "lang")
 
 
 QUERIES = {

@@ -98,6 +98,11 @@ class IcebergBucketWriter:
         self.spark = spark
 
     def overwrite_buckets(self, df: DataFrame, target: str) -> None:  # pragma: no cover
+        # snapshot ids BEFORE the commit: written_buckets attributes to
+        # THIS write only the snapshots its own commit added (querying
+        # 'latest snapshot' after the fact would attribute a concurrent
+        # writer's or maintenance job's commit to this run -- review r6)
+        self._pre_snapshots = self._snapshot_ids(target)
         # bootstrap: the first run of a new target has no table to
         # overwrite into -- create it partitioned on the bucket column
         # (the parquet writer creates its directory implicitly; without
@@ -107,34 +112,57 @@ class IcebergBucketWriter:
             return
         df.writeTo(target).overwritePartitions()
 
+    def _snapshot_ids(self, target: str) -> set | None:  # pragma: no cover
+        try:
+            if not self.spark.catalog.tableExists(target):
+                return set()
+            return {
+                int(r.snapshot_id)
+                for r in self.spark.sql(
+                    f"SELECT snapshot_id FROM {target}.snapshots"
+                ).collect()
+            }
+        except Exception:
+            return None
+
     def read(self, spark: SparkSession, target: str) -> DataFrame:  # pragma: no cover
         return spark.read.table(target)
 
     def written_buckets(  # pragma: no cover -- needs Iceberg jars
         self, spark: SparkSession, target: str
     ) -> list | None:
-        """Buckets touched by the LAST commit, from Iceberg's own
-        snapshot metadata (the ``entries`` metadata table restricted to
-        the latest snapshot's ADDED manifest entries, status = 1) -- a
-        metadata-only read, snapshot-scoped so partitions left by PRIOR
+        """Buckets touched by THIS writer's own ``overwrite_buckets``
+        commit, from Iceberg snapshot metadata: the ``entries``
+        metadata table restricted to the ADDED manifest entries
+        (status = 1) of the snapshots that appeared AFTER the
+        snapshot-id set captured immediately before the commit -- a
+        metadata-only read, delta-scoped so partitions left by PRIOR
         runs over a reused table are never counted (the same
         stale-partition immunity the Observation gives the parquet
-        path).  Returns None on any metadata-shape surprise so the
-        caller can fall back to a partition-pruned data read rather
-        than trust a wrong set."""
+        path), and never misattributed to a snapshot that merely
+        happens to be latest.  A write that produced no rows adds no
+        snapshot and correctly yields the empty set.  CONTRACT: one
+        writer per table at a time, matching ``run_checkpointed``'s
+        one-run-per-path contract -- a concurrent foreign commit
+        landing inside this write's pre/post window would be included
+        in the delta, so multi-writer tables must use the Observation
+        or data-read path instead.  Returns None on any metadata-shape
+        surprise (including a failed pre-commit snapshot capture) so
+        the caller falls back rather than trust a wrong set."""
+        pre = getattr(self, "_pre_snapshots", None)
+        post = self._snapshot_ids(target)
+        if pre is None or post is None:
+            return None
+        new_ids = post - pre
+        if not new_ids:
+            return []  # empty write: no snapshot, no buckets
         try:
-            sid = (
-                spark.sql(
-                    f"SELECT snapshot_id FROM {target}.snapshots"
-                    " ORDER BY committed_at DESC LIMIT 1"
-                ).collect()
-            )
-            if not sid:
-                return []
             rows = spark.sql(
                 "SELECT DISTINCT data_file.partition.part_bucket AS b"
                 f" FROM {target}.entries"
-                f" WHERE snapshot_id = {int(sid[0][0])} AND status = 1"
+                f" WHERE snapshot_id IN"
+                f" ({', '.join(str(i) for i in sorted(new_ids))})"
+                " AND status = 1"
             ).collect()
             return sorted(int(r.b) for r in rows if r.b is not None)
         except Exception:
