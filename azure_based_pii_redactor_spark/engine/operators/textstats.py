@@ -545,6 +545,145 @@ def decontaminate(
     )
 
 
+BLOOM_K = 5  # bloom probe count; with m sized by _bloom_m_bits the
+# configured fpp holds at k=5 (fewer probes than the information-
+# theoretic optimum trades a slightly larger m for fewer hash evals per
+# window on the 10^12-row training side)
+_BLOOM_SEED = 0x51AB  # xxhash64 seed base for the k probe functions
+
+
+def _bloom_m_bits(n_items: int, fpp: float) -> int:
+    """Filter size (bits, multiple of 64, >= 64) so a k=BLOOM_K bloom
+    holds ``n_items`` at false-positive rate ``fpp``:
+    solve fpp = (1 - e^(-k*n/m))^k for m."""
+    import math
+
+    if n_items <= 0:
+        return 64
+    m = -BLOOM_K * n_items / math.log(1.0 - fpp ** (1.0 / BLOOM_K))
+    return max(64, (int(m) + 63) // 64 * 64)
+
+
+def _bloom_positions(col, m: int):
+    """The k probe bit-positions of a (string) column: independent
+    seeded xxhash64 values mod m -- all JVM-side."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(_BLOOM_SEED + i)), F.lit(m))
+        for i in range(BLOOM_K)
+    ]
+
+
+def build_window_bloom(
+    docs, n: int = WINDOW_N, text_col: str = "text", fpp: float = 1e-3
+) -> tuple[list, int]:
+    """Aggregate the DISTINCT n-word windows of ``docs`` into a Bloom
+    filter, returned as ``(words, m)`` -- a python list of ``m // 64``
+    int64 bit-words.  ONE aggregation builds it: window explode ->
+    k probe positions -> per-64-bit-word ``bit_or`` -- and the driver
+    collect is bounded by ``m // 64`` rows, a function of the CHOSEN
+    capacity, never of the eval corpus size (the property that makes
+    this the scale path: a 10^9-window eval suite at fpp 1e-3 is a
+    ~2 GB filter regardless of how its windows are distributed)."""
+    wins = (
+        docs.withColumn("__words", F.split(F.col(text_col), " "))
+        .select(F.explode(_word_windows(n)).alias("win"))
+        .distinct()
+    )
+    n_wins = wins.count()
+    m = _bloom_m_bits(n_wins, fpp)
+    pos = F.explode(F.array(*_bloom_positions(F.col("win"), m)))
+    rows = (
+        wins.select(pos.alias("p"))
+        .select(
+            F.shiftrightunsigned("p", 6).alias("w"),
+            # F.shiftleft only takes a literal shift; the by-column
+            # form exists in SQL
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()  # <= m // 64 tiny rows (bounded by capacity)
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r.w] = r.bits
+    return words, m
+
+
+MAX_BLOOM_LITERAL_WORDS = 1 << 13  # 8192 words = 512 Kbit filter
+# (~36k eval windows at fpp 1e-3): above this, embedding the filter as
+# a plan literal bloats codegen -- see decontaminate_bloom's docstring
+# for the broadcast-join escape at larger capacities
+
+
+def decontaminate_bloom(
+    train_docs,
+    eval_docs,
+    n: int = WINDOW_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 1e-3,
+):
+    """Benchmark decontamination, BLOOM-FILTER form -- the scale path
+    when the eval suite's distinct-window set is too large to broadcast
+    as an exact semi-join set (the GPT-3 appendix / Pile procedure used
+    bloom filters for exactly this).  Flags every training doc with at
+    least one window the filter claims eval membership for, returning
+    ``(doc_id, n_flagged_windows)`` like ``decontaminate``.
+
+    Guarantees: NO false negatives (every exactly-contaminated window
+    is flagged -- bloom filters cannot miss an inserted element), so
+    the flagged set is a SUPERSET of ``decontaminate``'s; false
+    positives at rate ``fpp`` OVER-drop, the safe direction for
+    decontamination (a clean doc is discarded, never a contaminated
+    doc kept).
+
+    Plan shape: the filter's bit-words embed as an array<long> LITERAL
+    in the scan projection, so the probe -- k seeded xxhash64 mods, an
+    element_at and a bitwiseAND per probe -- is pure JVM codegen over
+    the training windows: no UDF, no join, no shuffle on the training
+    side (the window rollup aggregates per doc as the exact form does).
+    The literal form is capped at MAX_BLOOM_LITERAL_WORDS (512 Kbit);
+    for the 10^9-window regime, store the (word_idx, bits) rows AS A
+    TABLE instead and probe with k broadcast hash joins on
+    ``shiftrightunsigned(pos, 6)`` -- same arithmetic, filter size
+    bounded by executor memory rather than plan size.  Raising
+    ``fpp`` shrinks the filter linearly if over-dropping is cheap."""
+    words, m = build_window_bloom(eval_docs, n, text_col, fpp)
+    if len(words) > MAX_BLOOM_LITERAL_WORDS:
+        raise ValueError(
+            f"bloom filter is {len(words)} words (> "
+            f"{MAX_BLOOM_LITERAL_WORDS}): too large to embed as a plan "
+            "literal -- use the (word_idx, bits) table + broadcast-join "
+            "probe described in the docstring for this capacity"
+        )
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    t = (
+        train_docs.withColumn("__words", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(_word_windows(n)).alias("win"))
+        .withColumn("__bf", arr)
+    )
+    for i, p in enumerate(_bloom_positions(F.col("win"), m)):
+        t = t.withColumn(f"__p{i}", p)
+    hit = F.expr(
+        " AND ".join(
+            f"(element_at(__bf,"
+            f" CAST(shiftrightunsigned(__p{i}, 6) + 1 AS INT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT)))"
+            f" != 0"
+            for i in range(BLOOM_K)
+        )
+    )
+    return (
+        t.filter(hit)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_flagged_windows"))
+        .orderBy(id_col)
+    )
+
+
 def md5_hash60(col) -> "F.Column":
     """The repo's cross-engine-exact 60-bit hash of a (string-castable)
     column: ``conv(substr(md5(x), 1, 15), 16, 10)`` as a BIGINT, equal
@@ -603,6 +742,71 @@ def text_decontaminate(spark, sf_dir, n: int = WINDOW_N):
     d = _docs(spark, sf_dir)
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     return decontaminate(d, eval_docs, n=n)
+
+
+BLOOM_FPP = 1e-3  # driver-leg bloom false-positive budget
+
+
+def text_decontaminate_with_bloom(spark, sf_dir, n: int = WINDOW_N):
+    """The ``text_decontaminate`` driver slot, TWO TAGGED LEGS (r6):
+
+    - ``leg='exact'``: ``text_decontaminate`` unchanged (one row per
+      contaminated doc, DuckDB recomputes the semi-join in full);
+    - ``leg='bloom'``: ONE summary row gating ``decontaminate_bloom``
+      -- ``doc_id = -1``, ``n_contaminated_windows = 1`` iff BOTH
+      scale-path invariants hold (requirement-stating oracle, the ANN
+      recall-gate pattern): (a) SUPERSET -- every exactly-contaminated
+      doc is bloom-flagged with at least as many windows (bloom filters
+      cannot produce false negatives; a probe/seed regression breaks
+      this); (b) FPR -- the extra flagged windows stay within
+      5 x BLOOM_FPP x total corpus windows (floor 5).  Both are
+      deterministic (seeded xxhash64 over a fixed corpus), so a
+      regression flips the value and fails the driver's hash compare.
+    """
+    d = _docs(spark, sf_dir)
+    eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    exact = decontaminate(d, eval_docs, n=n).localCheckpoint()
+    # ^ tiny (contaminated docs); consumed three times below
+    bloom = decontaminate_bloom(
+        d, eval_docs, n=n, fpp=BLOOM_FPP
+    ).localCheckpoint()
+    ex = exact.select("doc_id",
+                      F.col("n_contaminated_windows").alias("ne"))
+    bl = bloom.select("doc_id", F.col("n_flagged_windows").alias("nb"))
+    superset_ok = (
+        ex.join(bl, "doc_id", "left")
+        .agg(
+            F.min(
+                F.coalesce(F.col("nb") >= F.col("ne"), F.lit(False))
+            ).alias("ok")
+        )
+        .collect()[0][0]
+    )
+    superset_ok = bool(superset_ok) if superset_ok is not None else True
+    total_windows = (
+        d.withColumn("__words", F.split("text", " "))
+        .select(F.explode(_word_windows(n)).alias("w"))
+        .count()
+    )
+    sums = [
+        df.agg(F.coalesce(F.sum(c), F.lit(0))).collect()[0][0]
+        for df, c in ((bl, "nb"), (ex, "ne"))
+    ]
+    fpr_ok = (sums[0] - sums[1]) <= max(5, 5 * BLOOM_FPP * total_windows)
+    bloom_row = spark.createDataFrame(
+        [("bloom", -1, 1 if (superset_ok and fpr_ok) else 0)],
+        "leg string, doc_id long, n_contaminated_windows long",
+    )
+    return (
+        exact.select(
+            F.lit("exact").alias("leg"),
+            "doc_id",
+            F.col("n_contaminated_windows").cast("long")
+            .alias("n_contaminated_windows"),
+        )
+        .unionByName(bloom_row)
+        .orderBy("leg", "doc_id")
+    )
 
 
 SAMPLE_PCT = 20  # stratified-sampling default, interpolated into its oracle
@@ -696,7 +900,9 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_doc_features": text_doc_features,
     "text_dedup_passage_removal": text_dedup_passage_removal,
-    "text_decontaminate": text_decontaminate,
+    # r6: the decontamination slot carries a second gated leg for the
+    # bloom-filter scale path (superset + fpr invariants)
+    "text_decontaminate": text_decontaminate_with_bloom,
     # r6: the stratified slot carries a second tagged leg exercising
     # per-source mixture sampling (sample_mixture) under the same oracle
     "sample_stratified_deterministic": sample_stratified_with_mixture,
@@ -711,6 +917,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the bloom leg is a requirement-stating row (the recall-gate
+    # pattern): DuckDB cannot recompute seeded-xxhash64 probes, so the
+    # oracle states the invariants hold and a Spark-side regression
+    # flips the value
     "text_decontaminate": f"""
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -720,12 +930,16 @@ ORACLES = {
                        AS win
             FROM w
         )
-        SELECT t.doc_id,
-               count(*) AS n_contaminated_windows
-        FROM twin t
-        WHERE t.win IN (SELECT win FROM twin
-                        WHERE doc_id % {EVAL_MOD} = 0)
-        GROUP BY t.doc_id ORDER BY t.doc_id
+        SELECT * FROM (
+            SELECT 'exact' AS leg, t.doc_id,
+                   count(*) AS n_contaminated_windows
+            FROM twin t
+            WHERE t.win IN (SELECT win FROM twin
+                            WHERE doc_id % {EVAL_MOD} = 0)
+            GROUP BY t.doc_id
+            UNION ALL
+            SELECT 'bloom', CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+        ) ORDER BY leg, doc_id
     """,
     "text_dedup_passage_removal": f"""
         WITH w AS (

@@ -761,3 +761,53 @@ def test_stratified_slot_legs_match_parts(spark):
         .agg(F.count("*").alias("n_kept"))
     ).set_index("lang")
     assert mix["n_kept"].to_dict() == expect["n_kept"].to_dict()
+
+
+def test_decontaminate_bloom_superset_and_fpr(spark):
+    """Bloom decontamination (the large-eval-suite scale path): NO
+    false negatives -- every doc the exact semi-join flags is flagged
+    with at least as many windows; false positives over-drop at a rate
+    bounded near the configured fpp; the filter size is a function of
+    capacity, not corpus; and the probe is pure JVM (no UDF, no join,
+    no shuffle before the per-doc rollup)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_docs = docs.filter(F.col("doc_id") % ts.EVAL_MOD == 0)
+
+    exact = {r.doc_id: r.n_contaminated_windows
+             for r in ts.decontaminate(docs, eval_docs).collect()}
+    bloom = {r.doc_id: r.n_flagged_windows
+             for r in ts.decontaminate_bloom(docs, eval_docs).collect()}
+    # superset, window-count dominance
+    for d, n_exact in exact.items():
+        assert bloom.get(d, 0) >= n_exact, (d, n_exact, bloom.get(d))
+    # false-positive budget: extra flagged windows across the corpus
+    # stay near fpp * total windows (generous 5x slack for variance)
+    total_windows = (
+        docs.withColumn("__words", F.split("text", " "))
+        .select(F.explode(ts._word_windows(ts.WINDOW_N)).alias("w"))
+        .count()
+    )
+    extra = sum(bloom.values()) - sum(exact.values())
+    assert extra <= max(5, 5 * 1e-3 * total_windows), (
+        extra, total_windows)
+
+    # capacity sizing: m grows with items, floor 64, multiple of 64
+    assert ts._bloom_m_bits(0, 1e-3) == 64
+    assert ts._bloom_m_bits(1000, 1e-3) % 64 == 0
+    assert ts._bloom_m_bits(2000, 1e-3) > ts._bloom_m_bits(1000, 1e-3)
+    # the over-capacity guard is loud, not silent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="too large"):
+        ts.decontaminate_bloom(docs, eval_docs, fpp=1e-12)
+
+    # plan purity: no python UDF, no join, and the only exchange is the
+    # per-doc rollup's (same as the exact form's aggregation)
+    plan = (
+        ts.decontaminate_bloom(docs, eval_docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
