@@ -134,3 +134,97 @@ def test_stream_dedup_under_rocksdb_state_store(spark, tmp_path):
         f.endswith(".changelog") or f.endswith(".zip") for f in state_files
     ), state_files
     assert not any(f.endswith(".delta") for f in state_files)
+
+
+def test_streaming_admission_loop(spark, tmp_path):
+    """The admission loop as a stream (streaming/admission.py): two
+    crawl slices forced into separate micro-batches; epoch-0's
+    re-fetch/near-dup of seed history are rejected and its novel doc
+    admitted; epoch-1's near-dup OF THE EPOCH-0 ADMISSION is rejected
+    (cross-epoch history via the admitted store + band store, which
+    grows by exactly the admitted increments); a re-run on the same
+    checkpoint is a no-op; and a simulated epoch replay (fresh
+    checkpoint over the same inputs) rewrites the same partitions
+    instead of duplicating or self-rejecting."""
+    from azure_based_pii_redactor_spark.streaming.admission import (
+        run_streaming_admission,
+        seed_band_store,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet village green and children play games")
+    novel = ("completely different content about ships and harbors "
+             "and tides and the long journey across the cold sea")
+    fresh = ("figures on the hillside counting stars before the storm "
+             "arrives and the lanterns are lit one by one tonight")
+    history = spark.createDataFrame(
+        [(i, f"{base} variant{i} tail{i} words{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    band_p = str(tmp_path / "bands")
+    out_p = str(tmp_path / "admitted")
+    in_p = tmp_path / "incoming"
+    in_p.mkdir()
+    seed_band_store(history, band_p)
+
+    # slice files written one per micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(100, history.collect()[3].text),      # re-fetch: reject
+         (101, f"{base} variant5 tail5 CHANGED"),  # near-dup: reject
+         (102, novel)],                         # novel: admit
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_p / "slice0"))
+    spark.createDataFrame(
+        [(200, novel + " slight change"),       # near-dup of epoch-0
+         (201, fresh)],                         # novel: admit
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_p / "slice1"))
+    # flatten into one source dir, lexicographic order = slice order
+    files = sorted(in_p.glob("slice*/part-*.parquet"))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, f in enumerate(files):
+        f.rename(src / f"{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_streaming_admission(
+        stream, history, band_p, out_p, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    admitted = spark.read.parquet(out_p)
+    got = {r.doc_id: r.epoch_id for r in admitted.collect()}
+    assert set(got) == {102, 201}
+    assert got[102] != got[201]  # two separate epochs
+    # band store = seed (epoch -1) + exactly the admitted increments
+    bands = spark.read.parquet(band_p)
+    assert {r.doc_id for r in bands.filter(F.col("epoch_id") >= 0)
+            .select("doc_id").distinct().collect()} == {102, 201}
+
+    # same checkpoint, no new files: no-op
+    q2 = run_streaming_admission(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src)),
+        history, band_p, out_p, str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_p).count() == 2
+
+    # simulated replay: FRESH checkpoint over the same inputs re-runs
+    # both epochs against stores already holding their output -- the
+    # current-epoch exclusion must keep the result identical
+    q3 = run_streaming_admission(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src)),
+        history, band_p, out_p, str(tmp_path / "ckpt2"),
+    )
+    q3.awaitTermination(120)
+    replay = {r.doc_id: r.epoch_id
+              for r in spark.read.parquet(out_p).collect()}
+    assert replay == got
+    assert spark.read.parquet(band_p).filter(
+        F.col("epoch_id") >= 0
+    ).select("doc_id").distinct().count() == 2
