@@ -579,15 +579,38 @@ def agg_count_distinct_gated(spark, sf_dir, rsd: float = 0.05):
     counts oracle-recomputed, plus the HLL++ sketch's ``approx_ok``
     bound gate.  Both single-purpose forms stay public functions
     (pytest + bench surface); ``tests/test_merged_queries.py`` pins
-    this form equal to its parts."""
+    this form equal to its parts.
+
+    r6 adds ``sketch_merge_ok``: the MERGEABILITY property the plain
+    approx gate cannot see.  Per-shard Datasketches HLL sketches
+    (``hll_sketch_agg`` over ``xxhash64(event_id) % 8`` shards -- the
+    stand-in for the per-day/per-partition sketch files a 10^12-row
+    pipeline stores) are combined with ``hll_union_agg``, and the
+    merged estimate must land within 5% of the exact distinct count
+    (default lgConfigK=12 -> ~1.6% standard error, so 5% is a
+    3-sigma-wide gate).  This is the operation that lets daily corpus
+    stats be maintained WITHOUT rescanning history: store the sketch
+    per ingest batch, union on read."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count("*").alias("n_events"),
-            F.approx_count_distinct("user_id", rsd=rsd).alias("__approx"),
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("__approx"),
+    )
+    merged_est = (
+        e.withColumn(
+            "__shard", F.pmod(F.xxhash64("event_id"), F.lit(8))
         )
+        .groupBy("event_type", "__shard")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("__sk"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(__sk))")
+            .alias("__merged_est")
+        )
+    )
+    return (
+        exact.join(merged_est, "event_type")
         .select(
             "event_type",
             "n_users",
@@ -596,6 +619,10 @@ def agg_count_distinct_gated(spark, sf_dir, rsd: float = 0.05):
                 F.abs(F.col("__approx") - F.col("n_users"))
                 <= F.col("n_users") * (3 * rsd)
             ).alias("approx_ok"),
+            (
+                F.abs(F.col("__merged_est") - F.col("n_users"))
+                <= F.col("n_users") * 0.05
+            ).alias("sketch_merge_ok"),
         )
         .orderBy("event_type")
     )
@@ -1147,7 +1174,8 @@ ORACLES = {
     """,
     "agg_count_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users,
-               count(*) AS n_events, TRUE AS approx_ok
+               count(*) AS n_events, TRUE AS approx_ok,
+               TRUE AS sketch_merge_ok
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "agg_salted_skew": """
