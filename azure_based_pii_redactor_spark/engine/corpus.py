@@ -265,9 +265,13 @@ def admit_batch(
         new_docs, history_docs, threshold, history_bands,
         new_bands=new_bands,
     )
-    dup_ids = links.select(
-        F.col("new_id").alias("doc_id")
-    ).distinct()
+    dup_ids = (
+        links.select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )  # tiny (rejected ids); consumed by BOTH anti-joins below -- the
+    # exact re-score (incl. the history-text scan) would otherwise
+    # re-execute once per consumer action (review r6)
     admitted = new_docs.join(F.broadcast(dup_ids), "doc_id", "left_anti")
     admitted_bands = new_bands.join(
         F.broadcast(dup_ids), "doc_id", "left_anti"

@@ -574,7 +574,8 @@ def _bloom_positions(col, m: int):
 
 
 def build_window_bloom(
-    docs, n: int = WINDOW_N, text_col: str = "text", fpp: float = 1e-3
+    docs, n: int = WINDOW_N, text_col: str = "text", fpp: float = 1e-3,
+    max_words: int | None = None,
 ) -> tuple[list, int]:
     """Aggregate the DISTINCT n-word windows of ``docs`` into a Bloom
     filter, returned as ``(words, m)`` -- a python list of ``m // 64``
@@ -591,6 +592,17 @@ def build_window_bloom(
     )
     n_wins = wins.count()
     m = _bloom_m_bits(n_wins, fpp)
+    if max_words is not None and m // 64 > max_words:
+        # guard BEFORE the probe aggregation and the m//64-row collect
+        # -- the expensive work the cap exists to prevent (review r6:
+        # a post-collect check would OOM the driver first)
+        raise ValueError(
+            f"bloom filter needs {m // 64} words for {n_wins} windows"
+            f" at fpp={fpp} (> {max_words}): too large to embed as a"
+            " plan literal -- use the (word_idx, bits) table +"
+            " broadcast-join probe described in decontaminate_bloom's"
+            " docstring for this capacity"
+        )
     pos = F.explode(F.array(*_bloom_positions(F.col("win"), m)))
     rows = (
         wins.select(pos.alias("p"))
@@ -651,14 +663,9 @@ def decontaminate_bloom(
     ``shiftrightunsigned(pos, 6)`` -- same arithmetic, filter size
     bounded by executor memory rather than plan size.  Raising
     ``fpp`` shrinks the filter linearly if over-dropping is cheap."""
-    words, m = build_window_bloom(eval_docs, n, text_col, fpp)
-    if len(words) > MAX_BLOOM_LITERAL_WORDS:
-        raise ValueError(
-            f"bloom filter is {len(words)} words (> "
-            f"{MAX_BLOOM_LITERAL_WORDS}): too large to embed as a plan "
-            "literal -- use the (word_idx, bits) table + broadcast-join "
-            "probe described in the docstring for this capacity"
-        )
+    words, m = build_window_bloom(
+        eval_docs, n, text_col, fpp, max_words=MAX_BLOOM_LITERAL_WORDS
+    )
     arr = F.array(*[F.lit(w).cast("long") for w in words])
     t = (
         train_docs.withColumn("__words", F.split(F.col(text_col), " "))

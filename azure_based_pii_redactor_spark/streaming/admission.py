@@ -32,9 +32,30 @@ exactly-once admission.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, functions as F
+
+ADMITTED_SCHEMA = "doc_id long, text string, epoch_id int"
+BAND_SCHEMA = "doc_id long, band int, bucket long, epoch_id int"
+
+
+def _try_read(spark, path: str, schema: str) -> DataFrame | None:
+    """Read a parquet store with an EXPLICIT schema, None if the path
+    does not exist yet.  Two deliberate properties (review r6): the
+    explicit schema makes a file-less directory readable as an empty
+    frame (a zero-admission epoch's dynamic-overwrite write creates the
+    directory but no data files, and a schema-less read of it throws
+    UNABLE_TO_INFER_SCHEMA), and existence is probed by the READ, not
+    ``os.path`` -- which is driver-local and always False for
+    hdfs://-, s3://-, abfs://-style production paths (silently dropping
+    the admitted store from history there would re-admit duplicates)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.schema  # force analysis so a missing path surfaces HERE
+        return df
+    except AnalysisException:
+        return None
 
 
 def seed_band_store(history_docs: DataFrame, band_store_path: str) -> None:
@@ -77,7 +98,8 @@ def run_streaming_admission(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         hist = history_docs.select("doc_id", "text")
-        if os.path.exists(output_path):
+        admitted_so_far = _try_read(spark, output_path, ADMITTED_SCHEMA)
+        if admitted_so_far is not None:
             # a REPLAYED epoch's own partition is already on disk from
             # the crashed attempt -- reading it into the history side
             # would score the batch against itself (every doc
@@ -85,12 +107,11 @@ def run_streaming_admission(
             # idempotence into replay data loss.  Exclude the current
             # epoch from both stores (partition-pruned filters).
             hist = hist.unionByName(
-                spark.read.parquet(output_path)
-                .filter(F.col("epoch_id") != epoch_id)
+                admitted_so_far.filter(F.col("epoch_id") != epoch_id)
                 .select("doc_id", "text")
             )
         bands = (
-            spark.read.parquet(band_store_path)
+            spark.read.schema(BAND_SCHEMA).parquet(band_store_path)
             .filter(F.col("epoch_id") != epoch_id)
             .select("doc_id", "band", "bucket")
         )

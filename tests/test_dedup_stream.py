@@ -168,12 +168,19 @@ def test_streaming_admission_loop(spark, tmp_path):
     seed_band_store(history, band_p)
 
     # slice files written one per micro-batch (maxFilesPerTrigger=1)
+    # the FIRST slice admits nothing (review r6: a zero-admission
+    # epoch-0 leaves output_path as a file-less directory -- later
+    # epochs must still read it, which needs the explicit-schema read)
+    spark.createDataFrame(
+        [(150, history.collect()[2].text)],     # re-fetch only: reject
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_p / "slice0"))
     spark.createDataFrame(
         [(100, history.collect()[3].text),      # re-fetch: reject
          (101, f"{base} variant5 tail5 CHANGED"),  # near-dup: reject
          (102, novel)],                         # novel: admit
         "doc_id long, text string",
-    ).coalesce(1).write.parquet(str(in_p / "slice0"))
+    ).coalesce(1).write.parquet(str(in_p / "slice0b"))
     spark.createDataFrame(
         [(200, novel + " slight change"),       # near-dup of epoch-0
          (201, fresh)],                         # novel: admit
