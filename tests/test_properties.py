@@ -337,3 +337,37 @@ def test_word_windows_sql_parity_random_texts(spark):
     ).fetchall()
     want = {i: list(w) for i, w in want_rows}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=0, max_size=20,
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_bloom_decontaminate_never_misses_property(spark, docs, n_eval):
+    """Property (review-grade guarantee): for ARBITRARY small corpora --
+    including empty docs, docs shorter than the window, and an empty
+    eval set -- every doc the exact semi-join flags is bloom-flagged
+    with >= as many windows (bloom filters cannot produce false
+    negatives).  The tiny 12-word vocabulary forces heavy window
+    collisions, the regime where a probe/build hash inconsistency
+    would surface immediately."""
+    from azure_based_pii_redactor_spark.engine.operators import (
+        textstats as t,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = d.filter(f"doc_id < {n_eval}")
+    exact = {r.doc_id: r.n_contaminated_windows
+             for r in t.decontaminate(d, eval_docs, n=3).collect()}
+    bloom = {r.doc_id: r.n_flagged_windows
+             for r in t.decontaminate_bloom(d, eval_docs, n=3).collect()}
+    for doc, ne in exact.items():
+        assert bloom.get(doc, 0) >= ne, (doc, ne, bloom.get(doc))
