@@ -323,6 +323,143 @@ def embedding_cosine_neardup_exact(spark, sf_dir, threshold: float = NEARDUP_THR
     )
 
 
+def _ivf_centroids(e: DataFrame, n_lists: int, sample_cap: int = 256):
+    """Deterministic unit-norm centroids: seeded k-means-lite over a
+    BOUNDED sample (first ``sample_cap`` vectors by vec_id -- the
+    driver-side cost is fixed regardless of corpus size).  Shared by
+    the IVF index and semdedup so both see the same partition of the
+    embedding space."""
+    import numpy as np
+
+    sample = np.array(
+        [r.embedding
+         for r in e.orderBy("vec_id").limit(sample_cap).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence([77])))
+    centroids = sample[rng.choice(len(sample), n_lists, replace=False)]
+    for _ in range(5):  # k-means-lite refinement on the sample
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for k in range(n_lists):
+            members = sample[assign == k]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                centroids[k] = c / n if n else c
+    return centroids
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    threshold: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by CLUSTER-SCOPED cosine near-dup removal -- the
+    published recipe for pruning web-scale corpora, because clustering
+    first bounds the quadratic pair stage to within-cluster pairs (at
+    10^12 vectors, n_lists scales with the corpus so cluster sizes
+    stay bounded; the all-pairs form is impossible there).
+
+    Pipeline: k-means centroids (bounded-sample, deterministic, shared
+    with the IVF index) -> vectorized Arrow assignment, computing each
+    vector's similarity to its OWN centroid in the same batch ->
+    within-cluster pairs >= ``threshold`` (self-join on list_id; the
+    quadratic stage the clustering bounds) -> connected components ->
+    per component keep ONE member: the paper's keeper rule, the member
+    with the LOWEST similarity to the cluster centroid (duplicates
+    near the centroid are the most redundant with the rest of the
+    cluster; keeping the outlier preserves diversity), vec_id
+    tie-break for determinism.
+
+    By design near-dups split across cluster boundaries survive (the
+    paper's recall/cost tradeoff); run ``embedding_cosine_neardup``
+    (banded-LSH, global) when cross-cluster pairs matter.
+
+    Returns one row per near-dup component: (list_id, keeper_id,
+    n_members, members, dropped) -- anti-join ``dropped`` (exploded)
+    against the corpus to materialize the pruned set."""
+    import numpy as np
+
+    if threshold is None:
+        threshold = NEARDUP_THRESHOLD
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(
+        _ivf_centroids(embeddings, n_lists)
+    )
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            sims = mat @ cents.T
+            pdf = pdf.copy()
+            pdf["list_id"] = np.argmax(sims, axis=1).astype("int32")
+            pdf["cent_sim"] = np.max(sims, axis=1)
+            yield pdf[["vec_id", "embedding", "list_id", "cent_sim"]]
+
+    assigned = embeddings.mapInPandas(
+        assign,
+        schema="vec_id long, embedding array<float>, list_id int,"
+        " cent_sim double",
+    ).localCheckpoint()  # consumed by the pair join (twice) and the
+    # keeper rank; the Arrow assignment must not re-run per consumer
+    a, b = assigned.alias("a"), assigned.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.embedding"), F.col("b.embedding"))
+            >= F.lit(threshold)
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+        )
+    )
+    from .dedup import connected_components
+
+    comps = connected_components(edges).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    ranked = comps.join(assigned.select("vec_id", "list_id", "cent_sim"),
+                        "vec_id")
+    w = Window.partitionBy("component").orderBy(
+        F.asc("cent_sim"), F.asc("vec_id")
+    )
+    labeled = ranked.withColumn("__rn", F.row_number().over(w))
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.first("list_id").alias("list_id"),
+            F.min(F.when(F.col("__rn") == 1, F.col("vec_id")))
+            .alias("keeper_id"),
+            F.count("*").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("vec_id")))
+            .alias("members"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rn") > 1, F.col("vec_id"))
+                    )
+                ),
+            ).alias("dropped"),
+        )
+        .drop("component")
+        .orderBy("keeper_id")
+    )
+
+
+def embedding_semdedup(spark, sf_dir, n_lists: int = 8):
+    """Query form of ``semdedup`` over the embeddings table (public
+    API + pytest surface)."""
+    return semdedup(_emb(spark, sf_dir), n_lists=n_lists)
+
+
 def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 6):
     """IVF-style ANN: deterministic centroids (seeded sample k-means --
     driver-side numpy over a small bounded sample), vectors assigned to
@@ -339,20 +476,7 @@ def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 6):
     import pandas as pd
 
     e = _emb(spark, sf_dir)
-    sample = np.array(
-        [r.embedding for r in e.orderBy("vec_id").limit(256).collect()], dtype=np.float64
-    )
-    rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence([77])))
-    centroids = sample[rng.choice(len(sample), n_lists, replace=False)]
-    for _ in range(5):  # k-means-lite refinement on the sample
-        assign = np.argmax(sample @ centroids.T, axis=1)
-        for k in range(n_lists):
-            members = sample[assign == k]
-            if len(members):
-                c = members.mean(axis=0)
-                n = np.linalg.norm(c)
-                centroids[k] = c / n if n else c
-    bc = spark.sparkContext.broadcast(centroids)
+    bc = spark.sparkContext.broadcast(_ivf_centroids(e, n_lists))
 
     def assign_lists(batches):
         cents = bc.value

@@ -328,3 +328,70 @@ def test_resize_unknown_format_requires_pil(spark):
     )
     with pytest.raises(PythonException, match="NotImplementedError"):
         resize_images(media, width=8, height=8).collect()
+
+
+def test_semdedup_cluster_scoped(spark):
+    """SemDeDup (Abbas 2023): planted near-dup groups are collapsed to
+    one keeper each -- the member LEAST similar to its cluster centroid
+    (the paper's diversity-preserving rule) -- while unrelated vectors
+    survive; the result is deterministic under repartitioning; and the
+    real embeddings table runs end-to-end."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.similarity import (
+        embedding_semdedup,
+        semdedup,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].astype("float32").tolist()) for i in range(40)]
+    # plant two dup groups: ids 100/101 ~ copies of vec 3; 200/201/202
+    # ~ copies of vec 7 (tiny perturbations keep cosine ~0.999)
+    for gid, src, n in ((100, 3, 2), (200, 7, 3)):
+        for j in range(n):
+            v = base[src] + 1e-3 * rng.normal(size=16)
+            v /= np.linalg.norm(v)
+            rows.append((gid + j, v.astype("float32").tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+    out = {r.keeper_id: r for r in
+           semdedup(emb, n_lists=4, threshold=0.95).collect()}
+    # every component contains its source vector + planted copies
+    allm = sorted(
+        m for r in out.values() for m in r.members.split(",")
+    )
+    assert {int(x) for x in allm} == {3, 100, 101, 7, 200, 201, 202}
+    for r in out.values():
+        members = [int(x) for x in r.members.split(",")]
+        dropped = [int(x) for x in r.dropped.split(",") if x]
+        assert len(dropped) == len(members) - 1
+        assert r.keeper_id not in dropped
+    # keeper = member with LOWEST centroid similarity (tie-broken by id)
+    from azure_based_pii_redactor_spark.engine.operators.similarity import (
+        _ivf_centroids,
+    )
+
+    cents = _ivf_centroids(emb, 4)
+    by_id = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    for r in out.values():
+        members = [int(x) for x in r.members.split(",")]
+        sims = {m: float((by_id[m] @ cents.T).max()) for m in members}
+        want = min(members, key=lambda m: (sims[m], m))
+        assert r.keeper_id == want, (r, sims)
+
+    # determinism under input reshuffling
+    again = {r.keeper_id: r.members for r in semdedup(
+        emb.orderBy(F.rand(5)).repartition(7), n_lists=4, threshold=0.95
+    ).collect()}
+    assert again == {k: r.members for k, r in out.items()}
+
+    # the shipped table runs end-to-end (random vectors: few/no dups
+    # at the default threshold -- just must not error and stay stable)
+    res = embedding_semdedup(spark, "/root/testdata/sf0.001").collect()
+    assert isinstance(res, list)
