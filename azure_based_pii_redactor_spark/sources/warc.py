@@ -120,7 +120,9 @@ def parse_warc(blob: bytes) -> list[dict]:
                 except ValueError:
                     ts = None  # malformed date: keep the page, null the ts
             body = _http_body(payload) if rtype == "response" else payload
-            records.append({"url": url, "warc_ts": ts, "html": body})
+            records.append(
+                {"url": url, "warc_ts": ts, "html": body, "rtype": rtype}
+            )
     return records
 
 
@@ -146,15 +148,60 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return binary.mapInPandas(decode, schema=PAGES_SCHEMA)
 
 
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET scan (Common Crawl's plain-text sibling of WARC:
+    ``conversion`` records whose payload IS the extracted text).  The
+    payload lands tolerantly decoded in the TEXT column with html NULL,
+    so the pipeline's extraction stage passes it through untouched and
+    goes straight to langid/quality/scrub -- feeding WET payloads
+    through ``read_warc`` instead would put plain text in the html
+    column and run an HTML extraction over it (mangling literal ``<``
+    and ``&``).  Non-conversion records (a warcinfo header, stray
+    response records in a mixed stream) are skipped.  Same scan shape
+    as ``read_warc``: one file per task, gzip members are not a
+    parallelism unit -- size ``spark.sql.files.maxPartitionBytes``
+    per-corpus as bench.py does."""
+    import pandas as pd
+
+    binary = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for r in parse_warc(blob):
+                    if r["rtype"] != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            r["url"],
+                            r["warc_ts"],
+                            None,
+                            r["html"].decode("utf-8", errors="replace"),
+                            None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return binary.mapInPandas(decode, schema=PAGES_SCHEMA)
+
+
 # -- fixture writer (tests + local smoke; also documents the format) -------
 
 def encode_warc(
-    pages: list[dict], gzip_members: bool = True, http_wrap: bool = False
+    pages: list[dict], gzip_members: bool = True, http_wrap: bool = False,
+    record_type: str = "response",
 ) -> bytes:
     """Encode ``{url, warc_ts, html}`` dicts as a WARC file: one
-    response record per page, each its own gzip member when
+    ``record_type`` record per page, each its own gzip member when
     ``gzip_members`` (the Common-Crawl layout).  ``http_wrap`` nests the
-    html inside an HTTP response payload as real crawls do."""
+    html inside an HTTP response payload as real crawls do
+    (``response`` records only); ``record_type="conversion"`` writes
+    the WET layout (payload = extracted plain text, no HTTP envelope)."""
+    if record_type == "conversion" and http_wrap:
+        raise ValueError("WET conversion records carry no HTTP envelope")
     import gzip
 
     out = []
@@ -172,7 +219,7 @@ def encode_warc(
         )
         rec = (
             b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
+            + f"WARC-Type: {record_type}\r\n".encode()
             + f"WARC-Target-URI: {p['url']}\r\n".encode()
             + ts_line
             + f"Content-Length: {len(body)}\r\n".encode()

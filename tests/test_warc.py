@@ -213,3 +213,57 @@ def test_write_warc_corpus_roundtrips(spark, tmp_path):
         bytes(a) == bytes(b)
         for a, b in zip(got["html"], want["html"])
     )
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET front door: conversion payloads land in the TEXT column
+    (tolerantly decoded, html NULL) so literal '<' and '&' survive
+    verbatim (an HTML extraction would mangle them); non-conversion
+    records in a mixed stream are skipped; and the frame feeds the
+    scrub pipeline directly."""
+    from datetime import datetime
+
+    from azure_based_pii_redactor_spark.engine.pipeline import (
+        run_scrub_pipeline,
+    )
+    from azure_based_pii_redactor_spark.sources.warc import (
+        encode_warc,
+        read_wet,
+    )
+
+    text = ("The measured value satisfied x < y & y < z in the trial. "
+            * 8)
+    wet = encode_warc(
+        [
+            {"url": "https://a.example/wet1",
+             "warc_ts": datetime(2024, 5, 1), "html": text.encode()},
+            {"url": "https://a.example/wet2",
+             "warc_ts": datetime(2024, 5, 2),
+             "html": b"plain text with bad utf8 \xff tail " * 4},
+        ],
+        record_type="conversion",
+    )
+    # a stray response record must be SKIPPED by the WET reader
+    mixed = wet + encode_warc(
+        [{"url": "https://a.example/html", "warc_ts": None,
+          "html": b"<html><body>hi</body></html>"}]
+    )
+    p = tmp_path / "f.warc.wet.gz"
+    p.write_bytes(mixed)
+
+    rows = {r.url: r for r in read_wet(spark, str(p)).collect()}
+    assert set(rows) == {"https://a.example/wet1",
+                         "https://a.example/wet2"}
+    r1 = rows["https://a.example/wet1"]
+    assert r1.text == text           # '<' and '&' byte-for-byte intact
+    assert r1.html is None
+    assert "�" in rows["https://a.example/wet2"].text  # tolerant
+    # feeds the pipeline directly (extraction passthrough on html NULL)
+    out = run_scrub_pipeline(read_wet(spark, str(p))).collect()
+    assert {r.url for r in out} == set(rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no HTTP envelope"):
+        encode_warc([{"url": "u", "warc_ts": None, "html": b"x"}],
+                    record_type="conversion", http_wrap=True)
