@@ -328,14 +328,28 @@ def _ivf_centroids(e: DataFrame, n_lists: int, sample_cap: int = 256):
     BOUNDED sample (first ``sample_cap`` vectors by vec_id -- the
     driver-side cost is fixed regardless of corpus size).  Shared by
     the IVF index and semdedup so both see the same partition of the
-    embedding space."""
+    embedding space.  Returns None for an EMPTY corpus (there is no
+    space to partition -- callers degrade gracefully); ``n_lists`` is
+    clamped to the sample size (7 vectors cannot seed 8 lists), and
+    asking for more lists than ``sample_cap`` is a loud error, not a
+    silent cap (review r6: the scale story is 'n_lists grows with the
+    corpus', which requires growing the sample with it)."""
     import numpy as np
 
+    if n_lists > sample_cap:
+        raise ValueError(
+            f"n_lists={n_lists} > sample_cap={sample_cap}: centroids"
+            " are seeded from the sample, so raise sample_cap alongside"
+            " n_lists (driver cost is sample_cap vectors)"
+        )
     sample = np.array(
         [r.embedding
          for r in e.orderBy("vec_id").limit(sample_cap).collect()],
         dtype=np.float64,
     )
+    if len(sample) == 0:
+        return None
+    n_lists = min(n_lists, len(sample))
     rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence([77])))
     centroids = sample[rng.choice(len(sample), n_lists, replace=False)]
     for _ in range(5):  # k-means-lite refinement on the sample
@@ -384,9 +398,14 @@ def semdedup(
     if threshold is None:
         threshold = NEARDUP_THRESHOLD
     spark = embeddings.sparkSession
-    bc = spark.sparkContext.broadcast(
-        _ivf_centroids(embeddings, n_lists)
-    )
+    centroids = _ivf_centroids(embeddings, n_lists)
+    if centroids is None:  # empty corpus: no vectors, no duplicates
+        return spark.createDataFrame(
+            [],
+            "list_id int, keeper_id long, n_members long,"
+            " members string, dropped string",
+        )
+    bc = spark.sparkContext.broadcast(centroids)
 
     def assign(batches):
         cents = bc.value
@@ -476,7 +495,10 @@ def knn_cosine_ivf(spark, sf_dir, n_lists: int = 8, n_probe: int = 6):
     import pandas as pd
 
     e = _emb(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(_ivf_centroids(e, n_lists))
+    cents = _ivf_centroids(e, n_lists)
+    if cents is None:
+        raise ValueError("empty embeddings table: nothing to index")
+    bc = spark.sparkContext.broadcast(cents)
 
     def assign_lists(batches):
         cents = bc.value

@@ -126,9 +126,11 @@ def parse_warc(blob: bytes) -> list[dict]:
     return records
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed WARC scan -> PAGES_SCHEMA frame (text/lang NULL --
-    the pipeline's extraction and langid stages fill them)."""
+def _scan_records(spark: SparkSession, path: str, to_row) -> DataFrame:
+    """The shared binaryFile -> parse_warc -> PAGES_SCHEMA scan scaffold
+    behind ``read_warc`` and ``read_wet``: ``to_row`` maps a parsed
+    record dict to a (url, warc_ts, html, text, lang) tuple or None to
+    skip it.  ONE place owns the scan/batch/empty-frame handling."""
     import pandas as pd
 
     binary = spark.read.format("binaryFile").load(path)
@@ -138,14 +140,23 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for blob in pdf["content"]:
                 for r in parse_warc(blob):
-                    rows.append(
-                        (r["url"], r["warc_ts"], r["html"], None, None)
-                    )
+                    row = to_row(r)
+                    if row is not None:
+                        rows.append(row)
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
     return binary.mapInPandas(decode, schema=PAGES_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC scan -> PAGES_SCHEMA frame (text/lang NULL --
+    the pipeline's extraction and langid stages fill them)."""
+    return _scan_records(
+        spark, path,
+        lambda r: (r["url"], r["warc_ts"], r["html"], None, None),
+    )
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
@@ -161,31 +172,18 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     as ``read_warc``: one file per task, gzip members are not a
     parallelism unit -- size ``spark.sql.files.maxPartitionBytes``
     per-corpus as bench.py does."""
-    import pandas as pd
+    def to_row(r):
+        if r["rtype"] != "conversion":
+            return None
+        return (
+            r["url"],
+            r["warc_ts"],
+            None,
+            r["html"].decode("utf-8", errors="replace"),
+            None,
+        )
 
-    binary = spark.read.format("binaryFile").load(path)
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for blob in pdf["content"]:
-                for r in parse_warc(blob):
-                    if r["rtype"] != "conversion":
-                        continue
-                    rows.append(
-                        (
-                            r["url"],
-                            r["warc_ts"],
-                            None,
-                            r["html"].decode("utf-8", errors="replace"),
-                            None,
-                        )
-                    )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
-
-    return binary.mapInPandas(decode, schema=PAGES_SCHEMA)
+    return _scan_records(spark, path, to_row)
 
 
 # -- fixture writer (tests + local smoke; also documents the format) -------
