@@ -395,3 +395,30 @@ def test_semdedup_cluster_scoped(spark):
     # at the default threshold -- just must not error and stay stable)
     res = embedding_semdedup(spark, "/root/testdata/sf0.001").collect()
     assert isinstance(res, list)
+
+
+def test_semdedup_degenerate_inputs(spark):
+    """Guard behavior (review r6): an empty corpus yields an empty
+    result (not a numpy crash); a corpus smaller than n_lists clamps
+    the list count and still dedups; n_lists beyond the centroid
+    sample is a loud, named error."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from azure_based_pii_redactor_spark.engine.operators.similarity import (
+        semdedup,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semdedup(empty, n_lists=8).count() == 0
+
+    v = (np.ones(8) / np.sqrt(8)).astype("float32").tolist()
+    tiny = spark.createDataFrame(
+        [(1, v), (2, v), (3, v)], "vec_id long, embedding array<float>"
+    )
+    out = semdedup(tiny, n_lists=8, threshold=0.9).collect()
+    assert len(out) == 1 and out[0].n_members == 3
+
+    with _pytest.raises(ValueError, match="sample_cap"):
+        semdedup(tiny, n_lists=1000)
