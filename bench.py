@@ -166,6 +166,40 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
 
+    # -- end-to-end corpus builder (side metric, not a headline entry) ------
+    # The one-call production recipe over the SAME 50k-page corpus: url
+    # dedup -> quality filter + scrub -> passage removal ->
+    # decontamination (eval = a deterministic 1/41 slice of the corpus
+    # itself) -> 50% deterministic sample, in REPORT mode -- the form a
+    # real run uses: the per-stage funnel counts every pipeline run
+    # must log, with localCheckpoint barriers bounding the Python
+    # kernel and the two-scan passage removal to ONE execution each
+    # (the fully-lazy form re-runs the kernel once per downstream
+    # consumer: measured 30.3 s vs ~20 s here -- at production scale
+    # the materialization barrier is the checkpointed output table).
+    # Reported as corpus_builder_sec beside the suite (like
+    # state_store_ab) so the composed funnel's cost is a measured,
+    # comparable number without disturbing the round-over-round
+    # headline suite.
+    from pyspark.sql import functions as _F
+
+    from azure_based_pii_redactor_spark.engine.corpus import (
+        build_training_corpus,
+    )
+
+    eval_docs = pages.filter(
+        _F.pmod(_F.xxhash64("url"), _F.lit(41)) == 0
+    ).select("text")
+    cb_sec = 9e9
+    for _ in range(2):
+        t0 = time.time()
+        cb, _r = build_training_corpus(
+            pages, eval_docs=eval_docs, sample_pct=50,
+        )
+        cb.write.format("noop").mode("overwrite").save()
+        cb_sec = min(cb_sec, time.time() - t0)
+    corpus_builder_sec = round(cb_sec, 3)
+
     # -- operator headliners ------------------------------------------------
     # Warm-up pass at sf0.001: JVM JIT + whole-stage-codegen compilation
     # otherwise dominates small-SF timings and masks the steady-state rate
@@ -319,6 +353,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "state_store_ab": ab,
+                "corpus_builder_sec": corpus_builder_sec,
+                "corpus_builder_docs_per_sec": round(
+                    n_pages / corpus_builder_sec, 1
+                ),
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
                 "stream_docs_per_sec": stream_docs_per_sec,
