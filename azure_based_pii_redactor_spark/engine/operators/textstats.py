@@ -585,13 +585,7 @@ def build_window_bloom(
     capacity, never of the eval corpus size (the property that makes
     this the scale path: a 10^9-window eval suite at fpp 1e-3 is a
     ~2 GB filter regardless of how its windows are distributed)."""
-    wins = (
-        docs.withColumn("__words", F.split(F.col(text_col), " "))
-        .select(F.explode(_word_windows(n)).alias("win"))
-        .distinct()
-    )
-    n_wins = wins.count()
-    m = _bloom_m_bits(n_wins, fpp)
+    bits_df, m, n_wins = _bloom_bits_frame(docs, n, text_col, fpp)
     if max_words is not None and m // 64 > max_words:
         # guard BEFORE the probe aggregation and the m//64-row collect
         # -- the expensive work the cap exists to prevent (review r6:
@@ -599,12 +593,33 @@ def build_window_bloom(
         raise ValueError(
             f"bloom filter needs {m // 64} words for {n_wins} windows"
             f" at fpp={fpp} (> {max_words}): too large to embed as a"
-            " plan literal -- use the (word_idx, bits) table +"
-            " broadcast-join probe described in decontaminate_bloom's"
-            " docstring for this capacity"
+            " plan literal -- use decontaminate_bloom(mode='table')"
+            " (the broadcast-join probe) for this capacity"
         )
+    rows = bits_df.collect()  # <= m // 64 tiny rows (bounded by capacity)
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r.w] = r.bits
+    return words, m
+
+
+def _bloom_bits_frame(
+    docs, n: int, text_col: str, fpp: float
+) -> tuple["DataFrame", int, int]:
+    """The filter's (w, bits) rows as an (unmaterialized) DataFrame plus
+    (m, n_distinct_windows): the shared build under both probe modes --
+    the literal path collects it (bounded by m // 64), the table path
+    broadcasts it as-is (bounded by executor memory, the 10^9-window
+    regime)."""
+    wins = (
+        docs.withColumn("__words", F.split(F.col(text_col), " "))
+        .select(F.explode(_word_windows(n)).alias("win"))
+        .distinct()
+    )
+    n_wins = wins.count()
+    m = _bloom_m_bits(n_wins, fpp)
     pos = F.explode(F.array(*_bloom_positions(F.col("win"), m)))
-    rows = (
+    bits_df = (
         wins.select(pos.alias("p"))
         .select(
             F.shiftrightunsigned("p", 6).alias("w"),
@@ -616,12 +631,8 @@ def build_window_bloom(
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
-        .collect()  # <= m // 64 tiny rows (bounded by capacity)
     )
-    words = [0] * (m // 64)
-    for r in rows:
-        words[r.w] = r.bits
-    return words, m
+    return bits_df, m, n_wins
 
 
 MAX_BLOOM_LITERAL_WORDS = 1 << 13  # 8192 words = 512 Kbit filter
@@ -637,6 +648,7 @@ def decontaminate_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     fpp: float = 1e-3,
+    mode: str = "auto",
 ):
     """Benchmark decontamination, BLOOM-FILTER form -- the scale path
     when the eval suite's distinct-window set is too large to broadcast
@@ -652,37 +664,78 @@ def decontaminate_bloom(
     decontamination (a clean doc is discarded, never a contaminated
     doc kept).
 
-    Plan shape: the filter's bit-words embed as an array<long> LITERAL
-    in the scan projection, so the probe -- k seeded xxhash64 mods, an
-    element_at and a bitwiseAND per probe -- is pure JVM codegen over
-    the training windows: no UDF, no join, no shuffle on the training
-    side (the window rollup aggregates per doc as the exact form does).
-    The literal form is capped at MAX_BLOOM_LITERAL_WORDS (512 Kbit);
-    for the 10^9-window regime, store the (word_idx, bits) rows AS A
-    TABLE instead and probe with k broadcast hash joins on
-    ``shiftrightunsigned(pos, 6)`` -- same arithmetic, filter size
-    bounded by executor memory rather than plan size.  Raising
-    ``fpp`` shrinks the filter linearly if over-dropping is cheap."""
-    words, m = build_window_bloom(
-        eval_docs, n, text_col, fpp, max_words=MAX_BLOOM_LITERAL_WORDS
-    )
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    Two probe modes, IDENTICAL results (pinned in tests):
+
+    - ``'literal'`` (small filters): the bit-words embed as an
+      array<long> LITERAL in the scan projection, so the probe -- k
+      seeded xxhash64 mods, an element_at and a bitwiseAND per probe
+      -- is pure JVM codegen over the training windows: no UDF, no
+      join, no shuffle on the training side.  Capped at
+      MAX_BLOOM_LITERAL_WORDS (512 Kbit) to keep codegen sane.
+    - ``'table'`` (the 10^9-window regime): the (w, bits) rows stay a
+      DataFrame and the probe is k BROADCAST hash joins on
+      ``shiftrightunsigned(pos, 6)`` -- same arithmetic, filter size
+      bounded by executor memory (a ~2 GB filter broadcasts; a plan
+      literal that size would not compile), training side still never
+      shuffles before the per-doc rollup.  A probe word absent from
+      the table means those 64 bits are all zero (left join,
+      coalesce 0).
+
+    ``'auto'`` (default) picks literal while the filter fits the cap,
+    table above it.  Raising ``fpp`` shrinks the filter linearly if
+    over-dropping is cheap."""
+    if mode not in ("auto", "literal", "table"):
+        raise ValueError(f"unknown bloom probe mode {mode!r}")
+    if mode == "literal":
+        words, m = build_window_bloom(
+            eval_docs, n, text_col, fpp,
+            max_words=MAX_BLOOM_LITERAL_WORDS,
+        )
+        bits_df = None
+    else:
+        bits_df, m, _ = _bloom_bits_frame(eval_docs, n, text_col, fpp)
+        if mode == "auto" and m // 64 <= MAX_BLOOM_LITERAL_WORDS:
+            rows = bits_df.collect()
+            words = [0] * (m // 64)
+            for r in rows:
+                words[r.w] = r.bits
+            bits_df = None
     t = (
         train_docs.withColumn("__words", F.split(F.col(text_col), " "))
         .select(F.col(id_col), F.explode(_word_windows(n)).alias("win"))
-        .withColumn("__bf", arr)
     )
     for i, p in enumerate(_bloom_positions(F.col("win"), m)):
         t = t.withColumn(f"__p{i}", p)
-    hit = F.expr(
-        " AND ".join(
+    if bits_df is None:
+        t = t.withColumn(
+            "__bf", F.array(*[F.lit(w).cast("long") for w in words])
+        )
+        tests = [
             f"(element_at(__bf,"
             f" CAST(shiftrightunsigned(__p{i}, 6) + 1 AS INT))"
             f" & shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT)))"
             f" != 0"
             for i in range(BLOOM_K)
-        )
-    )
+        ]
+    else:
+        tests = []
+        for i in range(BLOOM_K):
+            bt = bits_df.select(
+                F.col("w").alias(f"__w{i}"),
+                F.col("bits").alias(f"__b{i}"),
+            )
+            t = t.join(
+                F.broadcast(bt),
+                F.shiftrightunsigned(F.col(f"__p{i}"), 6)
+                == F.col(f"__w{i}"),
+                "left",
+            )
+            tests.append(
+                f"(coalesce(__b{i}, CAST(0 AS BIGINT))"
+                f" & shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(__p{i} % 64 AS INT))) != 0"
+            )
+    hit = F.expr(" AND ".join(tests))
     return (
         t.filter(hit)
         .groupBy(id_col)
