@@ -8,6 +8,14 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
+from .dsir import (
+    DSIR_BUCKETS,
+    DSIR_TARGET_MOD,
+    DSIR_TOP_K,
+    dsir_lean_score,
+    dsir_select_topk,
+)
+
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -914,9 +922,10 @@ MIXTURE_WEIGHTS = {"en": 0.5, "de": 1.0, "es": 0.04, "zh": 0.004}
 
 
 def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
-    """The ``sample_stratified_deterministic`` driver slot, TWO TAGGED
-    LEGS (r5 VERDICT #3: mixture sampling pulled under the exact oracle
-    without a new 50-cap slot):
+    """The ``sample_stratified_deterministic`` driver slot, THREE
+    TAGGED LEGS (r5 VERDICT #3 pulled mixture sampling under the exact
+    oracle without a new 50-cap slot; r6 adds DSIR selection the same
+    way):
 
     - ``leg='strat'``: ``sample_stratified_deterministic`` unchanged
       (uniform md5-bucket pct% keep, per-language kept counts + sorted
@@ -926,13 +935,21 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
       deterministic rate (the CASE-in-scan-projection form), same
       per-language rollup.  A language kept at rate 0 in a small
       corpus simply has no row, identically on both engines.
+    - ``leg='dsir'``: DSIR-style targeted selection
+      (``operators/dsir.py``) -- hashed-unigram bucket statistics over
+      a deterministic stand-in target corpus
+      (``doc_id % DSIR_TARGET_MOD == 0``), integer-exact
+      target-leaning score per raw doc, top-``DSIR_TOP_K`` by
+      ``(score DESC, doc_id ASC)``, same per-language rollup.  Every
+      arithmetic step is int64 (cross-multiplied shares, +/-1 token
+      scores), so DuckDB recomputes the selected ids bit-for-bit.
 
-    Both legs are pure functions of doc_id, so the DuckDB oracle
+    All legs are pure functions of the row keys, so the DuckDB oracle
     recomputes the exact kept-id lists for each.  The strat leg IS
     ``sample_stratified_deterministic`` by construction (called, not
     re-implemented -- an edit to the single-purpose sampler's keep rule
-    cannot silently diverge the driver slot); the mix leg applies the
-    same rollup to the mixture selection."""
+    cannot silently diverge the driver slot); the other legs apply the
+    same rollup to their own selections."""
     strat = sample_stratified_deterministic(spark, sf_dir, pct).select(
         F.lit("strat").alias("leg"), "lang", "n_kept", "kept_ids"
     )
@@ -950,7 +967,23 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
         )
         .select(F.lit("mix").alias("leg"), "lang", "n_kept", "kept_ids")
     )
-    return strat.unionByName(mix).orderBy("leg", "lang")
+    d = _docs(spark, sf_dir).withColumn(
+        "__t", F.col("doc_id") % DSIR_TARGET_MOD == 0
+    )
+    dsir = (
+        dsir_select_topk(
+            dsir_lean_score(d, "__t", keep_cols=("lang",)), DSIR_TOP_K
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("kept_ids"),
+        )
+        .select(F.lit("dsir").alias("leg"), "lang", "n_kept", "kept_ids")
+    )
+    return strat.unionByName(mix).unionByName(dsir).orderBy("leg", "lang")
 
 
 QUERIES = {
@@ -1077,6 +1110,31 @@ ORACLES = {
                       f"WHEN '{s}' THEN {int(round(w * MIXTURE_DENOM))}"
                       for s, w in MIXTURE_WEIGHTS.items())}
                   ELSE 0 END
+        ), dtoks AS (
+            SELECT doc_id, lang, doc_id % {DSIR_TARGET_MOD} = 0 AS is_t,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), db AS (
+            SELECT doc_id, lang, is_t,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                       % {DSIR_BUCKETS} AS bkt
+            FROM dtoks WHERE tok <> ''
+        ), dstats AS (
+            SELECT bkt, count(*) FILTER (is_t) AS ct,
+                   count(*) FILTER (NOT is_t) AS cr
+            FROM db GROUP BY bkt
+        ), dtot AS (
+            SELECT sum(ct) AS tt, sum(cr) AS tr FROM dstats
+        ), dlean AS (
+            SELECT bkt, (ct * tr > cr * tt) AS lean FROM dstats, dtot
+        ), dscore AS (
+            SELECT doc_id, lang,
+                   sum(CASE WHEN lean THEN 1 ELSE -1 END) AS score
+            FROM db JOIN dlean USING (bkt) WHERE NOT is_t
+            GROUP BY doc_id, lang
+        ), dtop AS (
+            SELECT lang, doc_id FROM dscore
+            ORDER BY score DESC, doc_id LIMIT {DSIR_TOP_K}
         )
         SELECT * FROM (
             SELECT 'strat' AS leg, lang, count(*) AS n_kept,
@@ -1087,6 +1145,10 @@ ORACLES = {
             SELECT 'mix', lang, count(*),
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
             FROM mix GROUP BY lang
+            UNION ALL
+            SELECT 'dsir', lang, count(*),
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+            FROM dtop GROUP BY lang
         ) ORDER BY leg, lang
     """,
     "text_dup_passages": f"""

@@ -737,11 +737,12 @@ def test_lsh_slot_legs_match_parts(spark):
 
 
 def test_stratified_slot_legs_match_parts(spark):
-    """The r6 two-leg sample_stratified_deterministic driver slot:
+    """The r6 three-leg sample_stratified_deterministic driver slot:
     leg='strat' equals the single-purpose stratified sampler; leg='mix'
     equals sample_mixture(MIXTURE_WEIGHTS) rolled up per language, with
     the omitted source (fr) absent and the sub-percent source kept at
-    its exact md5-rule count."""
+    its exact md5-rule count; leg='dsir' equals the single-purpose
+    dsir_lean_score -> top-k pipeline rolled up the same way."""
     from pyspark.sql import functions as F
 
     merged = _pdf(ts.sample_stratified_with_mixture(spark, SF))
@@ -761,6 +762,29 @@ def test_stratified_slot_legs_match_parts(spark):
         .agg(F.count("*").alias("n_kept"))
     ).set_index("lang")
     assert mix["n_kept"].to_dict() == expect["n_kept"].to_dict()
+    # dsir leg: the selected ids are exactly the single-purpose
+    # pipeline's top-k, and exactly DSIR_TOP_K docs are kept in total
+    import azure_based_pii_redactor_spark.engine.operators.dsir as dsir
+
+    dleg = merged[merged.leg == "dsir"]
+    assert dleg["n_kept"].sum() == dsir.DSIR_TOP_K
+    got_ids = sorted(
+        int(i) for ids in dleg["kept_ids"] for i in ids.split(",")
+    )
+    d = docs.withColumn(
+        "__t", F.col("doc_id") % dsir.DSIR_TARGET_MOD == 0
+    )
+    want_ids = sorted(
+        r.doc_id
+        for r in dsir.dsir_select_topk(
+            dsir.dsir_lean_score(d, "__t", keep_cols=("lang",)),
+            dsir.DSIR_TOP_K,
+        ).collect()
+    )
+    assert got_ids == want_ids
+    # no selected doc is a target doc (targets are the reference
+    # distribution, never candidates)
+    assert all(i % dsir.DSIR_TARGET_MOD != 0 for i in got_ids)
 
 
 def test_decontaminate_bloom_superset_and_fpr(spark):
