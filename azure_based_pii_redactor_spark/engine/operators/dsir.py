@@ -16,8 +16,9 @@ Two forms, one bucket statistic:
 - :func:`dsir_lean_score` -- the INTEGER-EXACT variant the driver
   oracle checks: a bucket is *target-leaning* iff its target share
   strictly exceeds its raw share (``ct * total_raw > cr * total_target``
-  -- pure int64 arithmetic, no floats, so DuckDB recomputes every score
-  bit-for-bit), and a doc scores ``+1`` per target-leaning token,
+  -- exact integer arithmetic, cross-multiplied in decimal so the
+  product cannot overflow int64 at web scale, no floats, so DuckDB
+  recomputes every score bit-for-bit via HUGEINT), and a doc scores ``+1`` per target-leaning token,
   ``-1`` otherwise.  Selection is top-k by ``(score DESC, id ASC)``.
 - :func:`dsir_importance_weights` + :func:`dsir_resample` -- the
   paper-faithful float variant: per-doc log importance weight
@@ -97,7 +98,8 @@ def dsir_lean_score(docs, is_target_col, n_buckets: int = DSIR_BUCKETS,
     """Integer-exact DSIR score per RAW doc (target docs are the
     reference distribution, never candidates).  A bucket is
     target-leaning iff ``ct * total_raw > cr * total_target`` --
-    cross-multiplied shares, strict, all int64 -- and a doc scores
+    cross-multiplied shares, strict, exact decimal/HUGEINT -- and a
+    doc scores
     ``sum(+1 if leaning else -1)`` over its tokens.  Returns
     ``(id, *keep_cols, score)``; feed :func:`dsir_select_topk` or a
     threshold filter."""
@@ -105,12 +107,17 @@ def dsir_lean_score(docs, is_target_col, n_buckets: int = DSIR_BUCKETS,
     totals = stats.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )
+    dec = "decimal(20,0)"  # count * total can reach ~10^12 * 10^15 at
+    # web scale -- int64 would overflow SILENTLY (non-ANSI wraps);
+    # decimal x decimal compares exactly up to 38 digits, and the
+    # DuckDB oracle mirrors it with HUGEINT (exact 128-bit)
     lean = (
         stats.crossJoin(F.broadcast(totals))
         .select(
             "bkt",
-            (F.col("ct") * F.col("tr")
-             > F.col("cr") * F.col("tt")).alias("lean"),
+            (F.col("ct").cast(dec) * F.col("tr").cast(dec)
+             > F.col("cr").cast(dec) * F.col("tt").cast(dec))
+            .alias("lean"),
         )
     )
     toks = _tokens(

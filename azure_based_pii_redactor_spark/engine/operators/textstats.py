@@ -941,8 +941,9 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
       (``doc_id % DSIR_TARGET_MOD == 0``), integer-exact
       target-leaning score per raw doc, top-``DSIR_TOP_K`` by
       ``(score DESC, doc_id ASC)``, same per-language rollup.  Every
-      arithmetic step is int64 (cross-multiplied shares, +/-1 token
-      scores), so DuckDB recomputes the selected ids bit-for-bit.
+      arithmetic step is exact integer (decimal/HUGEINT
+      cross-multiplied shares, +/-1 token scores), so DuckDB
+      recomputes the selected ids bit-for-bit.
 
     All legs are pure functions of the row keys, so the DuckDB oracle
     recomputes the exact kept-id lists for each.  The strat leg IS
@@ -1126,7 +1127,9 @@ ORACLES = {
         ), dtot AS (
             SELECT sum(ct) AS tt, sum(cr) AS tr FROM dstats
         ), dlean AS (
-            SELECT bkt, (ct * tr > cr * tt) AS lean FROM dstats, dtot
+            SELECT bkt, (ct::HUGEINT * tr::HUGEINT
+                         > cr::HUGEINT * tt::HUGEINT) AS lean
+            FROM dstats, dtot
         ), dscore AS (
             SELECT doc_id, lang,
                    sum(CASE WHEN lean THEN 1 ELSE -1 END) AS score
