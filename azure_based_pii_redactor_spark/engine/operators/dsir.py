@@ -40,9 +40,9 @@ Scale shape (the part that must survive 10^12 docs):
   shuffle, same cardinality as any per-doc rollup);
 - top-k compiles to TakeOrderedAndProject (per-partition heaps + a
   k-row driver merge).  At 10^12 docs selection should switch from a
-  global top-k to a score THRESHOLD (two tiny passes: sample the score
-  distribution, then filter) -- the scores frame returned here feeds
-  either.
+  global top-k to a score THRESHOLD -- :func:`dsir_select_threshold`
+  (percentile sketch + plain filter, two tiny passes) -- and the
+  scores frame returned here feeds either.
 """
 
 from __future__ import annotations
@@ -140,6 +140,31 @@ def dsir_select_topk(scores, k: int = DSIR_TOP_K, id_col: str = "doc_id"):
     """Top-k docs by ``(score DESC, id ASC)`` -- deterministic total
     order, compiles to TakeOrderedAndProject (no global sort)."""
     return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_select_threshold(scores, keep_frac: float, score_col: str = "score",
+                          accuracy: int = 10000):
+    """The 10^12-doc selection path the top-k docstring promises: a
+    global top-k needs every partition's heap merged driver-side, but
+    at web scale "the best 10%" is a THRESHOLD, not a rank.  Two tiny
+    passes: (1) a mergeable ApproximatePercentile sketch (one
+    map-side-combined aggregation to a single driver row) estimates
+    the ``1 - keep_frac`` score quantile, (2) a plain
+    ``Filter score >= cutoff`` in the scan projection keeps the top
+    fraction -- no global sort, no rank window, no driver merge
+    proportional to k.  Ties at the cutoff are ALL kept (dropping a
+    tie would need a global order; over a +/-1-per-token integer
+    score, boundary ties are the common case and over-keeping is the
+    safe direction), so the kept fraction is >= keep_frac up to
+    sketch error.  Exact boundary invariant either way: every kept
+    doc scores >= every dropped doc."""
+    row = scores.agg(
+        F.percentile_approx(score_col, 1.0 - keep_frac, accuracy)
+        .alias("c")
+    ).collect()[0]  # 1-row driver fetch, sketch-sized -- never corpus-sized
+    if row["c"] is None:  # empty scores frame
+        return scores
+    return scores.filter(F.col(score_col) >= F.lit(row["c"]))
 
 
 def dsir_importance_weights(docs, is_target_col,

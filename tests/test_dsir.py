@@ -118,3 +118,40 @@ def test_driver_leg_constants_sane():
 
     assert dsir.DSIR_TARGET_MOD != ts.EVAL_MOD
     assert dsir.DSIR_TOP_K <= 50
+
+
+def test_select_threshold_scale_path(spark):
+    """The threshold form of selection: kept fraction ~ keep_frac
+    (over-keeping only, ties all kept), exact boundary invariant
+    (every kept score >= every dropped score), deterministic, and a
+    plain Filter plan -- no Sort / rank window / TakeOrdered."""
+    scores = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("score")
+    )
+    kept = dsir.dsir_select_threshold(scores, keep_frac=0.1)
+    rows = kept.collect()
+    n = len(rows)
+    # >= the asked fraction, within one tie-class of it (score has 97
+    # distinct values over 1000 rows -> one class is ~11 rows)
+    assert 100 <= n <= 125
+    min_kept = min(r.score for r in rows)
+    dropped_max = (
+        scores.filter(F.col("score") < min_kept)
+        .agg(F.max("score"))
+        .collect()[0][0]
+    )
+    assert dropped_max < min_kept
+    assert scores.count() == n + scores.filter(
+        F.col("score") < min_kept
+    ).count()  # kept = everything at/above the cutoff, nothing else
+    # deterministic: same frame, same selection
+    again = sorted(r.doc_id for r in
+                   dsir.dsir_select_threshold(scores, 0.1).collect())
+    assert again == sorted(r.doc_id for r in rows)
+    # plan: plain Filter, no global order anywhere
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "TakeOrderedAndProject" not in plan
+    # degenerate inputs: empty frame -> empty, keep all -> all
+    empty = scores.filter(F.col("score") < 0)
+    assert dsir.dsir_select_threshold(empty, 0.5).count() == 0
+    assert dsir.dsir_select_threshold(scores, 1.0).count() == 1000
