@@ -108,9 +108,17 @@ def dsir_lean_score(docs, is_target_col, n_buckets: int = DSIR_BUCKETS,
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )
     dec = "decimal(20,0)"  # count * total can reach ~10^12 * 10^15 at
-    # web scale -- int64 would overflow SILENTLY (non-ANSI wraps);
-    # decimal x decimal compares exactly up to 38 digits, and the
-    # DuckDB oracle mirrors it with HUGEINT (exact 128-bit)
+    # web scale -- int64 would overflow SILENTLY (non-ANSI wraps).
+    # Exactness ceiling, precisely scoped (ADVICE r6): ct/cr/tt/tr are
+    # BIGINT sums, so each cast here is lossless by construction (a
+    # bigint has <= 19 digits; decimal(20,0) can NOT return NULL for
+    # it) and the product is at most (2^63)^2 ~= 8.5e37, inside the
+    # decimal(38,0) Spark caps the multiply at -- no overflow-to-NULL
+    # path exists while the inputs are int64.  The int64 sums are the
+    # real ceiling: exact while either side's TOTAL token count stays
+    # below 2^63 (~9.2e18; a 10^12-doc corpus at 10^4 tokens/doc is
+    # 10^16, three orders inside).  DuckDB mirrors with HUGEINT
+    # (exact 128-bit).
     lean = (
         stats.crossJoin(F.broadcast(totals))
         .select(

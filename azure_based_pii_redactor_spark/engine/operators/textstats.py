@@ -592,38 +592,58 @@ def build_window_bloom(
     collect is bounded by ``m // 64`` rows, a function of the CHOSEN
     capacity, never of the eval corpus size (the property that makes
     this the scale path: a 10^9-window eval suite at fpp 1e-3 is a
-    ~2 GB filter regardless of how its windows are distributed)."""
-    bits_df, m, n_wins = _bloom_bits_frame(docs, n, text_col, fpp)
-    if max_words is not None and m // 64 > max_words:
-        # guard BEFORE the probe aggregation and the m//64-row collect
-        # -- the expensive work the cap exists to prevent (review r6:
-        # a post-collect check would OOM the driver first)
-        raise ValueError(
-            f"bloom filter needs {m // 64} words for {n_wins} windows"
-            f" at fpp={fpp} (> {max_words}): too large to embed as a"
-            " plan literal -- use decontaminate_bloom(mode='table')"
-            " (the broadcast-join probe) for this capacity"
-        )
-    rows = bits_df.collect()  # <= m // 64 tiny rows (bounded by capacity)
+    ~2 GB filter regardless of how its windows are distributed).  The
+    window frame is persisted so the sizing count and the probe
+    aggregation share one eval-corpus scan (ADVICE r6)."""
+    bits_df, m, n_wins, wins = _bloom_bits_frame(
+        docs, n, text_col, fpp, persist_windows=True
+    )
+    try:
+        if max_words is not None and m // 64 > max_words:
+            # guard BEFORE the probe aggregation and the m//64-row
+            # collect -- the expensive work the cap exists to prevent
+            # (review r6: a post-collect check would OOM the driver
+            # first)
+            raise ValueError(
+                f"bloom filter needs {m // 64} words for {n_wins}"
+                f" windows at fpp={fpp} (> {max_words}): too large to"
+                " embed as a plan literal -- use"
+                " decontaminate_bloom(mode='table') (the"
+                " broadcast-join probe) for this capacity"
+            )
+        return _assemble_bloom_words(bits_df, m), m
+    finally:
+        wins.unpersist()
+
+
+def _assemble_bloom_words(bits_df, m: int) -> list:
+    """Collect a (w, bits) frame into the dense ``m // 64``-word list
+    the literal probe embeds -- <= m // 64 tiny rows, bounded by the
+    CHOSEN capacity, never by corpus size."""
     words = [0] * (m // 64)
-    for r in rows:
+    for r in bits_df.collect():
         words[r.w] = r.bits
-    return words, m
+    return words
 
 
 def _bloom_bits_frame(
-    docs, n: int, text_col: str, fpp: float
-) -> tuple["DataFrame", int, int]:
+    docs, n: int, text_col: str, fpp: float, persist_windows: bool = False
+) -> tuple["DataFrame", int, int, "DataFrame"]:
     """The filter's (w, bits) rows as an (unmaterialized) DataFrame plus
-    (m, n_distinct_windows): the shared build under both probe modes --
-    the literal path collects it (bounded by m // 64), the table path
-    broadcasts it as-is (bounded by executor memory, the 10^9-window
-    regime)."""
+    (m, n_distinct_windows, windows_frame): the shared build under both
+    probe modes -- the literal path collects it (bounded by m // 64),
+    the table path broadcasts it as-is (bounded by executor memory, the
+    10^9-window regime).  ``persist_windows`` caches the distinct-window
+    frame so the sizing count and the downstream probe aggregation scan
+    the eval corpus once -- right for the literal/auto regime, wrong
+    for a 10^9-window table build (the caller owns the unpersist)."""
     wins = (
         docs.withColumn("__words", F.split(F.col(text_col), " "))
         .select(F.explode(_word_windows(n)).alias("win"))
         .distinct()
     )
+    if persist_windows:
+        wins = wins.persist()
     n_wins = wins.count()
     m = _bloom_m_bits(n_wins, fpp)
     pos = F.explode(F.array(*_bloom_positions(F.col("win"), m)))
@@ -640,7 +660,7 @@ def _bloom_bits_frame(
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
     )
-    return bits_df, m, n_wins
+    return bits_df, m, n_wins, wins
 
 
 MAX_BLOOM_LITERAL_WORDS = 1 << 13  # 8192 words = 512 Kbit filter
@@ -701,13 +721,19 @@ def decontaminate_bloom(
         )
         bits_df = None
     else:
-        bits_df, m, _ = _bloom_bits_frame(eval_docs, n, text_col, fpp)
-        if mode == "auto" and m // 64 <= MAX_BLOOM_LITERAL_WORDS:
-            rows = bits_df.collect()
-            words = [0] * (m // 64)
-            for r in rows:
-                words[r.w] = r.bits
-            bits_df = None
+        # auto persists the window frame (it will likely collect the
+        # small-filter words); an explicit 'table' caller knows the
+        # eval suite is 10^9-window scale, where persisting the frame
+        # just to count it is the wrong trade
+        bits_df, m, _, wins = _bloom_bits_frame(
+            eval_docs, n, text_col, fpp, persist_windows=(mode == "auto")
+        )
+        if mode == "auto":
+            if m // 64 <= MAX_BLOOM_LITERAL_WORDS:
+                words = _assemble_bloom_words(bits_df, m)
+                bits_df = None
+            wins.unpersist()  # over-cap: lazy bits_df recomputes at
+            # broadcast time, same shape as mode='table'
     t = (
         train_docs.withColumn("__words", F.split(F.col(text_col), " "))
         .select(F.col(id_col), F.explode(_word_windows(n)).alias("win"))

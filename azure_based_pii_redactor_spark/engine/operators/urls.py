@@ -138,8 +138,12 @@ def cap_per_domain(pages: DataFrame, max_per_domain: int) -> DataFrame:
     refine THIS operator's semantics rather than replace them."""
     from .textstats import md5_hash60
 
+    # nullif: a userinfo-only authority ('https://user@/p') collapses to
+    # the EMPTY string, not NULL -- without it every such odd-but-real
+    # url shared one '' quota group and got capped away together.
     key = F.coalesce(
-        collapsed_authority(F.col("url")), F.col("url")  # unparseable: own group
+        F.nullif(collapsed_authority(F.col("url")), F.lit("")),
+        F.col("url"),  # unparseable / empty-authority: own group
     )
     w = Window.partitionBy("__cap_key").orderBy(
         md5_hash60(F.col("url")), F.asc("url")

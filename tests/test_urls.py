@@ -116,6 +116,10 @@ def test_cap_per_domain(spark):
     rows += [(f"https://hot.example:8080/s{i}", 300 + i) for i in range(12)]
     rows += [(f"https://small.example/p{i}", 100 + i) for i in range(3)]
     rows += [(f"not a url {i}", 900 + i) for i in range(14)]  # exempt
+    # userinfo-only authority: collapsed_authority yields '' (empty
+    # string, NOT NULL) -- each must be its OWN exempt group, not one
+    # shared ''-keyed quota group (ADVICE r6)
+    rows += [(f"https://user{i}@/p", 950 + i) for i in range(13)]
     pages = spark.createDataFrame(rows, "url string, v long")
 
     capped = cap_per_domain(pages, 10)
@@ -129,6 +133,8 @@ def test_cap_per_domain(spark):
     assert sum("small.example" in u for u in urls) == 3
     # unparseable urls are never capped away
     assert sum(u.startswith("not a url") for u in urls) == 14
+    # ...and neither are empty-authority urls (13 > quota survives)
+    assert sum("@/p" in u for u in urls) == 13
     # determinism: same keepers regardless of input partitioning/order
     shuffled = pages.orderBy(F.rand(7)).repartition(7)
     again = sorted(r.url for r in cap_per_domain(shuffled, 10).collect())
