@@ -285,3 +285,61 @@ def write_warc_corpus(
         .agg(F.sum("n"))
         .first()[0]
     )
+
+
+def write_wet_corpus(
+    spark: SparkSession,
+    path: str,
+    n_rows: int,
+    seed: int = 42,
+    files: int = 256,
+) -> int:
+    """The WET sibling of ``write_warc_corpus``: the same deterministic
+    pages corpus as ``files`` ``.wet.gz`` files of ``conversion``
+    records whose payload is each page's extracted plain TEXT (no HTTP
+    envelope) -- the layout most Common-Crawl text pipelines actually
+    ingest, and the fixture behind the ``wet_scan`` bench entry.  One
+    file per Spark partition, same as the WARC writer: file count IS
+    the scan-parallelism unit."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .pages import generate_pages
+
+    os.makedirs(path, exist_ok=True)
+    pages = generate_pages(spark, n_rows, seed, parts=files)
+
+    def write_part(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            for url, ts, text in zip(
+                pdf["url"], pdf["warc_ts"], pdf["text"]
+            ):
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": None if pd.isna(ts)
+                        else ts.to_pydatetime(),
+                        "html": ("" if text is None else text).encode(),
+                    }
+                )
+        blob = encode_warc(
+            rows, gzip_members=True, http_wrap=False,
+            record_type="conversion",
+        )
+        with open(
+            os.path.join(path, f"part-{pid:05d}.wet.gz"), "wb"
+        ) as f:
+            f.write(blob)
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    return int(
+        pages.mapInPandas(write_part, schema="n long")
+        .agg(F.sum("n"))
+        .first()[0]
+    )

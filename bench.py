@@ -166,6 +166,45 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
 
+    # -- WET front door: Common Crawl's text-only sibling layout ------------
+    # The format most CC text pipelines actually ingest (conversion
+    # records, payload = extracted plain text, no HTTP envelope).  Same
+    # fixture granularity and split-sizing hygiene as warc_scan.
+    from azure_based_pii_redactor_spark.sources.warc import (
+        read_wet,
+        write_wet_corpus,
+    )
+
+    wet_dir = os.path.join(SCRATCH, f"wet_{n_pages}")
+    wet_done = os.path.join(wet_dir, "_SUCCESS")
+    if not os.path.exists(wet_done):
+        shutil.rmtree(wet_dir, ignore_errors=True)
+        write_wet_corpus(spark, wet_dir, n_pages, seed=42, files=256)
+        open(wet_done, "w").close()
+    wetfiles = [f for f in os.listdir(wet_dir) if f.endswith(".wet.gz")]
+    wettotal = sum(
+        os.path.getsize(os.path.join(wet_dir, f)) for f in wetfiles
+    )
+    saved_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(2 * wettotal // max(len(wetfiles), 1), 1)),
+    )
+    try:
+        read_wet(spark, os.path.join(wet_dir, "*.wet.gz")).limit(
+            2000
+        ).write.format("noop").mode("overwrite").save()  # warm-up, untimed
+        best = 9e9
+        for _ in range(2):
+            t0 = time.time()
+            read_wet(
+                spark, os.path.join(wet_dir, "*.wet.gz")
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings["wet_scan"] = round(best, 3)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved_mpb)
+
     # -- end-to-end corpus builder (side metric, not a headline entry) ------
     # The one-call production recipe over the SAME 50k-page corpus: url
     # dedup -> quality filter + scrub -> passage removal ->
@@ -344,6 +383,80 @@ def main() -> None:
             if prev is not None:
                 restore_state_store_conf(spark, prev)
 
+    # -- streaming admission loop: per-epoch cost curve (VERDICT r6 #3) -----
+    # The scale claim under measurement: "history is never re-shingled"
+    # -- each epoch's cost is the BATCH's shingle/band/re-score work
+    # plus bounded reads of the persisted stores, so per-epoch wall time
+    # stays FLAT as admitted history accumulates.  Evidence shape: seed
+    # a history corpus ~8x the slice size (shingled ONCE, by
+    # seed_band_store -- its cost is reported as admission_seed_sec),
+    # then stream EPOCHS equal crawl slices (fresh docs + a 20%
+    # re-fetch/near-dup tail that must be rejected) through
+    # run_streaming_admission under one checkpoint.  A rising curve
+    # would falsify the claim; admitted counts prove the rejections
+    # actually happened.  Streaming one-off costs are already paid by
+    # the scrub_stream warm-up above.
+    from pyspark.sql import functions as F  # noqa: F811 (scoped above)
+
+    from azure_based_pii_redactor_spark.streaming.admission import (
+        run_streaming_admission,
+        seed_band_store,
+    )
+
+    adm_root = os.path.join(SCRATCH, "admission")
+    shutil.rmtree(adm_root, ignore_errors=True)  # always fresh: the
+    # epoch curve IS the artifact; reusing stores would skew it
+    adm_src = os.path.join(adm_root, "src")
+    os.makedirs(adm_src)
+    band_p = os.path.join(adm_root, "bands")
+    out_p = os.path.join(adm_root, "admitted")
+    adm_ckpt = os.path.join(adm_root, "ckpt")
+    hist_n = max(n_pages // 3, 1_500)
+    slice_n = max(n_pages // 25, 200)
+    refetch_n = slice_n // 5
+    adm_epochs = 4
+
+    def _docs(df, id_offset=0):
+        return df.select(
+            (F.xxhash64("url") + F.lit(id_offset)).alias("doc_id"), "text"
+        )
+
+    hist_docs = _docs(
+        generate_pages(spark, hist_n, seed=11, parts=CPUS)
+    ).localCheckpoint()
+    t0 = time.time()
+    seed_band_store(hist_docs, band_p)
+    admission_seed_sec = round(time.time() - t0, 3)
+
+    epoch_secs = []
+    for i in range(adm_epochs):
+        fresh = generate_pages(
+            spark, slice_n, seed=11, parts=8,
+            start_id=hist_n + i * slice_n,
+        )
+        # re-fetches: a disjoint 20% window of the HISTORY generator
+        # range re-emitted under new doc_ids -- near-dup rejects
+        refetch = generate_pages(
+            spark, refetch_n, seed=11, parts=2, start_id=i * refetch_n
+        )
+        _docs(fresh).unionByName(
+            _docs(refetch, id_offset=1 + i)
+        ).repartition(8).write.mode("append").parquet(adm_src)
+        t0 = time.time()
+        q = run_streaming_admission(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(adm_src),
+            hist_docs, band_p, out_p, adm_ckpt,
+        )
+        q.awaitTermination()
+        epoch_secs.append(round(time.time() - t0, 3))
+    adm_counts = {
+        int(r.epoch_id): int(r.n)
+        for r in spark.read.parquet(out_p)
+        .groupBy("epoch_id").agg(F.count("*").alias("n")).collect()
+    }
+    admission_admitted = [adm_counts.get(i, 0) for i in range(adm_epochs)]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -357,6 +470,11 @@ def main() -> None:
                 "corpus_builder_docs_per_sec": round(
                     n_pages / corpus_builder_sec, 1
                 ),
+                "admission_seed_sec": admission_seed_sec,
+                "admission_epoch_secs": epoch_secs,
+                "admission_admitted": admission_admitted,
+                "admission_slice_docs": slice_n + refetch_n,
+                "admission_history_docs": hist_n,
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
                 "stream_docs_per_sec": stream_docs_per_sec,

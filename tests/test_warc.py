@@ -215,6 +215,34 @@ def test_write_warc_corpus_roundtrips(spark, tmp_path):
     )
 
 
+def test_write_wet_corpus_roundtrips(spark, tmp_path):
+    """The WET bench fixture writer: a distributed-written .wet.gz
+    corpus reads back page-for-page with the generator's TEXT in the
+    text column (html NULL -- the extraction stage must pass it
+    through untouched)."""
+    import os
+
+    from azure_based_pii_redactor_spark.sources.pages import generate_pages
+    from azure_based_pii_redactor_spark.sources.warc import (
+        read_wet,
+        write_wet_corpus,
+    )
+
+    d = str(tmp_path / "wet")
+    n = write_wet_corpus(spark, d, 300, seed=11, files=8)
+    assert n == 300
+    assert len([f for f in os.listdir(d) if f.endswith(".wet.gz")]) == 8
+    got = read_wet(spark, d + "/*.wet.gz").toPandas().set_index(
+        "url").sort_index()
+    want = generate_pages(spark, 300, seed=11, parts=8).select(
+        "url", "warc_ts", "text").toPandas().set_index("url").sort_index()
+    assert len(got) == 300
+    assert (got.index == want.index).all()
+    assert (got["warc_ts"] == want["warc_ts"]).all()
+    assert got["html"].isna().all()
+    assert (got["text"] == want["text"]).all()
+
+
 def test_read_wet_conversion_records(spark, tmp_path):
     """WET front door: conversion payloads land in the TEXT column
     (tolerantly decoded, html NULL) so literal '<' and '&' survive
