@@ -616,6 +616,60 @@ def dedup_minhash_verified_with_incremental(spark, sf_dir):
             ).alias("flag_ok"),
         )
     )
+    # --- leg='loop1'/'loop2' (r6 VERDICT #4): the ADMISSION LOOP's
+    # batch core driven two epochs deep, under the exact oracle.  A
+    # 3-way doc_id split plays (history, crawl epoch 1, crawl epoch 2):
+    # epoch 1 admits against history; epoch 2 admits against history
+    # PLUS epoch-1's admissions -- the loop-level semantics
+    # (yesterday's admissions reject today's near-dups) that
+    # streaming/admission.py runs via foreachBatch.  The oracle
+    # recomputes BOTH admitted id sets exactly, and each loop2 row's
+    # ``flag_ok`` asserts replay identity: epoch 2 re-run through the
+    # PERSISTED band-store path (seed bands + epoch-1 increment, the
+    # exact store state a replayed epoch reads) admits the same ids as
+    # the self-contained run.  The streaming wrapper itself
+    # (checkpoint/foreachBatch/dynamic-overwrite idempotence) stays
+    # pytest-pinned -- the driver harness is batch (COVERAGE.md).
+    from ..corpus import admit_batch  # deferred: corpus imports dedup
+
+    docs3 = _docs(spark, sf_dir).select("doc_id", "text")
+    h0 = docs3.filter(F.col("doc_id") % 3 == 0)
+    e1 = docs3.filter(F.col("doc_id") % 3 == 1)
+    e2 = docs3.filter(F.col("doc_id") % 3 == 2)
+    adm1, bands1 = admit_batch(e1, h0)
+    adm1 = adm1.localCheckpoint()  # consumed by hist2 (twice) + loop1
+    hist2 = h0.unionByName(adm1)
+    adm2_self, _ = admit_batch(e2, hist2)
+    adm2_store, _ = admit_batch(
+        e2, hist2,
+        history_bands=_band_hashes(_signatures_for(h0))
+        .unionByName(bands1),
+    )
+    loop1 = adm1.select(
+        F.lit("loop1").alias("leg"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(-1).cast("long").alias("doc_b"),
+        F.lit(0.0).alias("jaccard"),
+        F.lit(True).alias("flag_ok"),
+    )
+    loop2 = (
+        adm2_self.select("doc_id", F.lit(True).alias("__self"))
+        .join(
+            adm2_store.select("doc_id", F.lit(True).alias("__store")),
+            "doc_id",
+            "full",
+        )
+        .select(
+            F.lit("loop2").alias("leg"),
+            F.col("doc_id").alias("doc_a"),
+            F.lit(-1).cast("long").alias("doc_b"),
+            F.lit(0.0).alias("jaccard"),
+            (
+                F.coalesce(F.col("__self"), F.lit(False))
+                & F.coalesce(F.col("__store"), F.lit(False))
+            ).alias("flag_ok"),
+        )
+    )
     return (
         all_leg.select(
             F.lit("all").alias("leg"),
@@ -625,6 +679,8 @@ def dedup_minhash_verified_with_incremental(spark, sf_dir):
             F.col("est_err_ok").alias("flag_ok"),
         )
         .unionByName(incr_leg)
+        .unionByName(loop1)
+        .unionByName(loop2)
         .orderBy("leg", "doc_a", "doc_b")
     )
 
@@ -996,6 +1052,28 @@ ORACLES = {
     "dedup_minhash_lsh": f"""
         WITH base AS (
             {_RAW_JACCARD_PAIRS_SQL}
+        ), rej1 AS (
+            -- epoch-1 docs (doc_id%3=1) near-dup of history (%3=0)
+            SELECT DISTINCT
+                   CASE WHEN doc_a % 3 = 1 THEN doc_a ELSE doc_b END AS id
+            FROM base WHERE (doc_a % 3) + (doc_b % 3) = 1
+        ), adm1 AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id % 3 = 1 AND doc_id NOT IN (SELECT id FROM rej1)
+        ), hist2 AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+            UNION ALL SELECT doc_id FROM adm1
+        ), rej2 AS (
+            -- epoch-2 docs near-dup of history OR an epoch-1 ADMISSION
+            SELECT DISTINCT
+                   CASE WHEN doc_a % 3 = 2 THEN doc_a ELSE doc_b END AS id
+            FROM base
+            WHERE (doc_a % 3 = 2) <> (doc_b % 3 = 2)
+              AND (CASE WHEN doc_a % 3 = 2 THEN doc_b ELSE doc_a END)
+                  IN (SELECT doc_id FROM hist2)
+        ), adm2 AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT id FROM rej2)
         )
         SELECT * FROM (
             SELECT 'all' AS leg, doc_a, doc_b,
@@ -1007,6 +1085,10 @@ ORACLES = {
                    CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END,
                    round(raw_j, 4), TRUE
             FROM base WHERE (doc_a % 2) <> (doc_b % 2)
+            UNION ALL
+            SELECT 'loop1', doc_id, -1::BIGINT, 0.0, TRUE FROM adm1
+            UNION ALL
+            SELECT 'loop2', doc_id, -1::BIGINT, 0.0, TRUE FROM adm2
         ) ORDER BY leg, doc_a, doc_b
     """,
     "dedup_minhash_clusters": f"""

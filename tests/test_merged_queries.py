@@ -734,6 +734,35 @@ def test_lsh_slot_legs_match_parts(spark):
     # new-batch id (odd) leads in every incr row
     assert all(a % 2 == 1 and b % 2 == 0
                for a, b in zip(incr.doc_a, incr.doc_b))
+    # r7 loop legs: the admission loop's batch core driven two epochs
+    # deep.  Recompute both admitted sets from the verified 'all'
+    # pairs (raw Jaccard >= threshold), mirroring the DuckDB oracle.
+    import duckdb as _duck
+
+    all_ids = set(
+        _duck.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).df()["doc_id"]
+    )
+    pairs = list(zip(all_leg.doc_a, all_leg.doc_b))
+    rej1 = {
+        (a if a % 3 == 1 else b)
+        for a, b in pairs
+        if (a % 3) + (b % 3) == 1
+    }
+    adm1 = {i for i in all_ids if i % 3 == 1} - rej1
+    hist2 = {i for i in all_ids if i % 3 == 0} | adm1
+    rej2 = {
+        (a if a % 3 == 2 else b)
+        for a, b in pairs
+        if ((a % 3 == 2) != (b % 3 == 2))
+        and (b if a % 3 == 2 else a) in hist2
+    }
+    adm2 = {i for i in all_ids if i % 3 == 2} - rej2
+    loop1 = merged[merged.leg == "loop1"]
+    loop2 = merged[merged.leg == "loop2"]
+    assert set(loop1.doc_a) == adm1 and loop1.flag_ok.all()
+    assert set(loop2.doc_a) == adm2 and loop2.flag_ok.all()
 
 
 def test_stratified_slot_legs_match_parts(spark):
