@@ -179,26 +179,46 @@ def dsir_importance_weights(docs, is_target_col,
                             n_buckets: int = DSIR_BUCKETS,
                             text_col: str = "text",
                             id_col: str = "doc_id",
-                            alpha: float = 1.0, keep_cols=()):
+                            alpha="auto", keep_cols=()):
     """Paper-faithful per-doc log importance weight over RAW docs:
     ``log_w = sum_tokens [ln((ct+a)/(tt+a*B)) - ln((cr+a)/(tr+a*B))]``
     with add-``alpha`` smoothing (an unseen-in-target bucket downweights
     instead of sending the doc to -inf).  Float, so pytest-pinned, not
     oracle-hashed -- :func:`dsir_lean_score` is the integer-exact twin
-    the driver checks over the same bucket statistics."""
+    the driver checks over the same bucket statistics.
+
+    ``alpha`` sizing matters when the target corpus is much smaller
+    than the raw pool (always, in practice).  A FIXED ``alpha`` makes
+    a bucket seen once in raw and never in target score
+    ``ln([a/(1+a)] * [(tr+aB)/(tt+aB)])`` -- POSITIVE whenever
+    ``a > ~tt/tr``, i.e. unseen garbage (random strings, gibberish)
+    reads as *target-like* purely through smoothing mass, and at
+    ``alpha=1`` gibberish documents outrank every real candidate
+    (measured on the pages corpus: 'unk' docs fill 100% of the top-3%
+    slice).  The default ``alpha='auto'`` scales the pseudo-count to
+    the corpus-mass ratio ``tt/tr``, which makes never-seen buckets
+    exactly NEUTRAL (the two smoothed probabilities coincide at
+    ct=cr=0) and restores the paper's intent at any target size.  It
+    stays pure column arithmetic over the 1-row totals broadcast --
+    no extra pass, no driver collect."""
     stats = dsir_bucket_stats(docs, is_target_col, n_buckets, text_col)
     totals = stats.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    a = (
+        F.col("tt").cast("double") / F.col("tr")
+        if alpha == "auto"
+        else F.lit(float(alpha))
     )
     lw = (
         stats.crossJoin(F.broadcast(totals))
         .select(
             "bkt",
             (
-                F.log((F.col("ct") + alpha)
-                      / (F.col("tt") + alpha * n_buckets))
-                - F.log((F.col("cr") + alpha)
-                        / (F.col("tr") + alpha * n_buckets))
+                F.log((F.col("ct") + a)
+                      / (F.col("tt") + a * n_buckets))
+                - F.log((F.col("cr") + a)
+                        / (F.col("tr") + a * n_buckets))
             ).alias("lw"),
         )
     )
