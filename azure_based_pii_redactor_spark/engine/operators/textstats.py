@@ -553,6 +553,69 @@ def decontaminate(
     )
 
 
+def contamination_overlap(
+    train_docs, eval_docs, n: int = 8, text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The EVAL-side contamination report: per benchmark document, how
+    many of its distinct ``n``-word windows appear ANYWHERE in the
+    training corpus -- the "X% of this eval set is contaminated"
+    number the GPT-3 appendix / Pile / GPT-4 reports publish
+    (``decontaminate`` answers the converse: which TRAINING docs to
+    drop).  Returns one row per eval doc -- ``(id, n_windows,
+    n_leaked, leak_frac)`` -- including zero-leak and shorter-than-n
+    docs, so the output IS the full report.
+
+    Scale shape (train is 10^12 docs, eval is thousands): the eval
+    (id, window) pairs are distinct'd and BROADCAST; the training side
+    explodes windows in the scan projection and left-semi-joins against
+    the broadcast window set, so it never shuffles -- the only
+    exchanges are over matched-window sets bounded by the EVAL suite's
+    size.  One pass over train, one over eval."""
+    ew = (
+        eval_docs.withColumn("__words", F.split(text_col, " "))
+        .select(F.col(id_col), F.explode(_word_windows(n)).alias("win"))
+        .distinct()
+        .localCheckpoint()  # eval-sized by contract; consumed 3x below
+    )
+    wset = ew.select("win").distinct()
+    hit = (
+        train_docs.withColumn("__words", F.split(text_col, " "))
+        .select(F.explode(_word_windows(n)).alias("win"))
+        .join(F.broadcast(wset), "win", "left_semi")
+        .distinct()  # <= |eval windows| rows: bounded by eval, not train
+    )
+    leaked = (
+        ew.join(F.broadcast(hit), "win")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    totals = ew.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    return (
+        eval_docs.select(id_col)
+        .distinct()
+        # totals/leaked are eval-sized: broadcast (the RIGHT side of a
+        # left join broadcasts; hinting the left side is a silent no-op)
+        .join(F.broadcast(totals), id_col, "left")
+        .join(F.broadcast(leaked), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long")
+            .alias("n_windows"),
+            F.coalesce("n_leaked", F.lit(0)).cast("long")
+            .alias("n_leaked"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("n_leaked", F.lit(0))
+                / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("leak_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
 BLOOM_K = 5  # bloom probe count; with m sized by _bloom_m_bits the
 # configured fpp holds at k=5 (fewer probes than the information-
 # theoretic optimum trades a slightly larger m for fewer hash evals per
@@ -842,7 +905,8 @@ BLOOM_FPP = 1e-3  # driver-leg bloom false-positive budget
 
 
 def text_decontaminate_with_bloom(spark, sf_dir, n: int = WINDOW_N):
-    """The ``text_decontaminate`` driver slot, TWO TAGGED LEGS (r6):
+    """The ``text_decontaminate`` driver slot, THREE TAGGED LEGS
+    (r6 exact/bloom, r7 overlap):
 
     - ``leg='exact'``: ``text_decontaminate`` unchanged (one row per
       contaminated doc, DuckDB recomputes the semi-join in full);
@@ -891,6 +955,18 @@ def text_decontaminate_with_bloom(spark, sf_dir, n: int = WINDOW_N):
         [("bloom", -1, 1 if (superset_ok and fpr_ok) else 0)],
         "leg string, doc_id long, n_contaminated_windows long",
     )
+    # leg='overlap' (r7): the EVAL-side report -- per benchmark doc,
+    # its distinct-window leak count into the NON-eval training half
+    # (contamination_overlap; the 'X% of the benchmark is contaminated'
+    # number).  One row per eval doc incl. zero-leak ones; the oracle
+    # recomputes every count exactly.
+    overlap = contamination_overlap(
+        d.filter(F.col("doc_id") % EVAL_MOD != 0), eval_docs, n=n
+    ).select(
+        F.lit("overlap").alias("leg"),
+        "doc_id",
+        F.col("n_leaked").alias("n_contaminated_windows"),
+    )
     return (
         exact.select(
             F.lit("exact").alias("leg"),
@@ -899,6 +975,7 @@ def text_decontaminate_with_bloom(spark, sf_dir, n: int = WINDOW_N):
             .alias("n_contaminated_windows"),
         )
         .unionByName(bloom_row)
+        .unionByName(overlap)
         .orderBy("leg", "doc_id")
     )
 
@@ -1059,6 +1136,22 @@ ORACLES = {
             GROUP BY t.doc_id
             UNION ALL
             SELECT 'bloom', CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+            UNION ALL
+            -- eval-side overlap report: per eval doc, its DISTINCT
+            -- windows found anywhere in the non-eval training half
+            SELECT 'overlap', d.doc_id,
+                   coalesce(x.cnt, 0)
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id % {EVAL_MOD} = 0) d
+            LEFT JOIN (
+                SELECT doc_id, count(*) AS cnt FROM (
+                    SELECT DISTINCT doc_id, win FROM twin
+                    WHERE doc_id % {EVAL_MOD} = 0
+                )
+                WHERE win IN (SELECT win FROM twin
+                              WHERE doc_id % {EVAL_MOD} <> 0)
+                GROUP BY doc_id
+            ) x USING (doc_id)
         ) ORDER BY leg, doc_id
     """,
     "text_dedup_passage_removal": f"""

@@ -889,3 +889,69 @@ def test_decontaminate_bloom_superset_and_fpr(spark):
 
     with _pytest.raises(ValueError, match="unknown bloom probe mode"):
         ts.decontaminate_bloom(docs, eval_docs, mode="nope")
+
+
+def test_contamination_overlap_report(spark):
+    """The eval-side contamination report (r7): per benchmark doc, its
+    distinct-window leak count + fraction into the training corpus --
+    zero-leak and shorter-than-n docs included, so the output is the
+    full report."""
+    train = spark.createDataFrame(
+        [
+            # carries exactly eval-100's FIRST window ('a..h')
+            (1, "a b c d e f g h z z z"),
+            (2, "a b c d e f g h i j"),  # exact copy of eval 100
+            (3, "nothing shared here at all in any window sense"),
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [
+            (100, "a b c d e f g h i j"),   # 3 windows, all leaked
+            (101, "too short for any"),      # < 8 words: 0 windows
+            (102, "p q r s t u v w x y"),   # 3 windows, 0 leaked
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_windows, r.n_leaked, r.leak_frac)
+        for r in ts.contamination_overlap(train, evald).collect()
+    }
+    assert rows == {
+        100: (3, 3, 1.0),
+        101: (0, 0, 0.0),
+        102: (3, 0, 0.0),
+    }
+    # scale pins: the training side must reach the matched-window
+    # distinct through BROADCAST semi-join only -- no sort-merge join,
+    # no Python eval anywhere
+    plan = (
+        ts.contamination_overlap(train, evald)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_overlap_leg_matches_operator(spark):
+    """The driver slot's leg='overlap' rows equal the direct
+    contamination_overlap output over the same eval/train split."""
+    from pyspark.sql import functions as F
+
+    merged = _pdf(ts.text_decontaminate_with_bloom(spark, SF))
+    leg = merged[merged.leg == "overlap"].set_index("doc_id")[
+        "n_contaminated_windows"
+    ]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    direct = {
+        r.doc_id: r.n_leaked
+        for r in ts.contamination_overlap(
+            docs.filter(F.col("doc_id") % ts.EVAL_MOD != 0),
+            docs.filter(F.col("doc_id") % ts.EVAL_MOD == 0),
+        ).collect()
+    }
+    assert dict(leg) == direct
+    # one row per eval doc, zero-leak docs included
+    n_eval = docs.filter(F.col("doc_id") % ts.EVAL_MOD == 0).count()
+    assert len(leg) == n_eval
