@@ -38,6 +38,7 @@ def build_training_corpus(
     passage_n: int | None = None,
     report_counts: bool = True,
     quality_filter: bool = True,
+    blocklist: DataFrame | None = None,
     max_per_domain: int | None = None,
     token_budget: int | None = None,
     **pipeline_kwargs,
@@ -56,8 +57,11 @@ def build_training_corpus(
     knob the driver oracles interpolate; a hand-coded 8 here would
     desynchronize the funnel from its oracle the moment the knob turns.
 
-    Two optional stages (both off by default, so the driver-checked
-    funnel is unchanged): ``max_per_domain`` applies
+    Optional stages (all off by default): ``blocklist`` (DataFrame with
+    a ``domain`` column) applies ``urls.filter_blocklisted_domains``
+    right after url dedup -- the cheapest gate in the whole funnel (url
+    only, no text touched) so it runs before anything that reads
+    payloads; ``max_per_domain`` applies
     ``urls.cap_per_domain`` right after url dedup (cheapest placement:
     every later stage's cost scales with surviving rows, and capping
     before the scrub saves the kernel on the truncated mega-hosts);
@@ -88,6 +92,13 @@ def build_training_corpus(
 
         pages = _count(
             "after_url_dedup", dedup_pages_by_url(pages).drop("canonical_url")
+        )
+
+    if blocklist is not None:
+        from .operators.urls import filter_blocklisted_domains
+
+        pages = _count(
+            "after_blocklist", filter_blocklisted_domains(pages, blocklist)
         )
 
     if max_per_domain is not None:

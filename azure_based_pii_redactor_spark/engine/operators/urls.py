@@ -97,6 +97,91 @@ def dedup_pages_by_url(pages: DataFrame) -> DataFrame:
     )
 
 
+def domain_suffixes(host: Column, max_labels: int = 10) -> Column:
+    """The dot-boundary suffix chain of a host -- ``a.b.example.com`` ->
+    ``[a.b.example.com, b.example.com, example.com, com]`` -- as a pure
+    JVM array expression (split + sequence + slice inside the scan
+    projection; no explode here, callers choose where to explode).
+    Suffix matching is how every domain blocklist (UT1, the C4/RefinedWeb
+    adult/malware lists) is applied: an entry ``example.com`` must block
+    ``shop.example.com`` too, and substring/LIKE matching over-blocks
+    (``notexample.com``) while exact matching under-blocks.
+
+    ``max_labels`` bounds the array (deepest suffixes kept): a crafted
+    host with thousands of dot-separated labels must cost O(max_labels),
+    not O(labels) -- real registrable domains are <= ~5 labels deep, so
+    10 loses nothing a blocklist could match."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    start = F.greatest(F.lit(1), n - F.lit(max_labels) + 1)
+    return F.transform(
+        F.sequence(start, n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def blocked_host_set(
+    pages: DataFrame, blocklist: DataFrame, max_labels: int = 10
+) -> DataFrame:
+    """The DISTINCT corpus hosts matched by a domain blocklist
+    (column ``domain``: registrable domains, matched exactly or as a
+    dot-boundary suffix).  Scale shape: suffixes are exploded over
+    DISTINCT hosts only (~10^8 at crawl scale, x <= max_labels rows --
+    never over the 10^12 pages), then a broadcast LEFT SEMI join against
+    the blocklist keeps matching hosts.  Hosts are keyed by
+    ``collapsed_authority`` -- the same collapse ``canonical_url`` and
+    ``cap_per_domain`` use -- so ``www.bad.example:443`` matches a
+    ``bad.example`` entry."""
+    host = F.nullif(collapsed_authority(F.col("url")), F.lit(""))
+    hosts = (
+        pages.select(host.alias("__host"))
+        .where(F.col("__host").isNotNull())
+        .distinct()
+    )
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col("domain")).alias("__bl")).distinct()
+    )
+    sfx = hosts.select(
+        "__host",
+        F.explode(domain_suffixes(F.col("__host"), max_labels)).alias(
+            "__sfx"
+        ),
+    )
+    return (
+        sfx.join(bl, sfx["__sfx"] == F.col("__bl"), "left_semi")
+        .select("__host")
+        .distinct()
+    )
+
+
+def filter_blocklisted_domains(
+    pages: DataFrame, blocklist: DataFrame, max_labels: int = 10
+) -> DataFrame:
+    """Drop pages whose host matches a domain blocklist (UT1-style
+    adult/malware/spam domain lists -- the standard Common-Crawl
+    corpus-builder gate that runs BEFORE any text-level filtering,
+    because it needs only the url).  Matching is exact-or-suffix on dot
+    boundaries via ``blocked_host_set``; pages whose url the parser
+    cannot handle (host NULL) pass through -- a domain list can say
+    nothing about a url without a domain.
+
+    Scale shape: the blocklist broadcasts (left_semi over exploded
+    DISTINCT-host suffixes), and the resulting blocked-host set is the
+    anti-join key against pages.  No broadcast hint on that anti-join:
+    the blocked set is usually tiny (corpus hosts INTERSECT blocklist)
+    and AQE promotes it to a broadcast join at runtime, but a
+    pathological corpus where millions of hosts match must fall back to
+    a shuffle on the host key -- the same shuffle class
+    ``cap_per_domain`` already pays -- instead of OOMing the driver."""
+    blocked = blocked_host_set(pages, blocklist, max_labels)
+    host = F.nullif(collapsed_authority(F.col("url")), F.lit(""))
+    return (
+        pages.withColumn("__host", host)
+        .join(blocked, "__host", "left_anti")
+        .drop("__host")
+    )
+
+
 def cap_per_domain(pages: DataFrame, max_per_domain: int) -> DataFrame:
     """Domain balancing: keep at most ``max_per_domain`` pages per
     domain -- the standard Common-Crawl corpus-builder stage that stops

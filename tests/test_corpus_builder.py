@@ -125,17 +125,18 @@ def test_funnel_query_emits_bank_clean_column(spark):
     ).toPandas()
     assert "corpus_bank_clean_ok" in pdf.columns
     assert pdf["corpus_bank_clean_ok"].all()
-    # 8 funnel stages + the kept_tokens total row (r6: domain cap and
-    # token budget are driver-checked stages now)
+    # 9 funnel stages + the kept_tokens total row (r6: domain cap and
+    # token budget; r7: domain blocklist)
     assert list(pdf["stage"]) == [
-        "input", "after_url_dedup", "after_domain_cap", "after_scrub",
-        "after_passage_removal", "after_decontamination",
+        "input", "after_url_dedup", "after_blocklist", "after_domain_cap",
+        "after_scrub", "after_passage_removal", "after_decontamination",
         "after_sampling", "after_token_budget", "kept_tokens",
     ]
     n = dict(zip(pdf["stage"], pdf["n_rows"]))
-    # the two new stages BIND on the shipped testdata (a cap or budget
-    # that never selects would be a vacuous driver check)
-    assert n["after_domain_cap"] < n["after_url_dedup"]
+    # the opt-in stages BIND on the shipped testdata (a cap, blocklist,
+    # or budget that never selects would be a vacuous driver check)
+    assert n["after_blocklist"] < n["after_url_dedup"]
+    assert n["after_domain_cap"] < n["after_blocklist"]
     assert n["after_token_budget"] < n["after_sampling"]
     assert n["kept_tokens"] >= 4_000  # reached the budget
 

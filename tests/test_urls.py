@@ -145,3 +145,74 @@ def test_cap_per_domain(spark):
     out = cap_per_domain(with_dom, 10)
     assert set(out.columns) == {"url", "v", "domain"}
     assert all(r.domain == "mine" for r in out.collect())
+
+
+def test_filter_blocklisted_domains(spark):
+    """UT1-style domain blocklist: exact host match AND dot-boundary
+    suffix match (an entry blocks its subdomains), but never substring
+    over-blocking; www/default-port collapse shares the match; NULL-host
+    (unparseable) urls pass through; other columns survive."""
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        blocked_host_set,
+        filter_blocklisted_domains,
+    )
+
+    rows = [
+        ("https://bad.example/a", 1),          # exact entry
+        ("https://www.bad.example/b", 2),      # www collapse -> blocked
+        ("https://BAD.example:443/c", 3),      # case + default port
+        ("https://shop.bad.example/d", 4),     # subdomain -> blocked
+        ("https://a.b.shop.bad.example/e", 5), # deep subdomain
+        ("https://notbad.example/f", 6),       # substring must NOT block
+        ("https://bad.example.org/g", 7),      # different suffix, kept
+        ("https://good.example/h", 8),         # kept
+        ("https://bad.example:8080/i", 9),     # non-default port: a
+        # DISTINCT collapsed authority ('bad.example:8080') -- exact
+        # match misses, and its suffix chain splits on DOTS only, so it
+        # is KEPT (a port-qualified origin needs its own entry)
+        ("not a url at all", 10),              # unparseable: kept
+    ]
+    pages = spark.createDataFrame(rows, "url string, v long")
+    bl = spark.createDataFrame(
+        [("bad.example",), ("Other.Site",)], "domain string"
+    )
+
+    kept = filter_blocklisted_domains(pages, bl)
+    assert sorted(r.v for r in kept.collect()) == [6, 7, 8, 9, 10]
+    assert set(kept.columns) == {"url", "v"}
+
+    blocked = {
+        r["__host"] for r in blocked_host_set(pages, bl).collect()
+    }
+    assert blocked == {
+        "bad.example", "shop.bad.example", "a.b.shop.bad.example",
+    }
+
+    # determinism across partitioning/input order
+    shuffled = pages.orderBy(F.rand(3)).repartition(5)
+    again = sorted(
+        r.v for r in filter_blocklisted_domains(shuffled, bl).collect()
+    )
+    assert again == [6, 7, 8, 9, 10]
+
+
+def test_domain_suffixes_bounded(spark):
+    """A crafted host with hundreds of labels costs O(max_labels), and
+    the DEEPEST suffixes are the ones kept (a blocklist matches at the
+    registrable tail, never at the crafted head)."""
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        domain_suffixes,
+    )
+
+    crafted = ".".join(f"l{i}" for i in range(300)) + ".evil.example"
+    df = spark.createDataFrame([(crafted,), ("a.b.c",)], "host string")
+    got = {
+        r.host: r.sfx
+        for r in df.select(
+            "host", domain_suffixes(F.col("host"), 10).alias("sfx")
+        ).collect()
+    }
+    assert got["a.b.c"] == ["a.b.c", "b.c", "c"]
+    assert len(got[crafted]) == 10
+    assert got[crafted][-1] == "example"
+    assert got[crafted][-2] == "evil.example"
