@@ -1047,6 +1047,16 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
       arithmetic step is exact integer (decimal/HUGEINT
       cross-multiplied shares, +/-1 token scores), so DuckDB
       recomputes the selected ids bit-for-bit.
+    - ``leg='pack'`` (r7): ``pack_sequences`` at ``PACK_SEQ_LEN`` --
+      one row per training window, ``lang`` carrying the zero-padded
+      bin label (``bin:00000007`` -- this leg's GROUP KEY, reusing the
+      slot's column the way the loop legs reuse ``doc_b = -1``),
+      ``n_kept``/``kept_ids`` = the docs occupying that window
+      (bin-SPANNING docs appear in every window they touch).  The
+      whole tape layout is integer arithmetic over md5 order, so the
+      oracle recomputes every window's membership exactly -- any
+      off-by-one in the offset math or the span explode flips a
+      hash.
 
     All legs are pure functions of the row keys, so the DuckDB oracle
     recomputes the exact kept-id lists for each.  The strat leg IS
@@ -1087,7 +1097,45 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
         )
         .select(F.lit("dsir").alias("leg"), "lang", "n_kept", "kept_ids")
     )
-    return strat.unionByName(mix).unionByName(dsir).orderBy("leg", "lang")
+    pack = (
+        pack_sequences(_docs(spark, sf_dir), PACK_SEQ_LEN)
+        .select(
+            "doc_id",
+            F.explode(F.sequence("first_bin", "last_bin")).alias("__bin"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("kept_ids"),
+        )
+        .select(
+            F.lit("pack").alias("leg"),
+            F.concat(
+                F.lit("bin:"),
+                F.lpad(F.col("__bin").cast("string"), 8, "0"),
+            ).alias("lang"),
+            "n_kept",
+            "kept_ids",
+        )
+    )
+    return (
+        strat.unionByName(mix)
+        .unionByName(dsir)
+        .unionByName(pack)
+        .orderBy("leg", "lang")
+    )
+
+
+N_BUDGET_BUCKETS = 10_000  # token-budget selection granularity: the kept
+# set's total misses the budget by at most one bucket (~0.01% of corpus
+# tokens at uniform hashing)
+
+PACK_SEQ_LEN = 512  # driver-leg packing window: small enough that docs
+# straddle bin boundaries at every driver sf (bin-spanning is the part
+# of the packing math worth driver-checking), far below a production
+# 2k-8k context so the leg exercises MORE boundary cases, not fewer
 
 
 QUERIES = {
@@ -1257,6 +1305,33 @@ ORACLES = {
         ), dtop AS (
             SELECT lang, doc_id FROM dscore
             ORDER BY score DESC, doc_id LIMIT {DSIR_TOP_K}
+        ), pk AS (
+            -- pack leg: tape order = (md5 bucket, 60-bit md5 hash,
+            -- doc_id), PY_WS_CLASS token counts -- the operator's
+            -- two-phase cumsum collapses to ONE global window here
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split_regex(text, '{PY_WS_CLASS}+'),
+                       x -> x <> '')) AS tk,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       AS h
+            FROM documents
+        ), pc AS (
+            SELECT doc_id, tk,
+                   coalesce(sum(tk) OVER (
+                       ORDER BY h % {N_BUDGET_BUCKETS}, h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS st
+            FROM pk
+        ), pbins AS (
+            SELECT doc_id,
+                   unnest(generate_series(
+                       (st // {PACK_SEQ_LEN})::BIGINT,
+                       (CASE WHEN tk > 0
+                             THEN (st + tk - 1) // {PACK_SEQ_LEN}
+                             ELSE st // {PACK_SEQ_LEN} END)::BIGINT))
+                       AS bin
+            FROM pc
         )
         SELECT * FROM (
             SELECT 'strat' AS leg, lang, count(*) AS n_kept,
@@ -1271,6 +1346,11 @@ ORACLES = {
             SELECT 'dsir', lang, count(*),
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
             FROM dtop GROUP BY lang
+            UNION ALL
+            SELECT 'pack', 'bin:' || lpad(bin::VARCHAR, 8, '0'),
+                   count(*),
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+            FROM pbins GROUP BY bin
         ) ORDER BY leg, lang
     """,
     "text_dup_passages": f"""
@@ -1388,11 +1468,6 @@ ORACLES = {
 
 
 
-N_BUDGET_BUCKETS = 10_000  # token-budget selection granularity: the kept
-# set's total misses the budget by at most one bucket (~0.01% of corpus
-# tokens at uniform hashing)
-
-
 def sample_to_token_budget(
     docs, budget_tokens: int, key_col: str = "doc_id",
     text_col: str = "text", n_buckets: int = N_BUDGET_BUCKETS,
@@ -1450,6 +1525,96 @@ def sample_to_token_budget(
         cutoff = r["__b"]
     kept = with_b.filter(F.col("__b") <= cutoff).drop("__b")
     return kept, total
+
+
+def pack_sequences(
+    docs, seq_len: int, key_col: str = "doc_id",
+    text_col: str = "text", n_buckets: int = N_BUDGET_BUCKETS,
+):
+    """Concat-and-chunk SEQUENCE PACKING: lay every document out on one
+    global token tape in a deterministic order and chunk the tape into
+    fixed ``seq_len`` training windows -- the standard LLM pretraining
+    step (GPT-style packing: concatenate, then split into context-length
+    blocks).  Each doc gets its absolute ``start_token`` offset and the
+    inclusive ``first_bin``/``last_bin`` window ids it occupies, which
+    is everything a writer needs to emit shard files per bin.
+
+    Order is the repo's one reproducible rule -- a pure function of the
+    key (md5 bucket, then 60-bit md5 hash, then the key itself), so
+    retries/resumes/replans produce the identical tape.  Scale shape
+    (the same two-phase cumulative sum as ``sample_to_token_budget``,
+    generalized from a cutoff to per-row offsets): ONE map-side-combined
+    aggregation yields per-bucket token sums (<= ``n_buckets`` tiny rows
+    driver-side), cumulative bucket offsets broadcast back, and the
+    intra-bucket running sum is a window over each hash bucket --
+    bounded partitions (~corpus/n_buckets docs), NO global sort, no
+    window over the whole corpus.  Raise ``n_buckets`` to shrink window
+    partitions at trillion-doc scale; the sums frame stays tiny.
+
+    Token counts use ``PY_WS_CLASS`` (the kernel's ``str.split()``
+    dialect, == ``n_words``).  Zero-token docs occupy no tape but stay
+    addressable: ``first_bin == last_bin`` = the bin their offset falls
+    in (callers packing real shards filter them first).  Offsets are
+    BIGINT-exact; bin division is integer ``div`` (no float in the
+    path), good to 2^63 tokens.
+
+    Returns ``docs`` plus ``n_tokens``, ``start_token``, ``first_bin``,
+    ``last_bin``."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    from pyspark.sql import Window
+
+    toks = F.coalesce(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), PY_WS_CLASS + "+"),
+                lambda w: w != "",
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
+    base = (
+        docs.withColumn("__t", toks)
+        .withColumn("__h", md5_hash60(key_s))
+        .withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
+    )
+    sums = (
+        base.groupBy("__b")
+        .agg(F.sum("__t").alias("t"))
+        .orderBy("__b")
+        .collect()  # <= n_buckets tiny rows
+    )
+    spark = docs.sparkSession
+    acc = 0
+    offs = []
+    for r in sums:
+        offs.append((r["__b"], acc))
+        acc += r["t"]
+    off_df = spark.createDataFrame(offs, "__b long, __off long")
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spanned = (
+        base.join(F.broadcast(off_df), "__b")
+        .withColumn(
+            "__start",
+            F.col("__off") + F.coalesce(F.sum("__t").over(w), F.lit(0)),
+        )
+        .withColumn("n_tokens", F.col("__t"))
+        .withColumn("start_token", F.col("__start"))
+        .withColumn("first_bin", F.expr(f"__start div {int(seq_len)}"))
+        .withColumn(
+            "last_bin",
+            F.when(
+                F.col("__t") > 0,
+                F.expr(f"(__start + __t - 1) div {int(seq_len)}"),
+            ).otherwise(F.expr(f"__start div {int(seq_len)}")),
+        )
+    )
+    return spanned.drop("__t", "__h", "__b", "__off", "__start")
 
 
 def sample_mixture(

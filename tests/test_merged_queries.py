@@ -955,3 +955,81 @@ def test_overlap_leg_matches_operator(spark):
     # one row per eval doc, zero-leak docs included
     n_eval = docs.filter(F.col("doc_id") % ts.EVAL_MOD == 0).count()
     assert len(leg) == n_eval
+
+
+def test_pack_sequences(spark):
+    """Sequence packing lays the corpus on one gapless token tape in
+    md5 order and chunks it into seq_len windows: offsets recomputed
+    exactly in Python, bin spans inclusive, zero-token docs addressable
+    but tape-free, deterministic under repartitioning, PY_WS token
+    dialect, and seq_len validation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    texts = {
+        0: "a b c",                      # 3 tokens
+        1: " ".join(f"t{j}" for j in range(700)),  # spans >2 bins at 256
+        2: "x y z w v",                  # 5 tokens
+        3: "",                           # zero tokens
+        4: " ".join(f"u{j}" for j in range(512)),  # exactly 2 bins
+        5: "p　q r",                 # unicode ws: 3 tokens
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = ts.pack_sequences(docs, 256, n_buckets=4)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(out.columns) == {
+        "doc_id", "text", "n_tokens", "start_token", "first_bin",
+        "last_bin",
+    }
+
+    # replicate the tape order host-side: (md5 bucket, 60-bit hash, id)
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    n_tok = {i: len(t.split()) for i, t in texts.items()}
+    order = sorted(texts, key=lambda i: (h60(i) % 4, h60(i), i))
+    start, expected = 0, {}
+    for i in order:
+        expected[i] = start
+        start += n_tok[i]
+
+    for i in texts:
+        r = got[i]
+        assert r.n_tokens == n_tok[i], i
+        assert r.start_token == expected[i], i
+        assert r.first_bin == expected[i] // 256, i
+        last = (
+            (expected[i] + n_tok[i] - 1) // 256
+            if n_tok[i] else expected[i] // 256
+        )
+        assert r.last_bin == last, i
+    # the long doc genuinely spans bins; the empty doc spans none
+    assert got[1].last_bin > got[1].first_bin
+    assert got[3].first_bin == got[3].last_bin
+
+    # gapless tape: consecutive starts differ by exactly the doc's tokens
+    tape = sorted(
+        (r.start_token, r.n_tokens) for r in got.values() if r.n_tokens
+    )
+    for (s0, t0), (s1, _) in zip(tape, tape[1:]):
+        assert s1 == s0 + t0
+
+    # determinism across partitioning / input order
+    again = {
+        r.doc_id: (r.start_token, r.first_bin, r.last_bin)
+        for r in ts.pack_sequences(
+            docs.orderBy(F.rand(7)).repartition(5), 256, n_buckets=4
+        ).collect()
+    }
+    assert again == {
+        i: (r.start_token, r.first_bin, r.last_bin)
+        for i, r in got.items()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ts.pack_sequences(docs, 0)

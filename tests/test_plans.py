@@ -329,3 +329,22 @@ def test_sampling_ops_shuffle_free(spark):
     assert total >= 1000
     plan = plan_of(kept)
     assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """pack_sequences' scale shape: the ONLY exchange is the hash
+    partitioning on the md5 bucket feeding the intra-bucket window
+    (bounded partitions), the offsets side is a BroadcastHashJoin, and
+    there is NO rangepartitioning anywhere -- a global sort over the
+    corpus would be the naive (and 100x-fatal) plan for a global
+    running sum."""
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(pack_sequences(docs, 512, n_buckets=64))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
