@@ -1617,6 +1617,91 @@ def pack_sequences(
     return spanned.drop("__t", "__h", "__b", "__off", "__start")
 
 
+def assemble_packed_windows(
+    packed, seq_len: int, key_col: str = "doc_id", text_col: str = "text",
+):
+    """Materialize the training windows ``pack_sequences`` laid out:
+    one row per window (``bin``) carrying its EXACT ``seq_len``-token
+    text -- the shard-writer side of packing (``df.write.parquet`` on
+    the result, partitioned or bucketed by ``bin div windows_per_shard``,
+    IS the pretraining-shard job).  Input is ``pack_sequences`` output
+    (needs ``start_token``/``first_bin``/``last_bin``/``n_tokens``).
+
+    Every window except the tape's last has exactly ``seq_len`` tokens;
+    a bin-spanning doc contributes the precise token slice falling in
+    each window it touches.  Tokens are re-joined with single spaces:
+    the packing unit is the PY_WS_CLASS token, so original whitespace
+    flavor is normalized -- the same contract a tokenizer-side packer
+    has (token ids carry no whitespace either).
+
+    Scale shape: the doc->window explode is bounded (a doc touches
+    ~n_tokens/seq_len + 1 windows), the per-window regroup shuffles on
+    ``bin`` with <= ``seq_len`` tokens per group, and window assembly
+    is a JVM fold (sort_array over (start, piece) structs -- starts are
+    unique within a window because the tape is gapless), no Python in
+    the path.  Returns ``(bin, n_tokens, text)``."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    L = int(seq_len)
+    words = F.filter(
+        F.split(F.col(text_col), PY_WS_CLASS + "+"), lambda w: w != ""
+    )
+    spans = (
+        packed.filter(F.col("n_tokens") > 0)
+        .select(
+            F.col("start_token"),
+            F.col("n_tokens"),
+            words.alias("__ws"),
+            F.explode(
+                F.sequence("first_bin", "last_bin")
+            ).alias("bin"),
+        )
+        # doc-local slice boundaries of the piece landing in this bin
+        .withColumn(
+            "__lo",
+            F.greatest(
+                F.col("bin") * L - F.col("start_token"), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "__hi",
+            F.least(
+                F.col("n_tokens"),
+                (F.col("bin") + 1) * L - F.col("start_token"),
+            ),
+        )
+    )
+    piece = F.slice(
+        F.col("__ws"),
+        (F.col("__lo") + 1).cast("int"),
+        (F.col("__hi") - F.col("__lo")).cast("int"),
+    )
+    return (
+        spans.select(
+            "bin",
+            F.struct(
+                F.col("start_token").alias("s"), piece.alias("p")
+            ).alias("__sp"),
+            (F.col("__hi") - F.col("__lo")).alias("__n"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("__n").alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(F.collect_list("__sp")),
+                        lambda s: s["p"],
+                    )
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select("bin", F.col("n_tokens").cast("long").alias("n_tokens"),
+                "text")
+    )
+
+
 def sample_mixture(
     docs, weights: dict, source_col: str = "source",
     key_col: str = "doc_id",

@@ -1033,3 +1033,63 @@ def test_pack_sequences(spark):
 
     with pytest.raises(ValueError):
         ts.pack_sequences(docs, 0)
+
+
+def test_assemble_packed_windows(spark):
+    """Window assembly materializes the packed tape exactly: every
+    window but the last holds exactly seq_len tokens, concatenating the
+    windows in bin order reproduces the docs concatenated in tape
+    order token-for-token, bin-spanning docs contribute the precise
+    slice per window, and the result is partition-order independent."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    texts = {
+        0: " ".join(f"a{j}" for j in range(40)),
+        1: " ".join(f"b{j}" for j in range(300)),   # spans bins at 128
+        2: " ".join(f"c{j}" for j in range(7)),
+        3: "",                                       # no tape presence
+        4: " ".join(f"d{j}" for j in range(128)),    # exactly one bin
+        5: " ".join(f"e{j}" for j in range(95)),
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    packed = ts.pack_sequences(docs, 128, n_buckets=4)
+    wins = {r.bin: r for r in ts.assemble_packed_windows(
+        packed, 128).collect()}
+
+    total = sum(len(t.split()) for t in texts.values())
+    n_bins = (total + 127) // 128
+    assert set(wins) == set(range(n_bins))
+    for b in range(n_bins - 1):
+        assert wins[b].n_tokens == 128, b
+        assert len(wins[b].text.split()) == 128, b
+    assert wins[n_bins - 1].n_tokens == total - 128 * (n_bins - 1)
+
+    # round-trip identity: windows in bin order == docs in tape order
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    order = sorted(texts, key=lambda i: (h60(i) % 4, h60(i), i))
+    tape = [w for i in order for w in texts[i].split()]
+    rebuilt = [w for b in range(n_bins) for w in wins[b].text.split()]
+    assert rebuilt == tape
+
+    # partition-order independence
+    again = {
+        r.bin: r.text
+        for r in ts.assemble_packed_windows(
+            ts.pack_sequences(
+                docs.orderBy(F.rand(11)).repartition(6), 128, n_buckets=4
+            ),
+            128,
+        ).collect()
+    }
+    assert again == {b: w.text for b, w in wins.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ts.assemble_packed_windows(packed, -1)

@@ -343,8 +343,20 @@ def test_pack_sequences_no_global_sort(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = plan_of(pack_sequences(docs, 512, n_buckets=64))
+    packed = pack_sequences(docs, 512, n_buckets=64)
+    plan = plan_of(packed)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "rangepartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+    # window assembly stays JVM-side (sort_array fold, no Python) and
+    # adds only the bounded regroup on bin -- still no global sort
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        assemble_packed_windows,
+    )
+
+    aplan = plan_of(assemble_packed_windows(packed, 512))
+    assert "rangepartitioning" not in aplan, aplan
+    assert "BatchEvalPython" not in aplan, aplan
+    assert "ArrowEvalPython" not in aplan, aplan
