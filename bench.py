@@ -521,6 +521,31 @@ def main() -> None:
         bloom_table_sec = min(bloom_table_sec, time.time() - t0)
     bloom_table_sec = round(bloom_table_sec, 3)
 
+    # -- sequence packing (side metric, r7) ----------------------------------
+    # The packing tape + window assembly over the SAME 50k-page corpus
+    # at a production-ish 2,048-token context: pack_sequences' two-phase
+    # cumsum (bucket sums -> broadcast offsets -> bounded windows) plus
+    # assemble_packed_windows' bounded explode + per-window JVM fold,
+    # written to noop so the timing is the operators, not the sink.
+    pack_sec = 9e9
+    n_windows = 0
+    _ts.assemble_packed_windows(  # untimed warm-up (codegen)
+        _ts.pack_sequences(
+            pages.limit(2_000), 2048, key_col="url"
+        ), 2048,
+    ).write.format("noop").mode("overwrite").save()
+    for _ in range(2):
+        t0 = time.time()
+        wins = _ts.assemble_packed_windows(
+            _ts.pack_sequences(pages, 2048, key_col="url"), 2048
+        )
+        wins.write.format("noop").mode("overwrite").save()
+        pack_sec = min(pack_sec, time.time() - t0)
+    n_windows = _ts.pack_sequences(
+        pages, 2048, key_col="url"
+    ).agg(F.max("last_bin")).collect()[0][0] + 1
+    pack_sec = round(pack_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -545,6 +570,9 @@ def main() -> None:
                 ),
                 "bloom_filter_words": bloom_m // 64,
                 "bloom_eval_windows": bloom_n_wins,
+                "pack_windows_sec": pack_sec,
+                "pack_docs_per_sec": round(n_pages / pack_sec, 1),
+                "pack_n_windows": n_windows,
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
                 "stream_docs_per_sec": stream_docs_per_sec,
