@@ -239,3 +239,84 @@ def cap_per_domain(pages: DataFrame, max_per_domain: int) -> DataFrame:
         .filter(F.col("__rn") <= max_per_domain)
         .drop("__rn", "__cap_key")
     )
+
+
+_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*(["'])(.*?)\1"""
+# anchor hrefs, both quote styles via a backreference; non-greedy body
+# so a missing close-quote can't swallow the rest of the page
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html",
+    max_links_per_page: int = 1_000,
+) -> DataFrame:
+    """``(src, href)`` for every ABSOLUTE outbound anchor on every page
+    -- the raw material of the link graph (domain in-degree is the
+    classic crawl-side quality prior: pages on widely-linked-to domains
+    are worth more crawl budget and survive quality cuts more often).
+
+    One JVM ``regexp_extract_all`` pass inside the scan projection (no
+    Python, no parser state); html arrives as the pages-schema binary
+    column and is cast tolerantly.  Kept links: ``http(s)://...``
+    verbatim and protocol-relative ``//host/...`` (normalized to
+    https).  Relative links are dropped by design -- resolving them
+    needs base-url joining that only matters for intra-site graphs,
+    and intra-site edges are excluded from the in-degree prior anyway
+    (``domain_link_stats`` drops same-host edges).  ``javascript:``,
+    ``mailto:``, fragments, and data URIs all fail the absolute test
+    and fall out with them.
+
+    ``max_links_per_page`` bounds the explode: a crafted link farm
+    costs O(max), not O(page bytes)."""
+    doc = F.col(html_col).cast("string")
+    links = F.slice(
+        F.regexp_extract_all(doc, F.lit(_HREF_RE), 2),
+        1,
+        max_links_per_page,
+    )
+    href = F.col("__href")
+    return (
+        pages.select(
+            F.col(url_col).alias("src"),
+            F.explode(links).alias("__href"),
+        )
+        .where(href.rlike(r"(?i)^(https?:)?//"))
+        .select(
+            "src",
+            F.when(
+                href.startswith("//"), F.concat(F.lit("https:"), href)
+            )
+            .otherwise(href)
+            .alias("href"),
+        )
+    )
+
+
+def domain_link_stats(links: DataFrame) -> DataFrame:
+    """Per-target-domain in-degree over an ``(src, href)`` edge list:
+    total inbound links and DISTINCT referring domains (the number that
+    actually ranks -- one spam site emitting a million links counts
+    once).  Same-host edges (navigation) and unparseable targets are
+    excluded; hosts collapse with ``collapsed_authority`` so
+    ``www.x.example`` and ``x.example:443`` pool.
+
+    Scale shape: one projection computing both host keys, one hash
+    aggregation; ``count_distinct`` is the exact two-phase form -- at
+    10^11 edges swap it for ``hll_sketch_agg`` over src_host (the
+    mergeable-sketch path ``agg_count_distinct`` already proves) and
+    keep this exact form as the verifier."""
+    src_h = F.nullif(collapsed_authority(F.col("src")), F.lit(""))
+    tgt_h = F.nullif(collapsed_authority(F.col("href")), F.lit(""))
+    return (
+        links.select(src_h.alias("__s"), tgt_h.alias("__t"))
+        .where(
+            F.col("__t").isNotNull()
+            & (F.col("__s").isNull() | (F.col("__s") != F.col("__t")))
+        )
+        .groupBy(F.col("__t").alias("domain"))
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.count_distinct("__s").alias("n_src_domains"),
+        )
+        .orderBy(F.desc("n_inlinks"), "domain")
+    )

@@ -216,3 +216,60 @@ def test_domain_suffixes_bounded(spark):
     assert len(got[crafted]) == 10
     assert got[crafted][-1] == "example"
     assert got[crafted][-2] == "evil.example"
+
+
+def test_extract_outlinks_and_domain_stats(spark):
+    """Outlink extraction: both quote styles, case-insensitive attr,
+    protocol-relative normalization, relative/js/mailto dropped, link
+    farm bounded; domain_link_stats pools www/port variants, drops
+    same-host navigation, and counts DISTINCT referring domains."""
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        domain_link_stats,
+        extract_outlinks,
+    )
+
+    farm = "".join(
+        f'<a href="https://spam.example/{i}">s</a>' for i in range(50)
+    )
+    rows = [
+        ("https://a.example/p1", (
+            '<p><a href="https://b.example/x">b</a>'
+            "<a href='http://c.example/y?q=1'>c</a>"
+            '<A HREF="//d.example/z">proto-rel</A>'
+            '<a href="/relative">rel</a>'
+            '<a href="mailto:x@y.z">m</a>'
+            '<a href="javascript:void(0)">j</a>'
+            '<a href="https://a.example/p2">self-nav</a></p>'
+        ).encode()),
+        ("https://www.b.example/p", (
+            '<a href="https://www.d.example:443/q">d again</a>'
+            '<a href="https://missingquote.example/x>broken'
+        ).encode()),
+        ("https://farm.example/", farm.encode()),
+        ("https://empty.example/", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    links = extract_outlinks(pages, max_links_per_page=10)
+    got = sorted((r.src, r.href) for r in links.collect())
+    assert ("https://a.example/p1", "https://b.example/x") in got
+    assert ("https://a.example/p1", "http://c.example/y?q=1") in got
+    assert ("https://a.example/p1", "https://d.example/z") in got  # //
+    assert ("https://a.example/p1", "https://a.example/p2") in got
+    hrefs = [h for _, h in got]
+    assert not any("relative" in h or "mailto" in h or "javascript" in h
+                   for h in hrefs)
+    # farm bounded at max_links_per_page
+    assert sum(1 for s, _ in got if s == "https://farm.example/") == 10
+
+    stats = {
+        r.domain: (r.n_inlinks, r.n_src_domains)
+        for r in domain_link_stats(links).collect()
+    }
+    # d.example: linked from a.example (proto-rel) AND b.example
+    # (www/:443 collapse pools them under one target domain)
+    assert stats["d.example"] == (2, 2)
+    # a.example's self-nav link is excluded (same collapsed host)
+    assert "a.example" not in stats
+    assert stats["spam.example"] == (10, 1)  # farm counts ONCE by domain
+    assert stats["b.example"] == (1, 1)
