@@ -193,7 +193,8 @@ BLOCKED_DOMAIN_IDS = (3, 7)  # funnel blocklist: the synthetic hosts
 # d3.example / d7.example are UT1-style blocklist entries, so the
 # blocklist stage drops exactly the doc_id % DOMAIN_MOD in {3, 7} pages
 # -- a stand-in the oracle recomputes exactly (suffix matching against
-# multi-label subdomain hosts is pytest-pinned in test_urls_blocklist)
+# multi-label subdomain hosts is pytest-pinned in
+# test_urls.py::test_filter_blocklisted_domains)
 FUNNEL_TOKEN_BUDGET = 4_000  # final token-budget stage: below the
 # post-sampling token total at every driver sf (~8k), so the stage
 # selects a strict subset rather than passing everything through

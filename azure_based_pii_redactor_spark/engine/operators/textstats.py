@@ -1541,7 +1541,11 @@ def pack_sequences(
 
     Order is the repo's one reproducible rule -- a pure function of the
     key (md5 bucket, then 60-bit md5 hash, then the key itself), so
-    retries/resumes/replans produce the identical tape.  Scale shape
+    retries/resumes/replans produce the identical tape.  PRECONDITION:
+    keys are unique and non-null (doc ids / urls after dedup -- every
+    caller here).  Duplicate keys (or >= 2 NULL keys, which share the
+    sentinel) tie on the whole sort key, making their relative tape
+    order shuffle-dependent; dedup first.  Scale shape
     (the same two-phase cumulative sum as ``sample_to_token_budget``,
     generalized from a cutoff to per-row offsets): ONE map-side-combined
     aggregation yields per-bucket token sums (<= ``n_buckets`` tiny rows
@@ -1646,6 +1650,31 @@ def assemble_packed_windows(
     words = F.filter(
         F.split(F.col(text_col), PY_WS_CLASS + "+"), lambda w: w != ""
     )
+    # grid-consistency guard: ``seq_len`` must be the SAME value the
+    # pack ran with -- a smaller one would silently DROP tokens (a doc
+    # whose last_bin was computed on a coarser grid stops contributing
+    # at its stale last_bin).  The packed frame fully determines its
+    # grid, so re-derive last_bin on THIS grid and raise per-row on
+    # mismatch (pure column arithmetic; no extra scan).
+    grid_ok = (
+        F.expr(f"(start_token + n_tokens - 1) div {L}")
+        == F.col("last_bin")
+    ) & (F.expr(f"start_token div {L}") == F.col("first_bin"))
+    checked_last = F.when(grid_ok, F.col("last_bin")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "assemble_packed_windows: seq_len="
+                    f"{L} does not match the grid this frame was"
+                    " packed with (doc start_token="
+                ),
+                F.col("start_token").cast("string"),
+                F.lit(", n_tokens="),
+                F.col("n_tokens").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
     spans = (
         packed.filter(F.col("n_tokens") > 0)
         .select(
@@ -1653,7 +1682,7 @@ def assemble_packed_windows(
             F.col("n_tokens"),
             words.alias("__ws"),
             F.explode(
-                F.sequence("first_bin", "last_bin")
+                F.sequence("first_bin", checked_last)
             ).alias("bin"),
         )
         # doc-local slice boundaries of the piece landing in this bin

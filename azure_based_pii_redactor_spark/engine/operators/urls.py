@@ -138,9 +138,17 @@ def blocked_host_set(
         .where(F.col("__host").isNotNull())
         .distinct()
     )
-    bl = F.broadcast(
-        blocklist.select(F.lower(F.col("domain")).alias("__bl")).distinct()
+    # collapse the blocklist side the same way the hosts are collapsed:
+    # real UT1-style lists carry www-prefixed and port-qualified entries,
+    # and an uncollapsed 'www.bad.example' entry would match NOTHING
+    # (hosts arrive www-stripped), silently un-blocking an explicitly
+    # listed domain
+    bl_host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("domain")), r"^www\.", ""),
+        r":(80|443)$",
+        "",
     )
+    bl = F.broadcast(blocklist.select(bl_host.alias("__bl")).distinct())
     sfx = hosts.select(
         "__host",
         F.explode(domain_suffixes(F.col("__host"), max_labels)).alias(
@@ -241,9 +249,15 @@ def cap_per_domain(pages: DataFrame, max_per_domain: int) -> DataFrame:
     )
 
 
-_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*(["'])(.*?)\1"""
-# anchor hrefs, both quote styles via a backreference; non-greedy body
-# so a missing close-quote can't swallow the rest of the page
+_HREF_RE = r"""(?i)<a\s[^>]*?(?<![\w-])href\s*=\s*(["'])([^"'<>\s]*)\1"""
+# anchor hrefs, both quote styles via a backreference.  The lookbehind
+# keeps data-href/ng-href/xlink:href from being captured as the link
+# (which would also skip the tag's REAL href -- scanning resumes after
+# a match).  The body class excludes quotes/angles/whitespace: legal
+# urls contain none of them, and it makes an UNTERMINATED quote fail to
+# match at all (the next anchor still matches) instead of swallowing
+# the rest of the line and emitting garbage that passes the absolute
+# filter.
 
 
 def extract_outlinks(
@@ -318,5 +332,7 @@ def domain_link_stats(links: DataFrame) -> DataFrame:
             F.count("*").alias("n_inlinks"),
             F.count_distinct("__s").alias("n_src_domains"),
         )
-        .orderBy(F.desc("n_inlinks"), "domain")
+        # no presentational orderBy: a global sort over ~10^8 domains is
+        # an extra range shuffle no consumer needs -- callers that want
+        # a top-k use orderBy().limit() (TakeOrderedAndProject)
     )

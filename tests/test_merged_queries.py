@@ -1093,3 +1093,12 @@ def test_assemble_packed_windows(spark):
 
     with pytest.raises(ValueError):
         ts.assemble_packed_windows(packed, -1)
+
+    # grid-consistency guard: assembling on a DIFFERENT grid than the
+    # frame was packed with must fail loudly, not silently drop tokens
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(
+        (SparkRuntimeException, Exception), match="does not match the grid"
+    ):
+        ts.assemble_packed_windows(packed, 64).collect()

@@ -181,6 +181,17 @@ def test_filter_blocklisted_domains(spark):
     assert sorted(r.v for r in kept.collect()) == [6, 7, 8, 9, 10]
     assert set(kept.columns) == {"url", "v"}
 
+    # real UT1 lists carry www-prefixed / port-qualified entries: they
+    # must collapse to match the (already-collapsed) corpus hosts
+    # instead of silently matching nothing
+    bl_www = spark.createDataFrame(
+        [("www.bad.example",), ("other.site:443",)], "domain string"
+    )
+    kept_www = sorted(
+        r.v for r in filter_blocklisted_domains(pages, bl_www).collect()
+    )
+    assert kept_www == [6, 7, 8, 9, 10]
+
     blocked = {
         r["__host"] for r in blocked_host_set(pages, bl).collect()
     }
@@ -243,7 +254,15 @@ def test_extract_outlinks_and_domain_stats(spark):
         ).encode()),
         ("https://www.b.example/p", (
             '<a href="https://www.d.example:443/q">d again</a>'
-            '<a href="https://missingquote.example/x>broken'
+            # unterminated quote: must NOT swallow the following anchor
+            # on the same line, and must NOT emit a garbage href that
+            # passes the absolute filter
+            '<a href="https://missingquote.example/x>broken '
+            '<a href="https://after-broken.example/ok">still seen</a>'
+            # attribute-suffix traps: data-href/xlink:href are NOT the
+            # link, and the tag's REAL href must still be captured
+            '<a data-href="https://evil.example/x" '
+            'href="https://real.example/y">r</a>'
         ).encode()),
         ("https://farm.example/", farm.encode()),
         ("https://empty.example/", None),
@@ -258,6 +277,10 @@ def test_extract_outlinks_and_domain_stats(spark):
     assert ("https://a.example/p1", "https://a.example/p2") in got
     hrefs = [h for _, h in got]
     assert not any("relative" in h or "mailto" in h or "javascript" in h
+                   for h in hrefs)
+    assert "https://after-broken.example/ok" in hrefs
+    assert "https://real.example/y" in hrefs
+    assert not any("missingquote" in h or "evil.example" in h
                    for h in hrefs)
     # farm bounded at max_links_per_page
     assert sum(1 for s, _ in got if s == "https://farm.example/") == 10
