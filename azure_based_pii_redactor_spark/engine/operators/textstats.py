@@ -1047,6 +1047,20 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
       arithmetic step is exact integer (decimal/HUGEINT
       cross-multiplied shares, +/-1 token scores), so DuckDB
       recomputes the selected ids bit-for-bit.
+    - ``leg='links'`` (r7): ``extract_outlinks`` + ``domain_link_stats``
+      over SYNTHETIC pages whose html is pure doc_id arithmetic (each
+      doc links to ``d{(id+1)%17}.example`` absolutely and
+      ``d{(id+7)%17}.example`` protocol-relative from source host
+      ``s{id%5}.example``, plus four TRAP links -- same-host nav,
+      relative, ``data-href``, and an unterminated-quote anchor placed
+      BEFORE a real one -- that must all be excluded without losing the
+      anchor that follows the broken one).  ``lang`` carries the target
+      domain, ``n_kept`` its in-link count from ``domain_link_stats``,
+      and ``kept_ids`` is ``<n_src_domains>|<sorted source doc ids>``,
+      so the oracle recomputes the whole in-degree table exactly; a
+      regex regression (traps captured, post-broken anchor lost) or a
+      stats regression (same-host edges counted, referrers double-
+      counted) flips a hash.
     - ``leg='pack'`` (r7): ``pack_sequences`` at ``PACK_SEQ_LEN`` --
       one row per training window, ``lang`` carrying the zero-padded
       bin label (``bin:00000007`` -- this leg's GROUP KEY, reusing the
@@ -1097,6 +1111,61 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
         )
         .select(F.lit("dsir").alias("leg"), "lang", "n_kept", "kept_ids")
     )
+    from .urls import domain_link_stats, extract_outlinks
+
+    did = F.col("doc_id")
+    synth_html = F.concat(
+        # real link 1: absolute
+        F.lit('<a href="https://d'), ((did + 1) % 17).cast("string"),
+        F.lit('.example/p'), did.cast("string"), F.lit('">t1</a>'),
+        # trap: same-host navigation (excluded by domain_link_stats)
+        F.lit('<a href="https://s'), (did % 5).cast("string"),
+        F.lit('.example/nav">self</a>'),
+        # trap: relative + data-href (excluded by extract_outlinks)
+        F.lit('<a href="/rel">r</a>'),
+        F.lit('<a data-href="https://trap.example/x">d</a>'),
+        # trap: unterminated quote -- and the REAL link 2 right after
+        # it must still be seen (protocol-relative form)
+        F.lit('<a href="https://broken.trap/x>oops '),
+        F.lit("<a href='//d"), ((did + 7) % 17).cast("string"),
+        F.lit(".example/q"), did.cast("string"), F.lit("'>t2</a>"),
+    )
+    pages_synth = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://s"), (did % 5).cast("string"),
+            F.lit(".example/p"), did.cast("string")
+        ).alias("url"),
+        synth_html.alias("html"),
+    )
+    edges = extract_outlinks(pages_synth)
+    src_id = F.regexp_extract("src", r"/p(\d+)$", 1).cast("long")
+    from .urls import collapsed_authority
+
+    ids = (
+        edges.select(
+            collapsed_authority(F.col("href")).alias("domain"),
+            src_id.alias("__sid"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("__sid"))
+            ).alias("__idlist")
+        )
+    )
+    links = (
+        domain_link_stats(edges)
+        .join(ids, "domain")
+        .select(
+            F.lit("links").alias("leg"),
+            F.col("domain").alias("lang"),
+            F.col("n_inlinks").alias("n_kept"),
+            F.concat_ws(
+                "|", F.col("n_src_domains").cast("string"),
+                F.col("__idlist"),
+            ).alias("kept_ids"),
+        )
+    )
     pack = (
         pack_sequences(_docs(spark, sf_dir), PACK_SEQ_LEN)
         .select(
@@ -1123,6 +1192,7 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
     return (
         strat.unionByName(mix)
         .unionByName(dsir)
+        .unionByName(links)
         .unionByName(pack)
         .orderBy("leg", "lang")
     )
@@ -1305,6 +1375,18 @@ ORACLES = {
         ), dtop AS (
             SELECT lang, doc_id FROM dscore
             ORDER BY score DESC, doc_id LIMIT {DSIR_TOP_K}
+        ), lkedges AS (
+            -- links leg: the synthetic html is pure doc_id arithmetic,
+            -- so the edge list IS this union (two real links per doc;
+            -- the four traps contribute nothing by construction)
+            SELECT doc_id,
+                   'd' || ((doc_id + 1) % 17)::VARCHAR || '.example'
+                       AS dom
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'd' || ((doc_id + 7) % 17)::VARCHAR || '.example'
+            FROM documents
         ), pk AS (
             -- pack leg: tape order = (md5 bucket, 60-bit md5 hash,
             -- doc_id), PY_WS_CLASS token counts -- the operator's
@@ -1346,6 +1428,11 @@ ORACLES = {
             SELECT 'dsir', lang, count(*),
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
             FROM dtop GROUP BY lang
+            UNION ALL
+            SELECT 'links', dom, count(*),
+                   count(DISTINCT doc_id % 5)::VARCHAR || '|' ||
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+            FROM lkedges GROUP BY dom
             UNION ALL
             SELECT 'pack', 'bin:' || lpad(bin::VARCHAR, 8, '0'),
                    count(*),
