@@ -459,7 +459,11 @@ def main() -> None:
             "(saturated 0.807) in a verified-quiet window; round 6\n"
             "measured 0.859 (saturated 0.657 -- inside the documented\n"
             "saturated-pair swing, calibration spread 23% that run);\n"
-            "this round's numbers are the table above (the calibration\n"
+            "round 7 first measured 0.773 (saturated 0.790) in a run\n"
+            "the builder CONTAMINATED by executing pytest + oracle\n"
+            "checks concurrently (the exact mistake round 5 documented;\n"
+            "disclosed, discarded); this round's numbers are the table\n"
+            "above, from a clean calibrated window (the calibration\n"
             "gate now ships as scripts/calibrate_host.py and gates\n"
             "every graded measurement, including the flagship audit\n"
             "below).\n"
