@@ -481,16 +481,29 @@ def remove_duplicate_passages(
             ).alias("__arr"),
         )
     )
+    return _marked_array_tail(agg, group, "n_words", " ", span_stats)
+
+
+def _marked_array_tail(agg, group, n_before: str, sep: str, span_stats: bool):
+    """Shared rebuild+span-stats tail for removal operators that mark
+    units for excision: ``agg`` carries ``__arr`` (array of structs
+    (idx, word) sorted by idx, word NULL = removed unit) plus the
+    already-aggregated ``n_before``-named count and ``n_removed``.
+    Rebuilds the cleaned text by joining kept units with ``sep`` and,
+    when ``span_stats``, computes MERGED removed-span statistics with a
+    single gaps-and-islands fold over the same array (zero extra scans
+    or shuffles).  Units are words for passage removal (sep ' ') and
+    lines for boilerplate removal (sep newline)."""
     cleaned_text = F.concat_ws(
-        " ",
+        sep,
         F.transform(
             F.filter(F.col("__arr"), lambda s: s.word.isNotNull()),
             lambda s: s.word,
         ),
     ).alias("cleaned_text")
     if not span_stats:
-        return agg.select(*group, "n_words", "n_removed", cleaned_text)
-    # gaps-and-islands over the sorted word array: entries are every
+        return agg.select(*group, n_before, "n_removed", cleaned_text)
+    # gaps-and-islands over the sorted unit array: entries are every
     # consecutive idx, so runs of word-IS-NULL entries ARE the merged
     # removed spans.  One fold, computed beside the cleaned text.
     cur = lambda acc, s: (  # noqa: E731 - run length after this entry
@@ -515,11 +528,157 @@ def remove_duplicate_passages(
         ),
     )
     return agg.select(
-        *group, "n_words", "n_removed",
+        *group, n_before, "n_removed",
         fold.n.alias("n_spans"),
         fold.mx.alias("max_span_len"),
         cleaned_text,
     )
+
+
+BOILER_MIN_DOCS = 3  # a line key in >= this many DISTINCT docs is
+# boilerplate; CCNet/RefinedWeb prune at parts-per-thousand of the crawl,
+# but the rule is the same shape -- the threshold is a parameter
+LINE_CHUNK_WORDS = 12  # _lined_docs body-line width (words)
+NAV_LINE = "home | about | contact us"
+TAG_LINE = "follow us on example social"
+PROMO_PREFIX = "subscribe to our newsletter no. "
+LINE_NORM_RE = "[0-9]+"  # digit runs collapse to one token so
+# counter-varying boilerplate ("... no. 3" vs "... no. 5") still buckets
+# together -- the digit-masking half of CCNet's paragraph normalization
+
+
+def normalize_line(line) -> "F.Column":
+    """CCNet-style line key: trim, casefold, collapse digit runs.  Kept
+    SQL-expressible (same form interpolated into the DuckDB oracle) so
+    the whole removal decision is cross-engine recomputable."""
+    return F.regexp_replace(F.lower(F.trim(line)), LINE_NORM_RE, "0")
+
+
+def remove_boilerplate_lines(
+    df, key: str, min_docs: int = BOILER_MIN_DOCS, text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    span_stats: bool = False,
+):
+    """CROSS-document boilerplate line removal (the line-dedup step of
+    CCNet, arXiv:1911.00359 sec 3.1, and RefinedWeb, arXiv:2306.01116):
+    a normalized line occurring in >= ``min_docs`` DISTINCT documents is
+    navigation/footer/cookie-banner boilerplate and is removed from ALL
+    documents -- unlike passage removal (`remove_duplicate_passages`),
+    which keeps the first occurrence, boilerplate has no keeper: every
+    copy is noise.  Blank/whitespace-only lines are never candidates
+    (they would trivially exceed any threshold and destroy paragraph
+    structure).
+
+    Plan: one line explode -> per-doc-DISTINCT line keys -> tiny-result
+    hash agg (count >= min_docs) -> LEFT join back on the key -> one
+    conditional aggregation rebuilds the cleaned text and (optionally)
+    merged removed-span stats via the shared `_marked_array_tail` fold.
+    10^12-doc notes: the boilerplate key set is bounded by lines
+    crossing the threshold (a tiny fraction of distinct lines) --
+    broadcast it when under the autoBroadcast threshold, else it is one
+    shuffle on the line key; group on xxhash64(key) instead of the line
+    text to shrink that shuffle's payload (kept as text here so the
+    DuckDB oracle recomputes removal exactly); the rebuild aggregation
+    co-partitions on the doc key like passage removal's word join.
+    Returns one row per ``key``: (n_lines, n_removed, [n_spans,
+    max_span_len,] cleaned_text)."""
+    group = [key, *carry_cols]
+    lines = df.select(
+        *group, F.posexplode(F.split(text_col, "\n")).alias("idx", "line")
+    )
+    keyed = lines.withColumn(
+        "__k",
+        F.when(F.trim(F.col("line")) != "", normalize_line(F.col("line"))),
+    )
+    boiler = (
+        keyed.where(F.col("__k").isNotNull())
+        .select(key, "__k")
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__k", F.lit(True).alias("__rm"))
+    )
+    kept_line = F.when(F.col("__rm").isNull(), F.col("line"))
+    agg = (
+        keyed.join(boiler, "__k", "left")
+        .groupBy(*group)
+        .agg(
+            F.count("*").cast("int").alias("n_lines"),
+            F.count(F.col("__rm")).cast("int").alias("n_removed"),
+            F.array_sort(
+                F.collect_list(F.struct("idx", kept_line.alias("word")))
+            ).alias("__arr"),
+        )
+    )
+    return _marked_array_tail(agg, group, "n_lines", "\n", span_stats)
+
+
+def _lined_docs(spark, sf_dir):
+    """The documents table re-lined deterministically for the boilerplate
+    leg (the testdata corpus is single-line, so line structure is
+    synthesized from doc_id arithmetic exactly like the links leg's
+    synthetic html): a 2-line boilerplate header (NAV_LINE + TAG_LINE --
+    ADJACENT, so their removal must merge into one 2-line span), the
+    document text chunked into LINE_CHUNK_WORDS-word body lines (unique
+    per doc except for genuine cross-doc repetition, which the oracle
+    recomputes identically), and a promo footer whose trailing counter
+    varies per doc (doc_id % 7) -- it only becomes boilerplate AFTER
+    digit-collapse normalization, so the leg exercises the normalizer,
+    not just exact matching."""
+    d = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    c = LINE_CHUNK_WORDS
+    n_chunks = F.floor((F.size(ws) + F.lit(c - 1)) / F.lit(c)).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * c + 1, c), " "),
+    )
+    lined = F.concat(
+        F.array(F.lit(NAV_LINE), F.lit(TAG_LINE)),
+        body,
+        F.array(
+            F.concat(
+                F.lit(PROMO_PREFIX), (F.col("doc_id") % 7).cast("string")
+            )
+        ),
+    )
+    return d.select("doc_id", F.array_join(lined, "\n").alias("text"))
+
+
+def text_passage_and_line_dedup(spark, sf_dir, n: int = WINDOW_N):
+    """Driver slot: tagged union of the two cross-document text-removal
+    granularities under one schema -- ``leg='passage'`` is
+    `text_dedup_passage_removal` unchanged (word units, keeper =
+    first occurrence) and ``leg='lines'`` is `remove_boilerplate_lines`
+    over `_lined_docs` (line units, NO keeper -- boilerplate is removed
+    everywhere).  Columns are per-leg unit counts (words vs lines);
+    cleaned_md5 is the exact rebuilt text either way, so both removal
+    semantics are hash-checked end-to-end."""
+    passage = text_dedup_passage_removal(spark, sf_dir, n).select(
+        F.lit("passage").alias("leg"), "*"
+    )
+    ln = remove_boilerplate_lines(
+        _lined_docs(spark, sf_dir), "doc_id", span_stats=True
+    )
+    lines_leg = ln.select(
+        F.lit("lines").alias("leg"),
+        "doc_id",
+        F.col("n_lines").alias("n_words"),
+        "n_removed",
+        "n_spans",
+        "max_span_len",
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(
+                F.col("n_removed").cast("double") / F.col("n_spans"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_span_len"),
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+    return passage.unionByName(lines_leg).orderBy("leg", "doc_id")
 
 
 def decontaminate(
@@ -1214,7 +1373,10 @@ QUERIES = {
     "text_ngram_top": text_ngram_top,
     "text_token_stats": text_token_stats,
     "text_doc_features": text_doc_features,
-    "text_dedup_passage_removal": text_dedup_passage_removal,
+    # r7: the passage-removal slot carries a second tagged leg for
+    # CCNet/RefinedWeb-style cross-document boilerplate LINE removal
+    # (no-keeper semantics, digit-collapse normalization)
+    "text_dedup_passage_removal": text_passage_and_line_dedup,
     # r6: the decontamination slot carries a second gated leg for the
     # bloom-filter scale path (superset + fpr invariants)
     "text_decontaminate": text_decontaminate_with_bloom,
@@ -1320,17 +1482,98 @@ ORACLES = {
                    max(span_len) AS max_span_len
             FROM spans GROUP BY doc_id
         )
-        SELECT w.doc_id,
-               CAST(len(w.ws) AS INT) AS n_words,
-               CAST(len(w.ws) - coalesce(c.n_kept, 0) AS INT) AS n_removed,
-               CAST(coalesce(sp.n_spans, 0) AS INT) AS n_spans,
-               CAST(coalesce(sp.max_span_len, 0) AS INT) AS max_span_len,
-               coalesce(round((len(w.ws) - coalesce(c.n_kept, 0)) * 1.0
-                              / sp.n_spans, 4), 0.0) AS mean_span_len,
-               coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
-        FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
-             LEFT JOIN sp ON w.doc_id = sp.doc_id
-        ORDER BY w.doc_id
+        -- lines leg: re-line every doc EXACTLY as _lined_docs does
+        -- (2-line header, {LINE_CHUNK_WORDS}-word body chunks,
+        -- digit-varying promo footer), then remove lines whose
+        -- normalized key (trim/lower/digit-collapse) appears in >=
+        -- {BOILER_MIN_DOCS} distinct docs -- from ALL docs, no keeper
+        , lb AS (
+            SELECT doc_id,
+                   unnest(range(0, (len(ws) + {LINE_CHUNK_WORDS - 1})
+                                   // {LINE_CHUNK_WORDS})) AS ci,
+                   ws
+            FROM w
+        ), lraw AS (
+            SELECT doc_id, 0 AS ln, '{NAV_LINE}' AS line FROM w
+            UNION ALL
+            SELECT doc_id, 1, '{TAG_LINE}' FROM w
+            UNION ALL
+            SELECT doc_id, ci + 2,
+                   array_to_string(
+                       ws[ci * {LINE_CHUNK_WORDS} + 1 :
+                          ci * {LINE_CHUNK_WORDS} + {LINE_CHUNK_WORDS}],
+                       ' ')
+            FROM lb
+            UNION ALL
+            SELECT doc_id,
+                   (len(ws) + {LINE_CHUNK_WORDS - 1})
+                       // {LINE_CHUNK_WORDS} + 2,
+                   '{PROMO_PREFIX}' || (doc_id % 7)::VARCHAR
+            FROM w
+        ), lkey AS (
+            SELECT doc_id, ln, line,
+                   CASE WHEN trim(line) <> '' THEN
+                       regexp_replace(lower(trim(line)),
+                                      '{LINE_NORM_RE}', '0', 'g')
+                   END AS k
+            FROM lraw
+        ), lboiler AS (
+            SELECT k FROM (SELECT DISTINCT doc_id, k FROM lkey
+                           WHERE k IS NOT NULL)
+            GROUP BY k HAVING count(*) >= {BOILER_MIN_DOCS}
+        ), lrm AS (
+            SELECT doc_id, ln FROM lkey
+            WHERE k IN (SELECT k FROM lboiler)
+        ), lkept AS (
+            SELECT doc_id, ln, line FROM lkey
+            WHERE NOT EXISTS (SELECT 1 FROM lrm
+                              WHERE lrm.doc_id = lkey.doc_id
+                                AND lrm.ln = lkey.ln)
+        ), lclean AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(line, chr(10) ORDER BY ln))
+                       AS cleaned_md5
+            FROM lkept GROUP BY doc_id
+        ), lspan_g AS (
+            SELECT doc_id,
+                   ln - row_number() OVER (PARTITION BY doc_id
+                       ORDER BY ln) AS grp
+            FROM lrm
+        ), lspans AS (
+            SELECT doc_id, count(*) AS span_len
+            FROM lspan_g GROUP BY doc_id, grp
+        ), lsp AS (
+            SELECT doc_id, count(*) AS n_spans,
+                   max(span_len) AS max_span_len
+            FROM lspans GROUP BY doc_id
+        ), ltot AS (
+            SELECT doc_id, count(*) AS n_lines FROM lraw GROUP BY doc_id
+        )
+        SELECT * FROM (
+            SELECT 'passage' AS leg, w.doc_id,
+                   CAST(len(w.ws) AS INT) AS n_words,
+                   CAST(len(w.ws) - coalesce(c.n_kept, 0) AS INT)
+                       AS n_removed,
+                   CAST(coalesce(sp.n_spans, 0) AS INT) AS n_spans,
+                   CAST(coalesce(sp.max_span_len, 0) AS INT)
+                       AS max_span_len,
+                   coalesce(round((len(w.ws) - coalesce(c.n_kept, 0)) * 1.0
+                                  / sp.n_spans, 4), 0.0) AS mean_span_len,
+                   coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+            FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
+                 LEFT JOIN sp ON w.doc_id = sp.doc_id
+            UNION ALL
+            SELECT 'lines', t.doc_id,
+                   CAST(t.n_lines AS INT),
+                   CAST(t.n_lines - coalesce(lc.n_kept, 0) AS INT),
+                   CAST(coalesce(lsp.n_spans, 0) AS INT),
+                   CAST(coalesce(lsp.max_span_len, 0) AS INT),
+                   coalesce(round((t.n_lines - coalesce(lc.n_kept, 0))
+                                  * 1.0 / lsp.n_spans, 4), 0.0),
+                   coalesce(lc.cleaned_md5, md5(''))
+            FROM ltot t LEFT JOIN lclean lc ON t.doc_id = lc.doc_id
+                 LEFT JOIN lsp ON t.doc_id = lsp.doc_id
+        ) ORDER BY leg, doc_id
     """,
     # both legs are generated from the SAME constants the Spark query
     # uses (SAMPLE_PCT; MIXTURE_WEIGHTS quantized at MIXTURE_DENOM, the
