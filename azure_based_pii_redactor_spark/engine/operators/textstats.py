@@ -1139,6 +1139,71 @@ def text_decontaminate_with_bloom(spark, sf_dir, n: int = WINDOW_N):
     )
 
 
+CCNET_BUCKETS = ("head", "middle", "tail")  # ascending score order:
+# head = best (CCNet ranks by LM perplexity, lower = more fluent)
+
+
+def bucket_by_score(
+    df, score_col: str, by: str = "lang", key: str = "doc_id",
+    mode: str = "threshold", accuracy: int = 10_000,
+):
+    """CCNet-style per-language quality bucketing (arXiv:1911.00359
+    sec 4.4): rank documents WITHIN each language by a quality score
+    (CCNet uses KenLM perplexity; any ascending-is-better numeric column
+    works -- compose with ``quality``'s perplexity output) and split
+    into equal thirds head/middle/tail.  Downstream recipes keep head
+    (+middle) or mixture-sample per bucket.  Adds a ``bucket`` column.
+
+    Two modes, pinned against each other in tests:
+
+    - ``mode='ntile'``: EXACT equal-count split -- ``ntile(3)`` over
+      (partition by language, order by score THEN key).  The total
+      order is deterministic, so re-runs and both engines agree
+      bit-for-bit (this is the oracle-checked reference semantics).
+      Costs one hash shuffle on the language key plus a per-language
+      sort: fine into the 10^9-docs-per-language range.
+    - ``mode='threshold'``: the 10^12-doc path.  Two approximate
+      percentile cuts per language (``percentile_approx`` sketch --
+      map-side combined, bounded driver rows) broadcast back as a
+      CASE projection: NO sort, NO window, one scan over the corpus.
+      Bucket sizes are approximate within the sketch error, and tied
+      scores cannot straddle a cut (every doc with score == the cut
+      lands in the lower bucket), so boundary docs may land one
+      bucket over vs ntile -- the agreement test quantifies it.
+    """
+    labels = F.array(*[F.lit(b) for b in CCNET_BUCKETS])
+    if mode == "ntile":
+        from pyspark.sql import Window
+
+        t = F.ntile(len(CCNET_BUCKETS)).over(
+            Window.partitionBy(by).orderBy(F.col(score_col), F.col(key))
+        )
+        return df.withColumn("bucket", F.element_at(labels, t))
+    if mode != "threshold":
+        raise ValueError(f"unknown mode {mode!r}")
+    n = len(CCNET_BUCKETS)
+    cuts = df.groupBy(by).agg(
+        F.percentile_approx(
+            score_col,
+            [i / n for i in range(1, n)],
+            accuracy,
+        ).alias("__cuts")
+    )
+    b = F.when(
+        F.col(score_col) <= F.col("__cuts")[0], F.lit(CCNET_BUCKETS[0])
+    )
+    for i in range(1, n - 1):
+        b = b.when(
+            F.col(score_col) <= F.col("__cuts")[i], F.lit(CCNET_BUCKETS[i])
+        )
+    b = b.otherwise(F.lit(CCNET_BUCKETS[-1]))
+    return (
+        df.join(F.broadcast(cuts), by)
+        .withColumn("bucket", b)
+        .drop("__cuts")
+    )
+
+
 SAMPLE_PCT = 20  # stratified-sampling default, interpolated into its oracle
 
 
@@ -1230,6 +1295,16 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
       oracle recomputes every window's membership exactly -- any
       off-by-one in the offset math or the span explode flips a
       hash.
+    - ``leg='ccnet'`` (r7): ``bucket_by_score`` in its exact ntile
+      mode -- per-language head/middle/tail thirds ordered by a
+      DuckDB-recomputable score (whitespace token count; the real
+      pipeline feeds kernel perplexity, pytest-pinned since floats
+      cannot hash cross-engine).  ``lang`` carries
+      ``<language>/<bucket>`` and ``kept_ids`` the exact sorted
+      membership of each third, so a tie-break or remainder-
+      distribution regression in the bucketer flips a hash.  The
+      Sort-free threshold mode is pinned against this leg's ntile
+      semantics in ``test_ccnet_buckets.py``.
 
     All legs are pure functions of the row keys, so the DuckDB oracle
     recomputes the exact kept-id lists for each.  The strat leg IS
@@ -1348,11 +1423,33 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
             "kept_ids",
         )
     )
+    ccnet = (
+        bucket_by_score(
+            _docs(spark, sf_dir).select(
+                "lang", "doc_id",
+                F.size(F.split("text", " ")).alias("__score"),
+            ),
+            "__score", by="lang", key="doc_id", mode="ntile",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("kept_ids"),
+        )
+        .select(
+            F.lit("ccnet").alias("leg"),
+            F.concat_ws("/", "lang", "bucket").alias("lang"),
+            "n_kept", "kept_ids",
+        )
+    )
     return (
         strat.unionByName(mix)
         .unionByName(dsir)
         .unionByName(links)
         .unionByName(pack)
+        .unionByName(ccnet)
         .orderBy("leg", "lang")
     )
 
@@ -1657,6 +1754,16 @@ ORACLES = {
                              ELSE st // {PACK_SEQ_LEN} END)::BIGINT))
                        AS bin
             FROM pc
+        ), ccn AS (
+            -- ccnet leg: exact per-language thirds by whitespace token
+            -- count, ntile tie-broken by doc_id (both engines implement
+            -- standard NTILE: earlier groups take the remainder)
+            SELECT lang, doc_id,
+                   ['head', 'middle', 'tail'][ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY len(string_split(text, ' ')), doc_id)]
+                       AS bucket
+            FROM documents
         )
         SELECT * FROM (
             SELECT 'strat' AS leg, lang, count(*) AS n_kept,
@@ -1681,6 +1788,10 @@ ORACLES = {
                    count(*),
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
             FROM pbins GROUP BY bin
+            UNION ALL
+            SELECT 'ccnet', lang || '/' || bucket, count(*),
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+            FROM ccn GROUP BY lang, bucket
         ) ORDER BY leg, lang
     """,
     "text_dup_passages": f"""

@@ -1,0 +1,123 @@
+"""CCNet-style per-language score bucketing (`textstats.bucket_by_score`):
+exact ntile semantics, the Sort-free threshold scale path, agreement
+between the two, and composition with the real perplexity kernel."""
+
+from collections import Counter
+
+import pytest
+
+import azure_based_pii_redactor_spark.engine.operators.textstats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _buckets(df, mode):
+    out = ts.bucket_by_score(df, "score", mode=mode).collect()
+    return {r["doc_id"]: r["bucket"] for r in out}
+
+
+def test_ntile_exact_split_and_remainder(spark):
+    """7 docs in one language -> thirds of 3/2/2 (standard NTILE gives
+    the remainder to the EARLIEST groups), ordered by score then key."""
+    df = spark.createDataFrame(
+        [(i, "en", float(100 - i)) for i in range(7)],
+        "doc_id int, lang string, score double",
+    )
+    by = _buckets(df, "ntile")
+    # ascending score = doc_ids 6,5,4 | 3,2 | 1,0
+    assert [by[i] for i in (6, 5, 4)] == ["head"] * 3
+    assert [by[i] for i in (3, 2)] == ["middle"] * 2
+    assert [by[i] for i in (1, 0)] == ["tail"] * 2
+
+
+def test_ntile_is_per_language(spark):
+    """Partitioning: one language's score distribution must not leak
+    into another's cuts -- every language is split independently."""
+    rows = [(i, "en", float(i)) for i in range(6)] + [
+        (100 + i, "de", float(1000 + i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, score double")
+    by = _buckets(df, "ntile")
+    # de scores are all above every en score, yet de still has heads
+    assert by[100] == "head" and by[105] == "tail"
+    assert by[0] == "head" and by[5] == "tail"
+
+
+def test_threshold_mode_agrees_with_ntile(spark):
+    """The 10^12-doc threshold path must reproduce ntile assignments on
+    the testdata corpus except at cut boundaries: agreement >= 90% and
+    every disagreement is exactly one bucket off."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    scored = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("double").alias("score"),
+    )
+    nt = _buckets(scored, "ntile")
+    th = _buckets(scored, "threshold")
+    order = {b: i for i, b in enumerate(ts.CCNET_BUCKETS)}
+    agree = sum(nt[d] == th[d] for d in nt)
+    assert agree / len(nt) >= 0.9
+    assert all(abs(order[nt[d]] - order[th[d]]) <= 1 for d in nt)
+
+
+def test_threshold_mode_is_sort_free(spark):
+    """The threshold plan must contain no global Sort/Window over the
+    corpus -- the whole point of the scale path (the tiny percentile
+    aggregation and the broadcast join are the only exchanges)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    scored = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("double").alias("score"),
+    )
+    plan = (
+        ts.bucket_by_score(scored, "score", mode="threshold")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_composes_with_real_perplexity(spark):
+    """CCNet's actual recipe: bucket on kernel perplexity.  The head
+    third must be more fluent (lower mean ppl) than the tail third in
+    every language, in both modes."""
+    from azure_based_pii_redactor_spark.quality import perplexity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    rows = [
+        (r["doc_id"], r["lang"], float(perplexity(r["text"]))) for r in docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, score double")
+    for mode in ("ntile", "threshold"):
+        out = ts.bucket_by_score(df, "score", mode=mode).collect()
+        stats: dict = {}
+        for r in out:
+            stats.setdefault((r["lang"], r["bucket"]), []).append(r["score"])
+        langs = {lang for lang, _ in stats}
+        for lang in langs:
+            head = stats.get((lang, "head"))
+            tail = stats.get((lang, "tail"))
+            if head and tail:
+                assert sum(head) / len(head) < sum(tail) / len(tail)
+
+
+def test_deterministic_across_runs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    scored = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("double").alias("score"),
+    )
+    a = _buckets(scored.repartition(7), "ntile")
+    b = _buckets(scored.repartition(3), "ntile")
+    assert a == b
+    sizes = Counter(a.values())
+    # thirds within one of each other per the corpus total
+    assert max(sizes.values()) - min(sizes.values()) <= len(
+        {r["lang"] for r in docs.select("lang").distinct().collect()}
+    )
