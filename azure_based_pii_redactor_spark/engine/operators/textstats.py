@@ -8,6 +8,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
+from .urls import PAGERANK_SCALE
 from .dsir import (
     DSIR_BUCKETS,
     DSIR_TARGET_MOD,
@@ -1305,6 +1306,14 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
       distribution regression in the bucketer flips a hash.  The
       Sort-free threshold mode is pinned against this leg's ntile
       semantics in ``test_ccnet_buckets.py``.
+    - ``leg='pagerank'`` (r7): ``domain_pagerank`` over the SAME
+      synthetic link graph as the links leg -- 3 integer-arithmetic
+      power iterations (exact rational damping 85/100, every division
+      floored), ``n_kept`` carrying each domain's final rank in 1e-9
+      units and ``kept_ids`` the iteration-2 rank (``r2:<rank>``), so
+      the oracle checks the iteration STRUCTURE, not just a fixed
+      point.  The same-host nav trap must be dropped as a self-loop
+      or every source domain gains in-edges and the hashes flip.
 
     All legs are pure functions of the row keys, so the DuckDB oracle
     recomputes the exact kept-id lists for each.  The strat leg IS
@@ -1423,6 +1432,25 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
             "kept_ids",
         )
     )
+    from .urls import collapsed_authority as _ca
+    from .urls import domain_pagerank
+
+    pr_edges = edges.select(
+        _ca(F.col("src")).alias("src_domain"),
+        _ca(F.col("href")).alias("dst_domain"),
+    )
+    pr3 = domain_pagerank(pr_edges)
+    pr2 = domain_pagerank(pr_edges, iterations=2).withColumnRenamed(
+        "rank", "__r2"
+    )
+    pagerank = pr3.join(pr2, "domain").select(
+        F.lit("pagerank").alias("leg"),
+        F.col("domain").alias("lang"),
+        F.col("rank").alias("n_kept"),
+        F.concat(F.lit("r2:"), F.col("__r2").cast("string")).alias(
+            "kept_ids"
+        ),
+    )
     ccnet = (
         bucket_by_score(
             _docs(spark, sf_dir).select(
@@ -1450,6 +1478,7 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
         .unionByName(links)
         .unionByName(pack)
         .unionByName(ccnet)
+        .unionByName(pagerank)
         .orderBy("leg", "lang")
     )
 
@@ -1489,6 +1518,36 @@ QUERIES = {
     # text_langid_kernel stays pytest-only (the flagship pipeline's
     # lang_pred column exercises the same kernel in its driver entry).
 }
+
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled integer power-iteration CTE pair for the pagerank
+    leg's oracle -- same floor arithmetic as ``urls.domain_pagerank``:
+    teleport + uniformly redistributed dangling mass + per-edge floored
+    contributions, all over the constants the Spark side uses."""
+    from .urls import PAGERANK_DAMPING, PAGERANK_SCALE
+
+    num, den = PAGERANK_DAMPING
+    return f"""
+        , pr_d{i} AS (
+            SELECT coalesce(sum(r), 0) AS dm FROM pr_r{i - 1}
+            WHERE dom NOT IN (SELECT sdom FROM pr_outw)
+        ), pr_r{i} AS (
+            SELECT p.dom,
+                   ({den - num}::BIGINT * {PAGERANK_SCALE})
+                       // ({den} * pn.n)
+                   + ({num}::BIGINT * d.dm) // ({den} * pn.n)
+                   + coalesce(c.s, 0) AS r
+            FROM pr_nodes p CROSS JOIN pr_n pn CROSS JOIN pr_d{i} d
+            LEFT JOIN (
+                SELECT e.ddom AS dom,
+                       sum(({num} * r.r * e.w) // ({den} * o.ow)) AS s
+                FROM pr_edges e
+                JOIN pr_r{i - 1} r ON r.dom = e.sdom
+                JOIN pr_outw o ON o.sdom = e.sdom
+                GROUP BY e.ddom
+            ) c ON c.dom = p.dom
+        )"""
+
 
 ORACLES = {
     # the bloom leg is a requirement-stating row (the recall-gate
@@ -1764,7 +1823,32 @@ ORACLES = {
                        ORDER BY len(string_split(text, ' ')), doc_id)]
                        AS bucket
             FROM documents
-        )
+        ), pr_e AS (
+            -- pagerank leg: page-level domain edges from the same
+            -- doc_id arithmetic as lkedges; the same-host nav trap is
+            -- ABSENT here because domain_pagerank must drop self-loops
+            SELECT 's' || (doc_id % 5)::VARCHAR || '.example' AS sdom,
+                   'd' || ((doc_id + 1) % 17)::VARCHAR || '.example'
+                       AS ddom
+            FROM documents
+            UNION ALL
+            SELECT 's' || (doc_id % 5)::VARCHAR || '.example',
+                   'd' || ((doc_id + 7) % 17)::VARCHAR || '.example'
+            FROM documents
+        ), pr_edges AS (
+            SELECT sdom, ddom, count(*) AS w FROM pr_e GROUP BY sdom, ddom
+        ), pr_nodes AS (
+            SELECT sdom AS dom FROM pr_edges
+            UNION
+            SELECT ddom FROM pr_edges
+        ), pr_n AS (
+            SELECT count(*) AS n FROM pr_nodes
+        ), pr_outw AS (
+            SELECT sdom, sum(w) AS ow FROM pr_edges GROUP BY sdom
+        ), pr_r0 AS (
+            SELECT dom, {PAGERANK_SCALE} // n AS r
+            FROM pr_nodes CROSS JOIN pr_n
+        ){_pagerank_iter_sql(1)}{_pagerank_iter_sql(2)}{_pagerank_iter_sql(3)}
         SELECT * FROM (
             SELECT 'strat' AS leg, lang, count(*) AS n_kept,
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
@@ -1792,6 +1876,12 @@ ORACLES = {
             SELECT 'ccnet', lang || '/' || bucket, count(*),
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
             FROM ccn GROUP BY lang, bucket
+            UNION ALL
+            -- HUGEINT (sum-promoted) must come back to BIGINT or the
+            -- whole union's n_kept turns float in pandas
+            SELECT 'pagerank', r3.dom, CAST(r3.r AS BIGINT),
+                   'r2:' || r2.r::VARCHAR
+            FROM pr_r3 r3 JOIN pr_r2 r2 ON r2.dom = r3.dom
         ) ORDER BY leg, lang
     """,
     "text_dup_passages": f"""

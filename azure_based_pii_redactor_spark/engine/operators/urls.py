@@ -336,3 +336,99 @@ def domain_link_stats(links: DataFrame) -> DataFrame:
         # an extra range shuffle no consumer needs -- callers that want
         # a top-k use orderBy().limit() (TakeOrderedAndProject)
     )
+
+
+PAGERANK_SCALE = 10**9  # total rank mass, integer units of 1e-9.  Bound
+# that keeps every product in int64 under ANSI (loud on overflow):
+# damping_num * rank * edge_weight <= 85 * 1e9 * w  needs  w < ~1e8
+# links between one ordered domain pair -- far beyond any real crawl
+# cell; raise SCALE only with a decimal widening (see dsir.py:110's
+# scoped-ceiling precedent).
+PAGERANK_DAMPING = (85, 100)  # alpha = 0.85 as an exact rational
+PAGERANK_ITERS = 3
+
+
+def domain_pagerank(
+    edges: DataFrame,
+    iterations: int = PAGERANK_ITERS,
+    damping: tuple[int, int] = PAGERANK_DAMPING,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Domain-level PageRank over an ``(src_domain, dst_domain)``
+    page-level edge list -- the link-graph quality prior one step up
+    from ``domain_link_stats``'s in-degree: rank flows THROUGH domains,
+    so a domain linked by well-linked domains outranks one linked by
+    the same count of nobodies (Page et al. 1999; the crawl-frontier
+    prioritizer of every production crawler since).
+
+    ENTIRELY integer arithmetic so two engines (and two runs) agree
+    bit-for-bit: rank mass ``scale`` is distributed in integer units,
+    damping is the exact rational ``damping[0]/damping[1]``, and every
+    division is a floor (``div`` / ``//`` on non-negative BIGINTs).
+    Per iteration: r'(v) = (den-num)*scale/(den*n)  [teleport]
+    + num*D/(den*n)  [dangling mass D redistributed uniformly]
+    + sum over in-edges of num*r(u)*w/(den*W_u), every term floored.
+    Floor loss (< 1 unit per term) makes total mass decay by parts per
+    billion per iteration -- deterministic, not drift.
+
+    Plan shape per iteration: one hash join of ranks onto edges (both
+    keyed by domain -- pre-partition both on domain to reuse the
+    exchange across iterations), one hash aggregation to dst, one
+    broadcast of the 1-row dangling aggregate.  Self-loops (same-domain
+    navigation) are excluded up front, like ``domain_link_stats``.
+    At web scale (~1e8 domains) each iteration is two shuffles of a
+    domain-sized frame; for deep iteration counts, localCheckpoint
+    every few rounds to truncate lineage.  Returns (domain, rank)
+    with sum(rank) ~= scale."""
+    num, den = damping
+    e = (
+        edges.where(F.col("src_domain") != F.col("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src_domain").alias("domain"))
+        .unionByName(e.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("domain_pagerank: empty edge list")
+    outw = e.groupBy("src_domain").agg(F.sum("w").alias("outw"))
+    base = ((den - num) * scale) // (den * n)
+    r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for _ in range(iterations):
+        dangling = (
+            r.join(
+                outw, r["domain"] == outw["src_domain"], "left_anti"
+            ).agg(
+                F.coalesce(F.sum("rank"), F.lit(0))
+                .cast("long")
+                .alias("__dm")
+            )
+        )
+        contrib = (
+            e.join(r, e["src_domain"] == r["domain"])
+            .join(outw, "src_domain")
+            .groupBy(F.col("dst_domain").alias("domain"))
+            .agg(
+                F.sum(
+                    F.expr(f"({num} * rank * w) div ({den} * outw)")
+                ).alias("__c")
+            )
+        )
+        r = (
+            nodes.join(contrib, "domain", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "domain",
+                (
+                    F.lit(base)
+                    + F.expr(f"({num} * __dm) div ({den} * {n})")
+                    + F.coalesce(F.col("__c"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return r

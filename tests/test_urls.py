@@ -296,3 +296,74 @@ def test_extract_outlinks_and_domain_stats(spark):
     assert "a.example" not in stats
     assert stats["spam.example"] == (10, 1)  # farm counts ONCE by domain
     assert stats["b.example"] == (1, 1)
+
+
+def _pr(spark, edges, **kw):
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        domain_pagerank,
+    )
+
+    df = spark.createDataFrame(
+        edges, "src_domain string, dst_domain string"
+    )
+    return {
+        r["domain"]: r["rank"] for r in domain_pagerank(df, **kw).collect()
+    }
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    """a->b at scale 1e9: r0 = 5e8 each; b is dangling (mass 5e8
+    redistributed), a gets teleport+dangling only, b adds the full
+    floored edge contribution.  Every term hand-checked."""
+    r = _pr(spark, [("a", "b")], iterations=1)
+    base = 15 * 10**9 // 200          # 75_000_000
+    dang = 85 * 500_000_000 // 200    # 212_500_000
+    edge = 85 * 500_000_000 // 100    # 425_000_000
+    assert r == {"a": base + dang, "b": base + dang + edge}
+    assert sum(r.values()) == 10**9
+
+
+def test_pagerank_mass_conserved_within_floor_loss(spark):
+    edges = [(f"s{i}", f"d{(i * 7 + j) % 11}") for i in range(5)
+             for j in range(3)]
+    r = _pr(spark, edges)
+    n_nodes = len({x for e in edges for x in e})
+    # each floored term loses < 1 unit; 3 iterations, <= ~3 terms/node
+    assert 10**9 - sum(r.values()) < 10 * n_nodes * 3
+    assert all(v > 0 for v in r.values())
+
+
+def test_pagerank_self_loops_excluded(spark):
+    """Same-domain navigation must not feed rank back to itself: adding
+    self-loops changes nothing."""
+    base_edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    loops = base_edges + [("a", "a"), ("b", "b")]
+    assert _pr(spark, base_edges) == _pr(spark, loops)
+
+
+def test_pagerank_flows_through_hubs(spark):
+    """The property in-degree cannot see: a and b both have ONE inbound
+    edge, but a's referrer is itself heavily linked (a hub), so a
+    outranks b."""
+    edges = (
+        [(f"fan{i}", "hub") for i in range(8)]
+        + [("hub", "a"), ("nobody", "b")]
+    )
+    r = _pr(spark, edges)
+    assert r["a"] > r["b"]
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        domain_pagerank,
+    )
+
+    edges = [(f"s{i % 4}", f"d{(i + 3) % 9}") for i in range(40)]
+    df = spark.createDataFrame(
+        edges, "src_domain string, dst_domain string"
+    )
+    a = {r["domain"]: r["rank"]
+         for r in domain_pagerank(df.repartition(7)).collect()}
+    b = {r["domain"]: r["rank"]
+         for r in domain_pagerank(df.coalesce(1)).collect()}
+    assert a == b
