@@ -546,6 +546,77 @@ def main() -> None:
     ).agg(F.max("last_bin")).collect()[0][0] + 1
     pack_sec = round(pack_sec, 3)
 
+    # -- cross-doc boilerplate line dedup (side metric, r7) ------------------
+    # remove_boilerplate_lines over the SAME 50k-page corpus: the
+    # generator's shared corpus sentences and bullet-axis lines are
+    # genuine cross-document boilerplate, so removal does real work
+    # (n_removed > 0 is asserted into the artifact, not assumed).
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        remove_boilerplate_lines,
+    )
+
+    ld_in = pages.select("url", "text")
+    remove_boilerplate_lines(  # untimed warm-up
+        ld_in.limit(2_000), "url", min_docs=50
+    ).write.format("noop").mode("overwrite").save()
+    line_dedup_sec = 9e9
+    for _ in range(2):
+        t0 = time.time()
+        remove_boilerplate_lines(ld_in, "url", min_docs=50).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        line_dedup_sec = min(line_dedup_sec, time.time() - t0)
+    line_dedup_sec = round(line_dedup_sec, 3)
+    line_removed = (
+        remove_boilerplate_lines(ld_in, "url", min_docs=50)
+        .agg(F.sum("n_removed"))
+        .collect()[0][0]
+    )
+
+    # -- domain PageRank (side metric, r7) -----------------------------------
+    # 3 integer power iterations over a zipf-skewed domain graph derived
+    # from the corpus urls (2 page-level outlinks per page, targets
+    # hash-spread over the same domain universe) -- the skewed in-degree
+    # distribution is exactly the hard case for the per-iteration
+    # domain-keyed join+agg.
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        collapsed_authority,
+        domain_pagerank,
+    )
+    from azure_based_pii_redactor_spark.sources.pages import N_DOMAINS
+
+    pr_in = pages.select(
+        collapsed_authority(F.col("url")).alias("src_domain"),
+        F.concat(
+            F.lit("domain"),
+            (F.pmod(F.xxhash64("url"), F.lit(N_DOMAINS)) + 1).cast(
+                "string"
+            ),
+            F.lit(".example"),
+        ).alias("dst_domain"),
+    ).unionByName(
+        pages.select(
+            collapsed_authority(F.col("url")).alias("src_domain"),
+            F.concat(
+                F.lit("domain"),
+                (
+                    F.pmod(F.xxhash64("url", F.lit(7)), F.lit(N_DOMAINS))
+                    + 1
+                ).cast("string"),
+                F.lit(".example"),
+            ).alias("dst_domain"),
+        )
+    )
+    pagerank_sec = 9e9
+    for _ in range(2):
+        t0 = time.time()
+        domain_pagerank(pr_in).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        pagerank_sec = min(pagerank_sec, time.time() - t0)
+    pagerank_sec = round(pagerank_sec, 3)
+    pr_nodes = domain_pagerank(pr_in).count()  # untimed: graph size
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -573,6 +644,13 @@ def main() -> None:
                 "pack_windows_sec": pack_sec,
                 "pack_docs_per_sec": round(n_pages / pack_sec, 1),
                 "pack_n_windows": n_windows,
+                "line_dedup_sec": line_dedup_sec,
+                "line_dedup_docs_per_sec": round(
+                    n_pages / line_dedup_sec, 1
+                ),
+                "line_dedup_lines_removed": int(line_removed),
+                "pagerank_sec": pagerank_sec,
+                "pagerank_n_domains": pr_nodes,
                 "sf": sf,
                 "docs_per_sec": docs_per_sec,
                 "stream_docs_per_sec": stream_docs_per_sec,
