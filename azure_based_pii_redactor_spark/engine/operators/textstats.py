@@ -407,17 +407,27 @@ def text_dedup_passage_removal(spark, sf_dir, n: int = WINDOW_N):
     return (
         cleaned.select(
             "doc_id", "n_words", "n_removed", "n_spans", "max_span_len",
-            F.when(
-                F.col("n_spans") > 0,
-                F.round(
-                    F.col("n_removed").cast("double") / F.col("n_spans"), 4
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("mean_span_len"),
-            F.md5("cleaned_text").alias("cleaned_md5"),
+            *_span_report_cols(),
         )
         .orderBy("doc_id")
+    )
+
+
+def _span_report_cols():
+    """Mean merged-span length + cleaned-text md5 -- the shared
+    finalization of BOTH legs of the passage/lines driver slot (one
+    definition, so a rounding or NULL-policy tweak cannot desync the
+    legs of one oracle)."""
+    return (
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(
+                F.col("n_removed").cast("double") / F.col("n_spans"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_span_len"),
+        F.md5("cleaned_text").alias("cleaned_md5"),
     )
 
 
@@ -584,8 +594,13 @@ def remove_boilerplate_lines(
     Returns one row per ``key``: (n_lines, n_removed, [n_spans,
     max_span_len,] cleaned_text)."""
     group = [key, *carry_cols]
+    # coalesce: split(NULL) explodes to ZERO rows, which would silently
+    # drop NULL-text documents from the output ("one row per key")
     lines = df.select(
-        *group, F.posexplode(F.split(text_col, "\n")).alias("idx", "line")
+        *group,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("idx", "line"),
     )
     keyed = lines.withColumn(
         "__k",
@@ -669,15 +684,7 @@ def text_passage_and_line_dedup(spark, sf_dir, n: int = WINDOW_N):
         "n_removed",
         "n_spans",
         "max_span_len",
-        F.when(
-            F.col("n_spans") > 0,
-            F.round(
-                F.col("n_removed").cast("double") / F.col("n_spans"), 4
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("mean_span_len"),
-        F.md5("cleaned_text").alias("cleaned_md5"),
+        *_span_report_cols(),
     )
     return passage.unionByName(lines_leg).orderBy("leg", "doc_id")
 
@@ -1146,7 +1153,7 @@ CCNET_BUCKETS = ("head", "middle", "tail")  # ascending score order:
 
 def bucket_by_score(
     df, score_col: str, by: str = "lang", key: str = "doc_id",
-    mode: str = "threshold", accuracy: int = 10_000,
+    mode: str = "threshold", accuracy: int = 10_000, cuts_df=None,
 ):
     """CCNet-style per-language quality bucketing (arXiv:1911.00359
     sec 4.4): rank documents WITHIN each language by a quality score
@@ -1171,26 +1178,45 @@ def bucket_by_score(
       scores cannot straddle a cut (every doc with score == the cut
       lands in the lower bucket), so boundary docs may land one
       bucket over vs ntile -- the agreement test quantifies it.
+      The sketch's merge order is shuffle-dependent, so cut VALUES
+      are not bit-stable across reruns; for retry/resume-identical
+      selection (this repo's invariant for every other sampler),
+      persist the tiny cuts frame (one row per language) and pass it
+      back as ``cuts_df`` -- which is also how a production pipeline
+      holds thresholds fixed across crawl snapshots.
+
+    NULL policy, identical in both modes: a NULL ``by`` key is its own
+    group (null-safe join / its own window partition), and a NULL score
+    (e.g. perplexity of an empty doc) is 'tail' -- a doc the scorer
+    cannot vouch for must never outrank a scored one.
     """
     labels = F.array(*[F.lit(b) for b in CCNET_BUCKETS])
+    null_tail = F.when(
+        F.col(score_col).isNull(), F.lit(CCNET_BUCKETS[-1])
+    )
     if mode == "ntile":
         from pyspark.sql import Window
 
         t = F.ntile(len(CCNET_BUCKETS)).over(
-            Window.partitionBy(by).orderBy(F.col(score_col), F.col(key))
+            Window.partitionBy(by).orderBy(
+                F.col(score_col).asc_nulls_last(), F.col(key)
+            )
         )
-        return df.withColumn("bucket", F.element_at(labels, t))
+        return df.withColumn(
+            "bucket", null_tail.otherwise(F.element_at(labels, t))
+        )
     if mode != "threshold":
         raise ValueError(f"unknown mode {mode!r}")
     n = len(CCNET_BUCKETS)
-    cuts = df.groupBy(by).agg(
-        F.percentile_approx(
-            score_col,
-            [i / n for i in range(1, n)],
-            accuracy,
-        ).alias("__cuts")
-    )
-    b = F.when(
+    if cuts_df is None:
+        cuts_df = df.groupBy(by).agg(
+            F.percentile_approx(
+                score_col,
+                [i / n for i in range(1, n)],
+                accuracy,
+            ).alias("__cuts")
+        )
+    b = null_tail.when(
         F.col(score_col) <= F.col("__cuts")[0], F.lit(CCNET_BUCKETS[0])
     )
     for i in range(1, n - 1):
@@ -1198,10 +1224,11 @@ def bucket_by_score(
             F.col(score_col) <= F.col("__cuts")[i], F.lit(CCNET_BUCKETS[i])
         )
     b = b.otherwise(F.lit(CCNET_BUCKETS[-1]))
+    cuts_df = F.broadcast(cuts_df.withColumnRenamed(by, "__by"))
     return (
-        df.join(F.broadcast(cuts), by)
+        df.join(cuts_df, F.col(by).eqNullSafe(F.col("__by")))
         .withColumn("bucket", b)
-        .drop("__cuts")
+        .drop("__cuts", "__by")
     )
 
 
@@ -1439,15 +1466,11 @@ def sample_stratified_with_mixture(spark, sf_dir, pct: int = SAMPLE_PCT):
         _ca(F.col("src")).alias("src_domain"),
         _ca(F.col("href")).alias("dst_domain"),
     )
-    pr3 = domain_pagerank(pr_edges)
-    pr2 = domain_pagerank(pr_edges, iterations=2).withColumnRenamed(
-        "rank", "__r2"
-    )
-    pagerank = pr3.join(pr2, "domain").select(
+    pagerank = domain_pagerank(pr_edges, trace_iteration=2).select(
         F.lit("pagerank").alias("leg"),
         F.col("domain").alias("lang"),
         F.col("rank").alias("n_kept"),
-        F.concat(F.lit("r2:"), F.col("__r2").cast("string")).alias(
+        F.concat(F.lit("r2:"), F.col("rank_trace").cast("string")).alias(
             "kept_ids"
         ),
     )

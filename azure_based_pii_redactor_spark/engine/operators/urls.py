@@ -353,6 +353,7 @@ def domain_pagerank(
     iterations: int = PAGERANK_ITERS,
     damping: tuple[int, int] = PAGERANK_DAMPING,
     scale: int = PAGERANK_SCALE,
+    trace_iteration: int | None = None,
 ) -> DataFrame:
     """Domain-level PageRank over an ``(src_domain, dst_domain)``
     page-level edge list -- the link-graph quality prior one step up
@@ -379,7 +380,11 @@ def domain_pagerank(
     At web scale (~1e8 domains) each iteration is two shuffles of a
     domain-sized frame; for deep iteration counts, localCheckpoint
     every few rounds to truncate lineage.  Returns (domain, rank)
-    with sum(rank) ~= scale."""
+    with sum(rank) ~= scale; with ``trace_iteration=k`` also returns
+    ``rank_trace`` = the rank after iteration k, computed IN the same
+    pass (the k-prefix is localCheckpointed, not re-run -- the driver
+    leg uses this to hash-check the iteration structure without
+    paying for two walks of the graph)."""
     num, den = damping
     e = (
         edges.where(F.col("src_domain") != F.col("dst_domain"))
@@ -397,7 +402,8 @@ def domain_pagerank(
     outw = e.groupBy("src_domain").agg(F.sum("w").alias("outw"))
     base = ((den - num) * scale) // (den * n)
     r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
-    for _ in range(iterations):
+    traced = None
+    for it in range(iterations):
         dangling = (
             r.join(
                 outw, r["domain"] == outw["src_domain"], "left_anti"
@@ -431,4 +437,11 @@ def domain_pagerank(
                 .alias("rank"),
             )
         )
+        if trace_iteration is not None and it + 1 == trace_iteration:
+            # materialize the prefix ONCE; later iterations and the
+            # final join both read the checkpointed frame
+            r = r.localCheckpoint(eager=True)
+            traced = r.withColumnRenamed("rank", "rank_trace")
+    if traced is not None:
+        return r.join(traced, "domain")
     return r

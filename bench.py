@@ -572,6 +572,10 @@ def main() -> None:
         .agg(F.sum("n_removed"))
         .collect()[0][0]
     )
+    assert line_removed > 0, (
+        "line-dedup bench premise broken: corpus has no cross-doc"
+        " boilerplate lines -- the timing would be a no-op"
+    )
 
     # -- domain PageRank (side metric, r7) -----------------------------------
     # 3 integer power iterations over a zipf-skewed domain graph derived
@@ -615,7 +619,16 @@ def main() -> None:
         ).save()
         pagerank_sec = min(pagerank_sec, time.time() - t0)
     pagerank_sec = round(pagerank_sec, 3)
-    pr_nodes = domain_pagerank(pr_in).count()  # untimed: graph size
+    # untimed graph-size note: distinct domains of the self-loop-free
+    # edge list (== pagerank's node set) without re-running iterations
+    pr_nodes = (
+        pr_in.where(F.col("src_domain") != F.col("dst_domain"))
+        .select(
+            F.explode(F.array("src_domain", "dst_domain")).alias("d")
+        )
+        .distinct()
+        .count()
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -146,3 +146,19 @@ def test_driver_leg_fires_at_smallest_sf(spark):
     assert len(rows) == 500
     assert all(r["n_removed"] >= 3 for r in rows)
     assert all(r["max_span_len"] >= 2 for r in rows)
+
+
+def test_null_text_doc_survives(spark):
+    """A NULL-text document must not vanish (split(NULL) explodes to
+    zero rows) -- it survives as one blank line, rebuilt to ''."""
+    df = spark.createDataFrame(
+        [(1, None), (2, f"{NAV}\nbody a"), (3, f"{NAV}\nbody b"),
+         (4, NAV)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in ts.remove_boilerplate_lines(
+        df, "doc_id", min_docs=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_lines"] == 1
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_text"] == ""

@@ -121,3 +121,55 @@ def test_deterministic_across_runs(spark):
     assert max(sizes.values()) - min(sizes.values()) <= len(
         {r["lang"] for r in docs.select("lang").distinct().collect()}
     )
+
+
+def test_null_score_and_null_lang_policy(spark):
+    """NULL handling must be identical in both modes: a NULL language
+    is its own group (no rows dropped), and a NULL score is 'tail' --
+    a doc the scorer cannot vouch for never outranks a scored one."""
+    rows = (
+        [(i, "en", float(i)) for i in range(6)]
+        + [(10, "en", None), (11, None, 1.0), (12, None, 2.0),
+           (13, None, 3.0), (14, None, None)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id int, lang string, score double"
+    )
+    for mode in ("ntile", "threshold"):
+        by = _buckets(df, mode)
+        assert set(by) == {r[0] for r in rows}, mode  # nothing dropped
+        assert by[10] == "tail" and by[14] == "tail", mode
+    # the NULL-lang group is bucketed within itself in ntile mode:
+    # 4 rows -> thirds (2,1,1), null-score last and forced 'tail'
+    nt = _buckets(df, "ntile")
+    assert [nt[i] for i in (11, 12, 13, 14)] == [
+        "head", "head", "middle", "tail"
+    ]
+
+
+def test_threshold_cuts_reusable_for_identical_selection(spark):
+    """The documented resume-identical recipe: persist the tiny cuts
+    frame and pass it back -- two runs with the same cuts_df agree
+    bit-for-bit regardless of input partitioning."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("double").alias("score"),
+    )
+    cuts = (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile_approx("score", [1 / 3, 2 / 3], 10_000).alias(
+                "__cuts"
+            )
+        )
+        .localCheckpoint()
+    )
+    a = {r["doc_id"]: r["bucket"] for r in ts.bucket_by_score(
+        docs.repartition(7), "score", mode="threshold", cuts_df=cuts
+    ).collect()}
+    b = {r["doc_id"]: r["bucket"] for r in ts.bucket_by_score(
+        docs.coalesce(1), "score", mode="threshold", cuts_df=cuts
+    ).collect()}
+    assert a == b
