@@ -33,6 +33,7 @@ def build_training_corpus(
     pages: DataFrame,
     eval_docs: DataFrame | None = None,
     dedup_urls: bool = True,
+    remove_boilerplate: int | None = None,
     remove_dup_passages: bool = True,
     sample_pct: int | None = None,
     passage_n: int | None = None,
@@ -65,8 +66,13 @@ def build_training_corpus(
     ``urls.cap_per_domain`` right after url dedup (cheapest placement:
     every later stage's cost scales with surviving rows, and capping
     before the scrub saves the kernel on the truncated mega-hosts);
-    ``token_budget`` applies ``textstats.sample_to_token_budget`` as
-    the FINAL stage (a token budget only means something over the text
+    ``remove_boilerplate`` (an int = the ``min_docs`` threshold)
+    applies ``textstats.remove_boilerplate_lines`` to the scrubbed text
+    right BEFORE passage removal -- CCNet-order: shared nav/footer
+    lines would otherwise inflate duplicated-passage detection with
+    template hits; docs reduced to nothing are dropped
+    (``after_line_dedup``); ``token_budget`` applies
+    ``textstats.sample_to_token_budget`` as the FINAL stage (a token budget only means something over the text
     that actually ships), reporting the kept token total as
     ``kept_tokens`` (a side-channel report key like
     ``scrub_changed_docs``, not a stage).  Note: the budget's bucket-sum
@@ -147,6 +153,28 @@ def build_training_corpus(
         "after_quality_filter" if quality_filter else "after_scrub",
         kept.drop("n_entities"),
     )
+
+    if remove_boilerplate is not None:
+        # the SAME no-keeper line-removal core as the oracle-checked
+        # lines leg, over the scrubbed text; emptied docs are dropped
+        from .operators.textstats import remove_boilerplate_lines
+
+        kept = (
+            remove_boilerplate_lines(
+                kept, "url", min_docs=remove_boilerplate,
+                carry_cols=("warc_ts", "lang", "lang_pred"),
+            )
+            .select(
+                "url", "warc_ts", "lang", "lang_pred",
+                F.col("cleaned_text").alias("text"),
+            )
+            .filter(F.length("text") > 0)
+        )
+        if report_counts:
+            kept = kept.localCheckpoint()  # multi-consumer barrier:
+            # the boiler-set agg + join-back would otherwise re-run
+            # per downstream consumer (same class as passage removal)
+        kept = _count("after_line_dedup", kept)
 
     if remove_dup_passages:
         # the SAME keyed removal core the oracle-checked driver query

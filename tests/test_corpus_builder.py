@@ -254,3 +254,42 @@ def test_admit_batch_day_over_day(spark, tmp_path):
     admitted2, inc2 = admit_batch(day2, history2, history_bands=bands2)
     assert [r.doc_id for r in admitted2.collect()] == [201]
     assert {r.doc_id for r in inc2.collect()} == {201}
+
+
+def test_optional_boilerplate_line_stage(spark):
+    """remove_boilerplate=k inserts CCNet-style cross-doc line removal
+    after the scrub: the shared nav line disappears from EVERY doc (no
+    keeper), a doc that was all boilerplate is dropped, and the funnel
+    reports the stage."""
+    nav = "home about contact subscribe now"
+    # letter suffixes, NOT digits: digit-collapse normalization would
+    # (correctly) key 'liner0'..'liner5' identically and remove the
+    # bodies as boilerplate too
+    rows = [
+        (f"https://e.example/l{i}", datetime(2024, 5, i + 1),
+         f"{nav}\n{GOOD} liner {chr(97 + i) * 2}")
+        for i in range(6)
+    ]
+    rows.append(("https://e.example/only", datetime(2024, 5, 20), nav))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).select(
+        "url", "warc_ts",
+        F.concat(F.lit("<html><body>"), "text",
+                 F.lit("</body></html>")).cast("binary").alias("html"),
+        "text", F.lit("en").alias("lang"),
+    )
+    corpus, report = build_training_corpus(
+        pages, quality_filter=False, dedup_urls=False,
+        remove_dup_passages=False, remove_boilerplate=3,
+    )
+    texts = {r["url"]: r["text"] for r in corpus.collect()}
+    assert len(texts) == 6
+    assert "https://e.example/only" not in texts  # emptied -> dropped
+    for i in range(6):
+        assert (
+            texts[f"https://e.example/l{i}"]
+            == f"{GOOD} liner {chr(97 + i) * 2}"
+        )
+    assert report["after_scrub"] == 7
+    assert report["after_line_dedup"] == 6
