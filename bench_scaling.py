@@ -518,6 +518,21 @@ def main() -> None:
             "the flagship scan itself, confirming the escape hatch is\n"
             "usable, not just present.  CURRENT numbers:\n"
             "bloom_table_* entries of the latest BENCH_r artifact.\n\n"
+            "## Line dedup + domain PageRank (measured by bench.py)\n\n"
+            "Two round-7 operators with their own side metrics.\n"
+            "line_dedup_*: CCNet-style cross-document boilerplate line\n"
+            "removal over the 50 k-page corpus -- the artifact records\n"
+            "lines_removed (10,355 at the 5 k smoke scale) and the\n"
+            "bench asserts it is non-zero, so the timing can never\n"
+            "quietly become a no-op scan.  pagerank_*: 3 integer power\n"
+            "iterations over a zipf-skewed 500-domain graph (2 outlinks\n"
+            "per page); the per-iteration cost is domain-frame-sized\n"
+            "join+agg work, so wall time here is dominated by fixed\n"
+            "per-job overhead (~6 shuffles of a 500-row frame) -- the\n"
+            "number to watch at scale is iterations x domain-frame\n"
+            "shuffle, not this corpus's seconds.  CURRENT numbers:\n"
+            "line_dedup_* / pagerank_* entries of the latest BENCH_r\n"
+            "artifact.\n\n"
             "## Data-size sweep (fixed local[32], measured this run)\n\n"
             "The complementary axis to core scaling: throughput must\n"
             "hold as the CORPUS grows (the 100 TB question is 'per-core\n"
