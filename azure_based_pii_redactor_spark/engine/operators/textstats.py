@@ -335,6 +335,38 @@ def text_tfidf_top(spark, sf_dir, k: int = 3):
     )
 
 
+CLF_BUCKETS = 65_536  # hashed-feature space of the linear scorer
+CLF_WEIGHT_MULT = 2_654_435_761  # Knuth 2^32 golden-ratio multiplier
+CLF_WEIGHT_MOD = 1_001  # stand-in weights span [-500, 500]
+
+
+def hashed_linear_score(text_col: str = "text", n_buckets: int = CLF_BUCKETS):
+    """Model-based quality score, the FineWeb-Edu / fastText-classifier
+    pattern (arXiv:2406.17557 uses a trained classifier's score to
+    select training data): a linear model over HASHED bag-of-words
+    features, evaluated as pure column arithmetic in the scan
+    projection -- no explode, no shuffle, no Python.  Each token maps
+    to a bucket (the cross-engine md5 form), each bucket to a weight,
+    and the doc score is the fold-sum.  The stand-in weight table is a
+    pure function of the bucket id (``(b * MULT) % MOD - MOD//2`` --
+    deterministic, exactly recomputable by DuckDB and by host-side
+    tests); serving a REAL trained model swaps ``weight`` for a
+    broadcast-map / literal-array lookup of learned coefficients, same
+    plan shape.  All arithmetic BIGINT: bucket < 2^16 times the 2^32
+    multiplier stays far under 2^63."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+
+    def weight(t):
+        b = md5_bucket(t, n_buckets, null_sentinel=False)
+        return (b * F.lit(CLF_WEIGHT_MULT)) % CLF_WEIGHT_MOD - (
+            CLF_WEIGHT_MOD // 2
+        )
+
+    return F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + weight(t)
+    )
+
+
 def text_doc_features(spark, sf_dir):
     """Single-scan per-document feature projection merging the five
     per-doc text ops (quality rules, BPE token count, stopword language
@@ -371,6 +403,9 @@ def text_doc_features(spark, sf_dir):
             F.size(kept_lines).alias("n_kept_lines"),
             F.length(F.array_join(kept_lines, "\n")).alias("cleaned_len"),
             F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+            # r7: hashed-linear classifier score (FineWeb-Edu pattern),
+            # same scan, pure arithmetic -- see hashed_linear_score
+            hashed_linear_score().alias("clf_score"),
         )
         .orderBy("doc_id")
     )
@@ -1992,7 +2027,13 @@ ORACLES = {
                CAST(len(kept) AS INT) AS n_kept_lines,
                CAST(coalesce(length(array_to_string(kept, chr(10))), 0)
                     AS INT) AS cleaned_len,
-               md5(lower(text)) AS fingerprint
+               md5(lower(text)) AS fingerprint,
+               CAST(coalesce(list_sum(list_transform(
+                   list_filter(string_split(text, ' '), t -> t <> ''),
+                   t -> ((('0x' || substr(md5(t), 1, 15))::BIGINT
+                          % {CLF_BUCKETS}) * {CLF_WEIGHT_MULT})
+                        % {CLF_WEIGHT_MOD} - {CLF_WEIGHT_MOD // 2}
+               )), 0) AS BIGINT) AS clf_score
         FROM v ORDER BY doc_id
     """,
     "text_token_stats": """

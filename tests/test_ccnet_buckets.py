@@ -173,3 +173,34 @@ def test_threshold_cuts_reusable_for_identical_selection(spark):
         docs.coalesce(1), "score", mode="threshold", cuts_df=cuts
     ).collect()}
     assert a == b
+
+
+def test_hashed_linear_score_host_recompute(spark):
+    """clf_score is bit-exact against a host-side reimplementation of
+    the hash->bucket->weight->sum pipeline (the same guarantee the
+    DuckDB oracle checks cross-engine), including the empty-doc zero."""
+    import hashlib
+
+    def host_score(text):
+        s = 0
+        for t in text.split(" "):
+            if not t:
+                continue
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) \
+                % ts.CLF_BUCKETS
+            s += (b * ts.CLF_WEIGHT_MULT) % ts.CLF_WEIGHT_MOD \
+                - ts.CLF_WEIGHT_MOD // 2
+        return s
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "  double  spaced "),
+         (4, "unicode café tokens 中文 here")],
+        "doc_id int, text string",
+    ).select("doc_id", "text", ts.hashed_linear_score().alias("s"))
+    got = {r["doc_id"]: r["s"] for r in df.collect()}
+    rows = {1: "the quick brown fox", 2: "", 3: "  double  spaced ",
+            4: "unicode café tokens 中文 here"}
+    assert got == {k: host_score(v) for k, v in rows.items()}
+    assert got[2] == 0
