@@ -248,6 +248,27 @@ def _skew_sweep() -> list[tuple[str, float, float]]:
                     ),
                     10,
                 ),
+            # cross-doc boilerplate line dedup (r7): words-as-lines so
+            # the skewed twin's hot passage becomes hot LINE keys --
+            # and digit-collapse normalization fuses hotword0..7 into
+            # ONE key carried by 20% of all docs, the worst case for
+            # the line-key aggregation + join-back.  (Digit-collapse
+            # also makes the md5 pseudo-words collide heavily in BOTH
+            # variants -- intended stress: each leg removes ~70% of
+            # lines, and the ratio still isolates the hot-key effect.)
+            "line_dedup_boilerplate":
+                lambda: textstats.remove_boilerplate_lines(
+                    spark.read.parquet(
+                        os.path.join(d, "documents.parquet")
+                    ).select(
+                        "doc_id",
+                        F.regexp_replace("text", " ", "\n").alias(
+                            "text"
+                        ),
+                    ),
+                    "doc_id",
+                    min_docs=100,
+                ),
         }
 
     # warm-up on the uniform corpus, untimed (codegen + python workers)
