@@ -377,9 +377,14 @@ def domain_pagerank(
     exchange across iterations), one hash aggregation to dst, one
     broadcast of the 1-row dangling aggregate.  Self-loops (same-domain
     navigation) are excluded up front, like ``domain_link_stats``.
+    Each iteration ends in a localCheckpoint: every round reads the
+    PREVIOUS ranks twice (dangling mass + contributions), so a lazy
+    loop doubles the embedded plan per iteration (2^k executions of
+    round 1 by round k -- observed as 7 copies of the iteration-1
+    subtree at k=3 before the barrier); truncating lineage makes the
+    work linear in iterations, at one tiny domain-sized job each.
     At web scale (~1e8 domains) each iteration is two shuffles of a
-    domain-sized frame; for deep iteration counts, localCheckpoint
-    every few rounds to truncate lineage.  Returns (domain, rank)
+    domain-sized frame.  Returns (domain, rank)
     with sum(rank) ~= scale; with ``trace_iteration=k`` also returns
     ``rank_trace`` = the rank after iteration k, computed IN the same
     pass (the k-prefix is localCheckpointed, not re-run -- the driver
@@ -437,10 +442,13 @@ def domain_pagerank(
                 .alias("rank"),
             )
         )
-        if trace_iteration is not None and it + 1 == trace_iteration:
-            # materialize the prefix ONCE; later iterations and the
-            # final join both read the checkpointed frame
+        if it + 1 < iterations or it + 1 == trace_iteration:
+            # see docstring: dangling + contrib both read r, so lineage
+            # doubles per lazy iteration.  The FINAL iteration stays
+            # lazy -- its plan (the per-iteration shape) remains
+            # inspectable/pinnable and composes with the consumer.
             r = r.localCheckpoint(eager=True)
+        if trace_iteration is not None and it + 1 == trace_iteration:
             traced = r.withColumnRenamed("rank", "rank_trace")
     if traced is not None:
         return r.join(traced, "domain")

@@ -360,3 +360,50 @@ def test_pack_sequences_no_global_sort(spark):
     assert "rangepartitioning" not in aplan, aplan
     assert "BatchEvalPython" not in aplan, aplan
     assert "ArrowEvalPython" not in aplan, aplan
+
+
+def test_line_dedup_plan_shape(spark):
+    """remove_boilerplate_lines must stay join-safe at scale: the
+    boilerplate key set returns via a hash join (broadcast at this
+    size), no cartesian/BNLJ, no Window over the corpus, and ONE
+    corpus scan (the explode feeds both the key aggregation and the
+    join-back through exchange reuse -- a second Scan would mean the
+    line table is recomputed)."""
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    df = remove_boilerplate_lines(docs, "doc_id", min_docs=3)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_pagerank_iteration_plan_shape(spark):
+    """domain_pagerank's returned plan is the LAST iteration (earlier
+    rounds are localCheckpointed -- dangling + contributions both read
+    the previous ranks, so a lazy loop doubles the embedded plan per
+    iteration): exactly ONE 1-row dangling broadcast (the BNLJ), the
+    rank exclusion as an equi LeftAnti, no cartesian, and no global
+    range exchange (ranks are never globally sorted)."""
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        domain_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"s{i % 5}", f"d{(i + 3) % 11}") for i in range(200)],
+        "src_domain string, dst_domain string",
+    )
+    df = domain_pagerank(edges)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "LeftAnti" in plan, plan
+    assert "rangepartitioning" not in plan, plan
