@@ -40,6 +40,7 @@ def build_training_corpus(
     report_counts: bool = True,
     quality_filter: bool = True,
     blocklist: DataFrame | None = None,
+    honor_noindex: bool = False,
     max_per_domain: int | None = None,
     token_budget: int | None = None,
     **pipeline_kwargs,
@@ -66,6 +67,10 @@ def build_training_corpus(
     ``urls.cap_per_domain`` right after url dedup (cheapest placement:
     every later stage's cost scales with surviving rows, and capping
     before the scrub saves the kernel on the truncated mega-hosts);
+    ``honor_noindex=True`` drops pages whose html carries a robots
+    ``noindex`` meta (``urls.filter_noindex`` -- crawl compliance: the
+    page itself opted out) right after the blocklist, while the html
+    column is still in flight and before any text work;
     ``remove_boilerplate`` (an int = the ``min_docs`` threshold)
     applies ``textstats.remove_boilerplate_lines`` to the scrubbed text
     right BEFORE passage removal -- CCNet-order: shared nav/footer
@@ -106,6 +111,11 @@ def build_training_corpus(
         pages = _count(
             "after_blocklist", filter_blocklisted_domains(pages, blocklist)
         )
+
+    if honor_noindex:
+        from .operators.urls import filter_noindex
+
+        pages = _count("after_noindex", filter_noindex(pages))
 
     if max_per_domain is not None:
         from .operators.urls import cap_per_domain

@@ -453,3 +453,32 @@ def domain_pagerank(
     if traced is not None:
         return r.join(traced, "domain")
     return r
+
+
+_NOINDEX_RE = (
+    r"(?i)<meta\b(?=[^>]*\bname\s*=\s*['\"]?robots\b)"
+    r"(?=[^>]*\bcontent\s*=\s*['\"][^'\"]*\bnoindex\b)[^>]*>"
+)  # lookaheads make attribute ORDER irrelevant inside the one tag
+
+
+def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages whose html carries ``<meta name=robots ...
+    content="...noindex...">`` -- the page-level opt-out every
+    compliant crawl pipeline honors before training on a page (the
+    robots.txt of the DOCUMENT: the server said "do not index this").
+
+    One JVM ``rlike`` in the scan projection over the tolerantly-cast
+    html column -- no Python, no parse, runs BEFORE any text
+    extraction so refused pages never cost kernel time.  Attribute
+    order and quoting are normalized by the two lookaheads; only the
+    ``robots`` meta name is honored (agent-specific variants like
+    ``googlebot`` are directives to someone else's crawler, not to
+    this pipeline).  HTTP ``X-Robots-Tag`` headers live outside the
+    pages schema -- apply this filter at WARC ingestion if headers are
+    retained there."""
+    return pages.where(
+        ~F.coalesce(
+            F.col(html_col).cast("string").rlike(_NOINDEX_RE),
+            F.lit(False),
+        )
+    )

@@ -367,3 +367,68 @@ def test_pagerank_deterministic_across_partitioning(spark):
     b = {r["domain"]: r["rank"]
          for r in domain_pagerank(df.coalesce(1)).collect()}
     assert a == b
+
+
+def test_filter_noindex(spark):
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        filter_noindex,
+    )
+
+    def page(i, body):
+        return (f"https://x.example/p{i}",
+                f"<html><head>{body}</head><body>hi</body></html>")
+
+    rows = [
+        # dropped: canonical form, either attribute order, odd quoting,
+        # case, and noindex inside a directive list
+        page(0, '<meta name="robots" content="noindex">'),
+        page(1, '<meta content="noindex, nofollow" name="robots">'),
+        page(2, "<meta name=robots content='NOINDEX'>"),
+        page(3, '<META NAME="ROBOTS" CONTENT="noarchive, noindex">'),
+        # kept: other meta names, index directive, noindex as body
+        # text, agent-specific directive (someone else's crawler),
+        # attributes split across DIFFERENT meta tags
+        page(4, '<meta name="viewport" content="noindex">'
+                .replace("noindex", "width=device-width")),
+        page(5, '<meta name="robots" content="index, follow">'),
+        page(6, "<meta name='googlebot' content='noindex'>"),
+        page(7, '<meta name="robots"><meta content="noindex">'),
+        page(8, ""),
+    ]
+    rows.append(("https://x.example/p9", None))  # NULL html: kept
+    df = spark.createDataFrame(rows, "url string, html string").select(
+        "url", F.col("html").cast("binary").alias("html")
+    )
+    kept = {r["url"] for r in filter_noindex(df).collect()}
+    assert kept == {f"https://x.example/p{i}" for i in (4, 5, 6, 7, 8, 9)}
+
+
+def test_corpus_builder_honor_noindex(spark):
+    from datetime import datetime
+
+    from azure_based_pii_redactor_spark.engine.corpus import (
+        build_training_corpus,
+    )
+
+    good = ("The children walked to the market in the morning and the "
+            "weather was warm and bright for everyone in the town. " * 3)
+    rows = []
+    for i in range(4):
+        head = ('<meta name="robots" content="noindex">' if i == 0
+                else "")
+        rows.append((f"https://n.example/p{i}", datetime(2024, 7, i + 1),
+                     f"<html><head>{head}</head><body>{good} tail "
+                     f"{chr(97 + i)}</body></html>",
+                     f"{good} tail {chr(97 + i)}"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html string, text string"
+    ).select("url", "warc_ts", F.col("html").cast("binary").alias("html"),
+             "text", F.lit("en").alias("lang"))
+    corpus, report = build_training_corpus(
+        pages, quality_filter=False, dedup_urls=False,
+        remove_dup_passages=False, honor_noindex=True,
+    )
+    assert report["after_noindex"] == 3
+    assert {r["url"] for r in corpus.select("url").collect()} == {
+        f"https://n.example/p{i}" for i in (1, 2, 3)
+    }
