@@ -162,3 +162,59 @@ def test_null_text_doc_survives(spark):
     assert out[1]["n_lines"] == 1
     assert out[1]["n_removed"] == 0
     assert out[1]["cleaned_text"] == ""
+
+
+def test_differential_vs_host_reference_random_corpus(spark):
+    """Seeded-random corpus (small alphabet forces genuine cross-doc
+    collisions, blanks, digit variants) vs a pure-Python reference
+    implementation of the CCNet rule: every count, every span stat, and
+    every rebuilt text must match exactly."""
+    import random
+    import re
+
+    rng = random.Random(1744)
+    vocab = ["nav", "shop", "cart", "Nav ", " SHOP", "item 3", "item 77",
+             "", "   ", "alpha beta", "gamma", "promo x"]
+    docs = {}
+    for i in range(200):
+        docs[i] = "\n".join(
+            rng.choice(vocab) for _ in range(rng.randint(1, 8))
+        )
+    min_docs = 4
+
+    def norm(line):
+        return re.sub(r"[0-9]+", "0", line.strip().lower())
+
+    df_counts = {}
+    for i, text in docs.items():
+        for k in {norm(l) for l in text.split("\n") if l.strip() != ""}:
+            df_counts[k] = df_counts.get(k, 0) + 1
+    boiler = {k for k, c in df_counts.items() if c >= min_docs}
+
+    expect = {}
+    for i, text in docs.items():
+        lines = text.split("\n")
+        rm = [j for j, l in enumerate(lines)
+              if l.strip() != "" and norm(l) in boiler]
+        spans = []
+        for j in rm:
+            if spans and j == spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], j)
+            else:
+                spans.append((j, j))
+        expect[i] = (
+            len(lines), len(rm), len(spans),
+            max((b - a + 1 for a, b in spans), default=0),
+            "\n".join(l for j, l in enumerate(lines) if j not in set(rm)),
+        )
+
+    out = ts.remove_boilerplate_lines(
+        _df(spark, list(docs.items())), "doc_id", min_docs=min_docs,
+        span_stats=True,
+    ).collect()
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["n_spans"],
+                      r["max_span_len"], r["cleaned_text"])
+        for r in out
+    }
+    assert got == expect
