@@ -498,7 +498,7 @@ def main() -> None:
             "leg is already best-of-3 WITHIN a run), not a pipeline\n"
             "property -- values above 1.0 mean the N leg caught a slow\n"
             "window, not super-linear scaling. The saturated pair\n"
-            "swings harder (0.64-0.81) because its 4N leg occupies all\n"
+            "swings harder (0.55-0.81) because its 4N leg occupies all\n"
             "32 host cores.\n\n"
             "## Flagship regression audit (round 7, VERDICT r6 #1)\n\n"
             "BENCH_r06 graded pipeline_scrub at 2.85 s / 17.6 k docs/s\n"
