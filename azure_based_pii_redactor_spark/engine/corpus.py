@@ -77,7 +77,8 @@ def build_training_corpus(
     lines would otherwise inflate duplicated-passage detection with
     template hits; docs reduced to nothing are dropped
     (``after_line_dedup``); ``token_budget`` applies
-    ``textstats.sample_to_token_budget`` as the FINAL stage (a token budget only means something over the text
+    ``textstats.sample_to_token_budget`` as the FINAL stage (a token
+    budget only means something over the text
     that actually ships), reporting the kept token total as
     ``kept_tokens`` (a side-channel report key like
     ``scrub_changed_docs``, not a stage).  Note: the budget's bucket-sum

@@ -353,8 +353,13 @@ def hashed_linear_score(text_col: str = "text", n_buckets: int = CLF_BUCKETS):
     tests); serving a REAL trained model swaps ``weight`` for a
     broadcast-map / literal-array lookup of learned coefficients, same
     plan shape.  All arithmetic BIGINT: bucket < 2^16 times the 2^32
-    multiplier stays far under 2^63."""
-    toks = F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+    multiplier stays far under 2^63.  NULL text scores 0 like empty
+    text (split(NULL) is NULL and the fold would propagate it --
+    diverging from the oracle's coalesce)."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != F.lit(""),
+    )
 
     def weight(t):
         b = md5_bucket(t, n_buckets, null_sentinel=False)

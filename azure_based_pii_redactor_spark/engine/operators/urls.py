@@ -457,8 +457,11 @@ def domain_pagerank(
 
 _NOINDEX_RE = (
     r"(?i)<meta\b(?=[^>]*\bname\s*=\s*['\"]?robots\b)"
-    r"(?=[^>]*\bcontent\s*=\s*['\"][^'\"]*\bnoindex\b)[^>]*>"
-)  # lookaheads make attribute ORDER irrelevant inside the one tag
+    r"(?=[^>]*\bcontent\s*=\s*(?:['\"][^'\"]*\b(?:noindex|none)\b"
+    r"|[^'\">\s]*\b(?:noindex|none)\b))[^>]*>"
+)  # lookaheads make attribute ORDER irrelevant inside the one tag;
+# content values may be quoted OR bare (valid HTML5), and 'none' is the
+# documented shorthand for 'noindex, nofollow'
 
 
 def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -470,7 +473,9 @@ def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
     One JVM ``rlike`` in the scan projection over the tolerantly-cast
     html column -- no Python, no parse, runs BEFORE any text
     extraction so refused pages never cost kernel time.  Attribute
-    order and quoting are normalized by the two lookaheads; only the
+    order and quoting (quoted or bare values) are normalized by the
+    two lookaheads, and ``content="none"`` is honored as the
+    documented noindex+nofollow shorthand; only the
     ``robots`` meta name is honored (agent-specific variants like
     ``googlebot`` are directives to someone else's crawler, not to
     this pipeline).  HTTP ``X-Robots-Tag`` headers live outside the

@@ -196,11 +196,12 @@ def test_hashed_linear_score_host_recompute(spark):
 
     df = spark.createDataFrame(
         [(1, "the quick brown fox"), (2, ""), (3, "  double  spaced "),
-         (4, "unicode café tokens 中文 here")],
+         (4, "unicode café tokens 中文 here"), (5, None)],
         "doc_id int, text string",
     ).select("doc_id", "text", ts.hashed_linear_score().alias("s"))
     got = {r["doc_id"]: r["s"] for r in df.collect()}
     rows = {1: "the quick brown fox", 2: "", 3: "  double  spaced ",
             4: "unicode café tokens 中文 here"}
-    assert got == {k: host_score(v) for k, v in rows.items()}
-    assert got[2] == 0
+    assert got == {**{k: host_score(v) for k, v in rows.items()}, 5: 0}
+    assert got[2] == 0  # empty and NULL text both score 0, like the
+    # oracle's coalesce

@@ -365,10 +365,10 @@ def test_pack_sequences_no_global_sort(spark):
 def test_line_dedup_plan_shape(spark):
     """remove_boilerplate_lines must stay join-safe at scale: the
     boilerplate key set returns via a hash join (broadcast at this
-    size), no cartesian/BNLJ, no Window over the corpus, and ONE
-    corpus scan (the explode feeds both the key aggregation and the
-    join-back through exchange reuse -- a second Scan would mean the
-    line table is recomputed)."""
+    size), no cartesian/BNLJ, no Window over the corpus, and exactly
+    TWO corpus scans (key aggregation + join-back -- the same
+    two-scan shape as passage removal's windows+words; a third scan
+    would mean a stage started recomputing the line table)."""
     from pyspark.sql import functions as F
 
     from azure_based_pii_redactor_spark.engine.operators.textstats import (
@@ -384,6 +384,7 @@ def test_line_dedup_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "Join" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
 
 
 def test_pagerank_iteration_plan_shape(spark):

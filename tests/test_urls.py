@@ -385,11 +385,15 @@ def test_filter_noindex(spark):
         page(1, '<meta content="noindex, nofollow" name="robots">'),
         page(2, "<meta name=robots content='NOINDEX'>"),
         page(3, '<META NAME="ROBOTS" CONTENT="noarchive, noindex">'),
-        # kept: other meta names, index directive, noindex as body
-        # text, agent-specific directive (someone else's crawler),
-        # attributes split across DIFFERENT meta tags
-        page(4, '<meta name="viewport" content="noindex">'
-                .replace("noindex", "width=device-width")),
+        # dropped: BARE (unquoted) content value -- valid HTML5 -- and
+        # the documented 'none' shorthand for noindex+nofollow
+        page(10, "<meta name=robots content=noindex>"),
+        page(11, '<meta name="robots" content="none">'),
+        # kept: noindex content under a NON-robots meta name, index
+        # directive, noindex as body text, agent-specific directive
+        # (someone else's crawler), attributes split across DIFFERENT
+        # meta tags
+        page(4, '<meta name="viewport" content="noindex">'),
         page(5, '<meta name="robots" content="index, follow">'),
         page(6, "<meta name='googlebot' content='noindex'>"),
         page(7, '<meta name="robots"><meta content="noindex">'),
