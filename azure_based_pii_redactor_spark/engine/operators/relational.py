@@ -438,14 +438,46 @@ def set_intersect_except(spark, sf_dir):
 def set_ops(spark, sf_dir):
     """Merged driver entry for section 2.6: the union-distinct and
     INTERSECT/EXCEPT shapes above, tagged by op so one oracle checks
-    both plans (union-distinct and the semi/anti-join rewrites)."""
+    both plans (union-distinct and the semi/anti-join rewrites).
+
+    r7 adds ``op='delta_*'`` legs: ``urls.crawl_delta`` between two
+    SYNTHETIC crawl snapshots of the documents table (old = doc_id
+    % 3 != 0, new = doc_id % 5 != 0 with every 7th doc's text
+    mutated) -- added/gone/changed/unchanged per key, all pure
+    doc_id arithmetic so DuckDB recomputes the full diff exactly.
+    The Spark side compares md5-derived content hashes (the
+    xxhash64-at-scale / md5-for-oracle split); the oracle compares
+    the texts themselves -- identical verdicts unless the hash
+    comparison is broken, which is exactly what the leg checks."""
     u = set_union_distinct(spark, sf_dir).select(
         F.lit("union").alias("op"), "user_id"
     )
     ie = set_intersect_except(spark, sf_dir).select(
         F.lit("int_exc").alias("op"), "user_id"
     )
-    return u.unionByName(ie).orderBy("op", "user_id")
+    from .textstats import md5_hash60
+    from .urls import crawl_delta
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" r7"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    delta = crawl_delta(
+        old, new, key_col="doc_id", content_cols=("text",),
+        hash_fn=md5_hash60,
+    ).select(
+        F.concat(F.lit("delta_"), F.col("status")).alias("op"),
+        F.col("doc_id").cast("long").alias("user_id"),
+    )
+    return (
+        u.unionByName(ie).unionByName(delta).orderBy("op", "user_id")
+    )
 
 
 def agg_count_distinct(spark, sf_dir):
@@ -1054,6 +1086,23 @@ ORACLES = {
             EXCEPT
             SELECT user_id FROM events WHERE event_type = 'signup'
         )
+        UNION ALL
+        -- crawl_delta legs: the oracle diffs the TEXTS the synthetic
+        -- snapshots carry; the Spark side diffs md5 content hashes
+        SELECT 'delta_' || CASE
+                 WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'gone'
+                 WHEN o.text <> n.text THEN 'changed'
+                 ELSE 'unchanged' END AS op,
+               CAST(coalesce(o.doc_id, n.doc_id) AS BIGINT) AS user_id
+        FROM (SELECT doc_id, text FROM documents
+              WHERE doc_id % 3 <> 0) o
+        FULL OUTER JOIN
+             (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' r7'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0) n
+        ON o.doc_id = n.doc_id
         ORDER BY op, user_id
     """,
     "join_semi_anti": """

@@ -487,3 +487,43 @@ def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
             F.lit(False),
         )
     )
+
+
+def crawl_delta(
+    old: DataFrame, new: DataFrame, key_col: str = "url",
+    content_cols: tuple[str, ...] = ("html",),
+    hash_fn=None,
+) -> DataFrame:
+    """Snapshot diff between two crawls of key-unique pages (run
+    ``dedup_pages_by_url`` first): per key, ``added`` (new only),
+    ``gone`` (old only), ``changed`` (both, content differs), or
+    ``unchanged`` -- the report every recurring-crawl pipeline logs
+    before deciding what to re-process (the admission loop answers
+    "is this a near-dup of ANYTHING"; this answers "what happened to
+    each url between snapshots").
+
+    Scale shape: content is hashed IN the scan projection, so the
+    full-outer join shuffles (key, 8-byte hash) -- never the page
+    payloads -- and co-partitions both sides on the key.  At 10^12
+    pages the shuffle is key-width-bound, the same weight class as
+    url dedup.  ``hash_fn`` defaults to ``xxhash64`` (JVM, fastest);
+    pass an md5-derived hash for cross-engine oracle exactness (the
+    established xxhash64-at-scale / md5-for-oracle split)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    oh = old.select(
+        F.col(key_col).alias("__k"), hash_fn(*content_cols).alias("__ho")
+    )
+    nh = new.select(
+        F.col(key_col).alias("__k"), hash_fn(*content_cols).alias("__hn")
+    )
+    status = (
+        F.when(F.col("__ho").isNull(), "added")
+        .when(F.col("__hn").isNull(), "gone")
+        .when(F.col("__ho") != F.col("__hn"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        oh.join(nh, "__k", "full_outer")
+        .select(F.col("__k").alias(key_col), status.alias("status"))
+    )

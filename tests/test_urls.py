@@ -436,3 +436,33 @@ def test_corpus_builder_honor_noindex(spark):
     assert {r["url"] for r in corpus.select("url").collect()} == {
         f"https://n.example/p{i}" for i in (1, 2, 3)
     }
+
+
+def test_crawl_delta(spark):
+    from azure_based_pii_redactor_spark.engine.operators.urls import (
+        crawl_delta,
+    )
+
+    old = spark.createDataFrame(
+        [("u1", b"aaa"), ("u2", b"bbb"), ("u3", b"ccc")],
+        "url string, html binary",
+    )
+    new = spark.createDataFrame(
+        [("u2", b"bbb"), ("u3", b"CHANGED"), ("u4", b"ddd")],
+        "url string, html binary",
+    )
+    got = {r["url"]: r["status"]
+           for r in crawl_delta(old, new).collect()}
+    assert got == {"u1": "gone", "u2": "unchanged", "u3": "changed",
+                   "u4": "added"}
+    # multi-column content: a change in EITHER column is 'changed'
+    old2 = spark.createDataFrame(
+        [("u1", b"x", "en")], "url string, html binary, lang string"
+    )
+    new2 = spark.createDataFrame(
+        [("u1", b"x", "de")], "url string, html binary, lang string"
+    )
+    got2 = crawl_delta(
+        old2, new2, content_cols=("html", "lang")
+    ).collect()
+    assert got2[0]["status"] == "changed"
