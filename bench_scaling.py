@@ -564,7 +564,11 @@ def main() -> None:
             "join+agg work, so wall time here is dominated by fixed\n"
             "per-job overhead (~6 shuffles of a 500-row frame) -- the\n"
             "number to watch at scale is iterations x domain-frame\n"
-            "shuffle, not this corpus's seconds.  CURRENT numbers:\n"
+            "shuffle plus one materialization job per iteration\n"
+            "(the lineage-truncation barrier an iterative algorithm\n"
+            "needs; the lazy alternative embeds the previous round's\n"
+            "plan TWICE per iteration -- exponential in iterations),\n"
+            "not this corpus's seconds.  CURRENT numbers:\n"
             "line_dedup_* / pagerank_* entries of the latest BENCH_r\n"
             "artifact.\n\n"
             "## Data-size sweep (fixed local[32], measured this run)\n\n"
