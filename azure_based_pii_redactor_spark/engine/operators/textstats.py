@@ -23,8 +23,15 @@ def _docs(spark, sf_dir):
 
 
 def text_token_stats(spark, sf_dir):
-    """Per-language token statistics -- whitespace tokenization kept
-    JVM-side (split/size), aggregated with a tiny-key hash agg."""
+    """Per-language corpus DATA CARD -- the summary row every corpus
+    release ships (token/char stats since r1; r7 adds exact unique-doc
+    counts via the md5 fingerprint and the mean hashed-linear
+    classifier score, so dedup health and model-scored quality are in
+    the same per-language rollup).  Whitespace tokenization and the
+    classifier fold stay JVM-side in the scan projection; ONE tiny-key
+    hash agg.  At 10^12 docs swap count_distinct for hll_sketch_agg
+    (the mergeable path ``agg_count_distinct`` proves) -- exact kept
+    here because the oracle compares values."""
     d = _docs(spark, sf_dir)
     toks = F.size(F.split("text", " "))
     return (
@@ -34,6 +41,12 @@ def text_token_stats(spark, sf_dir):
             F.round(F.avg(toks), 4).alias("avg_tokens"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
             F.sum(toks).alias("total_tokens"),
+            F.count_distinct(F.md5(F.lower("text"))).alias(
+                "n_unique_docs"
+            ),
+            F.round(F.avg(hashed_linear_score()), 4).alias(
+                "avg_clf_score"
+            ),
         )
         .orderBy("lang")
     )
@@ -338,6 +351,17 @@ def text_tfidf_top(spark, sf_dir, k: int = 3):
 CLF_BUCKETS = 65_536  # hashed-feature space of the linear scorer
 CLF_WEIGHT_MULT = 2_654_435_761  # Knuth 2^32 golden-ratio multiplier
 CLF_WEIGHT_MOD = 1_001  # stand-in weights span [-500, 500]
+
+# the DuckDB form of hashed_linear_score, shared by every oracle that
+# recomputes the classifier (one definition; hand-copied SQL fragments
+# desynchronize silently -- the word_windows_sql precedent)
+CLF_SCORE_SQL = (
+    "coalesce(list_sum(list_transform("
+    "list_filter(string_split(text, ' '), t -> t <> ''), "
+    f"t -> ((('0x' || substr(md5(t), 1, 15))::BIGINT % {CLF_BUCKETS})"
+    f" * {CLF_WEIGHT_MULT}) % {CLF_WEIGHT_MOD} - {CLF_WEIGHT_MOD // 2}"
+    ")), 0)"
+)
 
 
 def hashed_linear_score(text_col: str = "text", n_buckets: int = CLF_BUCKETS):
@@ -2033,19 +2057,17 @@ ORACLES = {
                CAST(coalesce(length(array_to_string(kept, chr(10))), 0)
                     AS INT) AS cleaned_len,
                md5(lower(text)) AS fingerprint,
-               CAST(coalesce(list_sum(list_transform(
-                   list_filter(string_split(text, ' '), t -> t <> ''),
-                   t -> ((('0x' || substr(md5(t), 1, 15))::BIGINT
-                          % {CLF_BUCKETS}) * {CLF_WEIGHT_MULT})
-                        % {CLF_WEIGHT_MOD} - {CLF_WEIGHT_MOD // 2}
-               )), 0) AS BIGINT) AS clf_score
+               CAST({CLF_SCORE_SQL} AS BIGINT) AS clf_score
         FROM v ORDER BY doc_id
     """,
-    "text_token_stats": """
+    "text_token_stats": f"""
         SELECT lang, count(*) AS n_docs,
                round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
                round(avg(n_chars), 4) AS avg_chars,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_tokens,
+               count(DISTINCT md5(lower(text))) AS n_unique_docs,
+               round(avg({CLF_SCORE_SQL}), 4) AS avg_clf_score
         FROM documents GROUP BY lang ORDER BY lang
     """,
     "text_ngram_top": """
