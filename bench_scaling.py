@@ -522,7 +522,9 @@ def main() -> None:
             "text_doc_features 1.26 -> ~2.1 s -- the slot gained the\n"
             "hashed-linear classifier column (clf_score), a fold over\n"
             "every token; the entry now does strictly more work, same\n"
-            "single-scan plan.\n\n"
+            "single-scan plan (and text_token_stats 0.24 -> ~1.0 s:\n"
+            "the data-card upgrade adds the exact unique-doc count\n"
+            "and the classifier average to the same scan).\n\n"
             "## Streaming admission cost curve (measured by bench.py)\n\n"
             "The 'history is never re-shingled' scale claim under\n"
             "measurement: seed a ~16.7 k-doc history band store ONCE\n"
