@@ -28,9 +28,12 @@ def text_token_stats(spark, sf_dir):
     counts via the md5 fingerprint and the mean hashed-linear
     classifier score, so dedup health and model-scored quality are in
     the same per-language rollup).  Whitespace tokenization and the
-    classifier fold stay JVM-side in the scan projection; ONE tiny-key
-    hash agg.  At 10^12 docs swap count_distinct for hll_sketch_agg
-    (the mergeable path ``agg_count_distinct`` proves) -- exact kept
+    classifier fold stay JVM-side in the scan projection.  The
+    count_distinct makes this a two-phase aggregate whose FIRST
+    shuffle carries (lang, fingerprint) keys -- one per unique doc,
+    corpus-cardinality, not tiny; at 10^12 docs swap it for
+    hll_sketch_agg (the mergeable path ``agg_count_distinct`` proves)
+    and the rollup collapses back to a tiny-key agg -- exact kept
     here because the oracle compares values."""
     d = _docs(spark, sf_dir)
     toks = F.size(F.split("text", " "))

@@ -506,21 +506,34 @@ def crawl_delta(
     full-outer join shuffles (key, 8-byte hash) -- never the page
     payloads -- and co-partitions both sides on the key.  At 10^12
     pages the shuffle is key-width-bound, the same weight class as
-    url dedup.  ``hash_fn`` defaults to ``xxhash64`` (JVM, fastest);
-    pass an md5-derived hash for cross-engine oracle exactness (the
-    established xxhash64-at-scale / md5-for-oracle split)."""
+    url dedup.  ``hash_fn`` is applied PER content column (so
+    single-column hashes like the md5-derived oracle form compose
+    with multi-column content) and defaults to ``xxhash64`` (JVM,
+    fastest).  Presence is tracked with explicit markers, not hash
+    nullity, and hashes compare null-safely -- a page whose content
+    column is NULL (fetch-failed html) still diffs correctly even
+    under a null-propagating hash."""
     if hash_fn is None:
         hash_fn = F.xxhash64
+    n = len(content_cols)
     oh = old.select(
-        F.col(key_col).alias("__k"), hash_fn(*content_cols).alias("__ho")
+        F.col(key_col).alias("__k"),
+        F.lit(True).alias("__po"),
+        *[hash_fn(c).alias(f"__ho{i}") for i, c in enumerate(content_cols)],
     )
     nh = new.select(
-        F.col(key_col).alias("__k"), hash_fn(*content_cols).alias("__hn")
+        F.col(key_col).alias("__k"),
+        F.lit(True).alias("__pn"),
+        *[hash_fn(c).alias(f"__hn{i}") for i, c in enumerate(content_cols)],
     )
+    differs = None
+    for i in range(n):
+        d = ~F.col(f"__ho{i}").eqNullSafe(F.col(f"__hn{i}"))
+        differs = d if differs is None else (differs | d)
     status = (
-        F.when(F.col("__ho").isNull(), "added")
-        .when(F.col("__hn").isNull(), "gone")
-        .when(F.col("__ho") != F.col("__hn"), "changed")
+        F.when(F.col("__po").isNull(), "added")
+        .when(F.col("__pn").isNull(), "gone")
+        .when(differs, "changed")
         .otherwise("unchanged")
     )
     return (

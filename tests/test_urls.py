@@ -466,3 +466,29 @@ def test_crawl_delta(spark):
         old2, new2, content_cols=("html", "lang")
     ).collect()
     assert got2[0]["status"] == "changed"
+    # NULL content under a null-propagating hash (the md5 oracle form):
+    # presence markers, not hash nullity, decide added/gone, and
+    # null-safe hash compare makes NULL==NULL unchanged
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        md5_hash60,
+    )
+
+    old3 = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", "x")],
+        "url string, text string",
+    )
+    new3 = spark.createDataFrame(
+        [("u2", None), ("u3", None), ("u4", None)],
+        "url string, text string",
+    )
+    got3 = {r["url"]: r["status"] for r in crawl_delta(
+        old3, new3, content_cols=("text",), hash_fn=md5_hash60
+    ).collect()}
+    assert got3 == {"u1": "gone", "u2": "unchanged", "u3": "changed",
+                    "u4": "added"}
+    # ...and the md5 oracle form composes with MULTI-column content
+    # (hash_fn is applied per column)
+    got4 = crawl_delta(
+        old2, new2, content_cols=("html", "lang"), hash_fn=md5_hash60
+    ).collect()
+    assert got4[0]["status"] == "changed"
