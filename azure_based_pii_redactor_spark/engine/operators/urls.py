@@ -391,20 +391,31 @@ def domain_pagerank(
     leg uses this to hash-check the iteration structure without
     paying for two walks of the graph)."""
     num, den = damping
+    # The three loop-invariant frames (weighted edge list, node set,
+    # out-weights) are materialized ONCE: each iteration reads them from
+    # several subtrees (dangling, contributions, the rank rebuild), so a
+    # lazy form re-runs the page-level edge aggregation -- a full corpus
+    # scan -- up to 8x PER ITERATION (measured r8: 5.6 s -> ~1.9 s at
+    # sf0.1 from this barrier alone; at 1e8 domains the re-scans are the
+    # difference between an edge-agg-once walk and re-aggregating the
+    # crawl every round).  Same lineage lesson as the per-iteration rank
+    # checkpoint below, applied to the loop constants.
     e = (
         edges.where(F.col("src_domain") != F.col("dst_domain"))
         .groupBy("src_domain", "dst_domain")
         .agg(F.count("*").alias("w"))
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src_domain").alias("domain"))
         .unionByName(e.select(F.col("dst_domain").alias("domain")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         raise ValueError("domain_pagerank: empty edge list")
-    outw = e.groupBy("src_domain").agg(F.sum("w").alias("outw"))
+    outw = e.groupBy("src_domain").agg(
+        F.sum("w").alias("outw")
+    ).localCheckpoint(eager=True)
     base = ((den - num) * scale) // (den * n)
     r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
     traced = None
