@@ -18,6 +18,15 @@ from collections import Counter
 # (same segmentation as str.split) -- replaces a per-word Python loop
 # with ~75 re.search calls per document
 _ALPHA_WORD = re.compile(r"\S*[A-Za-zÀ-ÖØ-öø-ÿ]\S*")
+# r8 complement form: tokens with NO alpha char.  Normal text is almost
+# all alpha tokens, so counting the (rare) complement and subtracting
+# builds a near-empty match list instead of one string per word --
+# alpha_count == n_words - no_alpha_count exactly, because every
+# whitespace-delimited token either contains an alpha char or does not
+# (pinned by a differential property test against _ALPHA_WORD).
+_NO_ALPHA_WORD = re.compile(
+    r"(?<!\S)[^\sA-Za-zÀ-ÖØ-öø-ÿ]+(?!\S)"
+)
 _BULLET_PREFIXES = ("- ", "* ", "• ", "· ")
 
 # Gopher word-count bounds.
@@ -163,35 +172,55 @@ def gopher_c4_metrics(text: str) -> dict[str, float]:
         else 0.0
     )
     alpha_word_frac = (
-        len(_ALPHA_WORD.findall(text)) / n_words if n_words else 0.0
+        (n_words - len(_NO_ALPHA_WORD.findall(text))) / n_words
+        if n_words
+        else 0.0
     )
     stopword_hits = len(set(_STOPWORD_ALL.findall(lower)))
 
-    line_counts = Counter(lines)
-    dup_line_frac = (
-        sum(c - 1 for c in line_counts.values() if c > 1) / n_lines if n_lines else 0.0
-    )
-    dup_line_char_frac = (
-        sum((c - 1) * len(ln) for ln, c in line_counts.items() if c > 1) / text_len
-        if text_len
-        else 0.0
-    )
+    # r8 fast path: dup numerator sum(c-1 for c>1) == n - n_distinct, so
+    # a set() (one C pass, no per-key counts) decides the no-dup case
+    # and only docs WITH dup lines build the Counter for char fractions
+    n_distinct_lines = len(set(lines))
+    if n_distinct_lines == n_lines:
+        dup_line_frac = dup_line_char_frac = 0.0
+    else:
+        line_counts = Counter(lines)
+        dup_line_frac = (
+            (n_lines - n_distinct_lines) / n_lines if n_lines else 0.0
+        )
+        dup_line_char_frac = (
+            sum((c - 1) * len(ln) for ln, c in line_counts.items() if c > 1)
+            / text_len
+            if text_len
+            else 0.0
+        )
     # paragraph twins of the line rules (Gopher has both levels)
     paras = [p for p in text.split("\n\n") if p.strip()]
     n_paras = len(paras)
-    para_counts = Counter(paras)
-    dup_para_frac = (
-        sum(c - 1 for c in para_counts.values() if c > 1) / n_paras
-        if n_paras else 0.0
-    )
-    dup_para_char_frac = (
-        sum((c - 1) * len(pp) for pp, c in para_counts.items() if c > 1)
-        / text_len
-        if text_len
-        else 0.0
-    )
+    n_distinct_paras = len(set(paras))
+    if n_distinct_paras == n_paras:
+        dup_para_frac = dup_para_char_frac = 0.0
+    else:
+        para_counts = Counter(paras)
+        dup_para_frac = (
+            (n_paras - n_distinct_paras) / n_paras if n_paras else 0.0
+        )
+        dup_para_char_frac = (
+            sum((c - 1) * len(pp) for pp, c in para_counts.items() if c > 1)
+            / text_len
+            if text_len
+            else 0.0
+        )
 
-    sentences = len(re.findall(r"[.!?。!?]", text))
+    # sentence-terminator count: per-char str.count stays in C and builds
+    # no match list.  Equals len(re.findall(r"[.!?。!?]", text)) -- NOTE
+    # that class spells ASCII ! and ? twice; its members are exactly
+    # {. ! ? 。} (pinned by a differential test).
+    sentences = (
+        text.count(".") + text.count("!") + text.count("?")
+        + text.count("。")
+    )
     toxicity_hits = (
         sum(1 for rx in _TOXICITY_RES if rx.search(lower))
         if _TOXICITY_ANY.search(lower)

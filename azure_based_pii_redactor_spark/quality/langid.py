@@ -115,6 +115,98 @@ def _int_key_table() -> tuple["_np.ndarray", "_np.ndarray"]:
 
 _KEYS, _ROWS = _int_key_table()
 
+# --- dense-alphabet fast path (r8) ----------------------------------------
+# The per-doc cost of scoring was dominated by the normalization regex sub
+# and the binary-searched trigram lookup (profiled: ~60% of the batch).
+# Both collapse into table gathers: a per-codepoint symbol table replaces
+# the regex (built FROM ``_STRIP`` itself, so the two normalizations cannot
+# disagree), and a dense symbol-trigram table replaces ``searchsorted`` for
+# trigrams drawn from the corpora's Latin alphabets.  Trigrams touching any
+# char outside the dense alphabet (CJK vocab chars, arbitrary kept
+# letters) are resolved through the EXACT sparse path (``_rows_for``), and
+# astral-plane documents fall back to the original string pipeline -- row
+# indices are identical by construction on every path (pinned by a
+# differential test over all of them).
+_BMP = 0x10000
+_DENSE_MAX = 0x500  # Latin-1 + Latin Extended covers the non-CJK corpora
+
+
+def _build_fast_tables():
+    kept = _np.zeros(_BMP, _np.bool_)
+    m = _STRIP.match
+    kept[[c for c in range(_BMP) if m(chr(c)) is None]] = True
+    dense_chars = sorted(
+        ch
+        for ch in {c for tg in _TABLE for c in tg}
+        if ord(ch) < _DENSE_MAX and ch != " "
+    )
+    k = len(dense_chars) + 2  # sym 0 = outside the dense set, 1 = space
+    sym = _np.zeros(_BMP, _np.int64)
+    sym[~kept] = 1  # every non-kept char normalizes to a space
+    for i, ch in enumerate(dense_chars):
+        sym[ord(ch)] = i + 2
+    sym_of = {ch: i + 2 for i, ch in enumerate(dense_chars)}
+    sym_of[" "] = 1
+    tri = _np.zeros(k * k * k, _np.int64)
+    for tg, row in _INDEX.items():
+        syms = [sym_of.get(ch) for ch in tg]
+        if None in syms:
+            continue  # non-dense char: resolved via the sparse fallback
+        a, b, c = syms
+        tri[(a * k + b) * k + c] = row
+    return kept, sym, tri, k
+
+
+_KEPT_CP, _CP_SYM, _TRI_ROWS, _K_SYM = _build_fast_tables()
+_ASTRAL = object()  # sentinel: doc needs the original string pipeline
+
+
+def _trigram_rows_fast(head_low: str):
+    """Matrix row per trigram of the lowered head, via table gathers.
+    Returns an int array, None (too short to score), or ``_ASTRAL``."""
+    cps = _np.frombuffer(head_low.encode("utf-32-le"), dtype=_np.uint32)
+    if len(cps) and int(cps.max()) >= _BMP:
+        return _ASTRAL
+    cps = cps.astype(_np.int64)
+    syms = _CP_SYM[cps]
+    n = len(syms)
+    has_rare = bool((syms == 0).any())  # kept char outside the dense set
+    # pad one space each side, then collapse space runs -- exactly
+    # " " + _STRIP.sub(" ", head).strip() + " " on the symbol plane
+    buf = _np.empty(n + 2, _np.int64)
+    buf[0] = buf[-1] = 1
+    buf[1:-1] = syms
+    sp = buf == 1
+    keep = _np.empty(n + 2, _np.bool_)
+    keep[0] = True
+    _np.logical_not(sp[1:] & sp[:-1], out=keep[1:])
+    s = buf[keep]
+    if len(s) - 2 < MIN_TRIGRAMS:
+        return None
+    rows = _TRI_ROWS[(s[:-2] * _K_SYM + s[1:-1]) * _K_SYM + s[2:]]
+    if has_rare:  # trigrams touching a non-dense char: exact sparse path
+        cbuf = _np.empty(n + 2, _np.int64)
+        cbuf[0] = cbuf[-1] = 32
+        _np.copyto(cbuf[1:-1], _np.where(buf[1:-1] == 1, 32, cps))
+        c = cbuf[keep]
+        nd = (s[:-2] == 0) | (s[1:-1] == 0) | (s[2:] == 0)
+        keys = (
+            c[:-2][nd] * _CODEPOINT_BASE + c[1:-1][nd]
+        ) * _CODEPOINT_BASE + c[2:][nd]
+        rows[nd] = _rows_for(keys)
+    return rows
+
+
+def _trigram_rows(text: str) -> "_np.ndarray | None":
+    """Row indices for scoring ``text``'s head (None = too short), fast
+    path with exact fallbacks -- identical to
+    ``_rows_for(_trigram_keys(text))`` on every input."""
+    r = _trigram_rows_fast(text[:LANGID_MAX_CHARS].lower())
+    if r is _ASTRAL:
+        tk = _trigram_keys(text)
+        return None if tk is None else _rows_for(tk)
+    return r
+
 
 def _trigram_keys(text: str) -> "_np.ndarray | None":
     """Normalized-head trigrams as an int64 key array (None if the doc is
@@ -146,7 +238,7 @@ def predict_language_batch(texts) -> list[tuple[str, float]]:
         if cjk_fraction(t) > 0.3:
             out[j] = ("zh", 1.0)
             continue
-        tk = _trigram_keys(t)
+        tk = _trigram_rows(t)  # r8: row indices directly (dense tables)
         if tk is None:
             out[j] = ("unk", 0.0)
             continue
@@ -159,10 +251,9 @@ def predict_language_batch(texts) -> list[tuple[str, float]]:
             chunk.append(segs[i])
             total += len(segs[i][1])
             i += 1
-        allk = _np.concatenate([k for _, k in chunk])
         starts = _np.zeros(len(chunk), _np.int64)
         _np.cumsum([len(k) for _, k in chunk[:-1]], out=starts[1:])
-        rows = _rows_for(allk)
+        rows = _np.concatenate([r for _, r in chunk])
         # per-language 1D take+reduceat beats one (N, L) 2D gather with
         # an axis-0 reduceat ~4x (the 2D row-gather materializes N*L
         # doubles and the axis-0 segmented sum iterates rows in C but
@@ -185,6 +276,8 @@ def cjk_fraction(text: str) -> float:
     the zh gate)."""
     head = text[:LANGID_MAX_CHARS]
     if not head:
+        return 0.0
+    if head.isascii():  # no CJK codepoint possible: skip the scan
         return 0.0
     return len(_CJK.findall(head)) / len(head)
 

@@ -337,3 +337,40 @@ def test_langid_batch_matches_per_doc():
         lang1, score1 = predict_language(t)
         assert lang == lang1
         assert abs(score - score1) < 1e-9
+
+
+def test_langid_dense_fast_path_matches_sparse_rows():
+    """r8: the dense symbol-trigram fast path (``_trigram_rows``) must
+    reproduce the codepoint-key searchsorted formulation exactly on
+    every input class: plain ASCII, accents inside the dense alphabet,
+    kept chars OUTSIDE it (CJK, macron), non-BMP docs (string-pipeline
+    fallback), digits/underscores (normalized to spaces), whitespace
+    runs, and too-short docs."""
+    import numpy as np
+
+    from azure_based_pii_redactor_spark.quality import langid as L
+
+    texts = [
+        "",
+        " \t\n",
+        "ab",  # too short
+        "The committee met near the old bridge to discuss summer plans.",
+        "Les enfants jouaient près du vieux pont pendant l'été.",
+        "Die Kinder spielten in der Nähe der alten Brücke im Sommer.",
+        "a_b_c 123 456 --- mixed    runs\tand\nnewlines everywhere okay",
+        "mixed 中文 with some english text padding words here " * 3,
+        "ō" * 30 + " macron beyond latin-1 but BMP kept chars " * 2,
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 astral-plane letters force the string fallback " * 2,
+        "ＡＢＣ ｆｕｌｌｗｉｄｔｈ ｌｅｔｔｅｒｓ " * 4,
+        "x" * 2000,  # beyond LANGID_MAX_CHARS
+    ]
+    for t in texts:
+        keys = L._trigram_keys(t)
+        ref = None if keys is None else L._rows_for(keys)
+        got = L._trigram_rows(t)
+        if ref is None:
+            assert got is None, repr(t[:40])
+        else:
+            assert got is not None and np.array_equal(
+                np.asarray(got), np.asarray(ref)
+            ), repr(t[:40])
