@@ -313,7 +313,10 @@ def admit_batch(
     ).localCheckpoint()
     links = minhash_dedup_incremental(
         new_docs, history_docs, threshold, history_bands,
-        new_bands=new_bands,
+        new_bands=new_bands, ordered=False,
+        # only the DISTINCT rejected ids are consumed below -- the
+        # public form's global sort would pay a range-exchange sampling
+        # pass over the whole re-score for nothing
     )
     dup_ids = (
         links.select(F.col("new_id").alias("doc_id"))

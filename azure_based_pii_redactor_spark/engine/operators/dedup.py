@@ -419,38 +419,65 @@ def _incremental_candidates(
     )
 
 
+def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, __sh array<string>) per-doc DISTINCT shingle set as one
+    array column -- the same windows ``_shingles`` explodes, kept packed
+    (no explode, no shuffle).  Pair-driven scorers intersect these
+    arrays directly instead of equi-joining exploded shingles."""
+    with_words = docs.withColumn("__words", F.split("text", " "))
+    grams = F.expr(
+        f"transform(slice(__words, 1, greatest(size(__words) - {n - 1}, 0)),"
+        f" (w, i) -> concat_ws(' ', slice(__words, i + 1, {n})))"
+    )
+    return with_words.select(
+        "doc_id", F.array_distinct(grams).alias("__sh")
+    )
+
+
 def _cross_jaccard(
     pairs: DataFrame, new_d: DataFrame, hist_d: DataFrame
 ) -> DataFrame:
     """Exact shingle Jaccard for cross-corpus (new_id, hist_id) pairs.
-    The two sides stay SEPARATE frames end-to-end: no same-side
-    (hist x hist / new x new) intersections are ever formed -- the
-    intersection join is new-shingles x hist-shingles only, so its cost
-    is genuinely bounded by the candidate docs -- and overlapping
-    doc_id values across the corpora are fine (a re-fetch under the
-    same id scores against itself correctly).  Every requested pair is
-    completed (no shared shingle, even zero-shingle docs -> 0.0), like
-    ``_shingle_jaccard``'s pairs mode."""
-    # Re-spread the candidate new side before the explode: its
-    # partitioning is inherited from the SOURCE layout (a streaming
-    # micro-batch of 8 files = 8 partitions), and the shingle explode +
-    # intersection probe pipelined onto it is the expensive stage of
-    # the whole re-score -- measured in the admission loop: 8 tasks on
-    # 32 cores ran it at 22 s/epoch vs ~5 s once spread (the shuffled
-    # rows are just the candidate texts, bounded by the candidate set).
-    n_part = int(
-        new_d.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    sh_new = _shingles(
+    The two sides stay SEPARATE frames end-to-end (overlapping doc_id
+    values across the corpora are fine -- a re-fetch under the same id
+    scores against itself correctly) and every requested pair is
+    completed (no shared shingle, even zero-shingle or absent docs ->
+    0.0), like ``_shingle_jaccard``'s pairs mode.
+
+    r8 plan: PAIR-DRIVEN.  The exploded-shingle equi-join form paid
+    sum over shingles of (new_count x hist_count) -- the bench corpus's
+    template sentences made that ~477M join rows for ~200k candidate
+    pairs (261 hot shingles carried 95% of it), a textbook hot-key
+    blow-up the DF-guarded ops dodge but an EXACT scorer cannot drop.
+    Instead: (1) a joint VOCABULARY of shingles present on both sides
+    gets dense integer ids (an exact bijection -- ids are arbitrary,
+    only equality matters; materialized once so both encodes read the
+    same assignment); (2) each side's docs are packed to per-doc int
+    arrays of their joint-vocab shingles (side-only shingles cannot
+    intersect and are dropped from the array but still counted in the
+    set size); (3) the batch-bounded new side is broadcast onto the
+    pairs and one join attaches the hist arrays; |A n B| =
+    ``array_intersect`` over int arrays per pair.  Cost is
+    sum over pairs of (|A|+|B|) int ops -- immune to hot shingles, no
+    wide shuffle.  The identical integers (i, |A|, |B|) feed the same
+    division, so scores are bit-identical to the exploded form
+    (differential-pinned in tests).  At vocab sizes beyond driver
+    comfort swap the dense ids for xxhash64(shingle) -- same plan, one
+    job fewer, collision odds ~(pair set size)^2 / 2^64.  Assumes
+    unique doc_id per side (the banded-candidate contract -- both
+    sides' ids come from band tables built over groupBy(doc_id))."""
+    from pyspark.sql import Window
+
+    sh_n = _shingles(
         new_d.join(
             F.broadcast(
                 pairs.select(F.col("new_id").alias("doc_id")).distinct()
             ),
             "doc_id",
             "left_semi",
-        ).repartition(n_part, "doc_id")
+        )
     )
-    sh_hist = _shingles(
+    sh_h = _shingles(
         hist_d.join(
             F.broadcast(
                 pairs.select(F.col("hist_id").alias("doc_id")).distinct()
@@ -459,30 +486,45 @@ def _cross_jaccard(
             "left_semi",
         )
     )
-    inter = (
-        sh_new.alias("a")
-        .join(sh_hist.alias("b"),
-              F.col("a.shingle") == F.col("b.shingle"))
-        .groupBy(
-            F.col("a.doc_id").alias("new_id"),
-            F.col("b.doc_id").alias("hist_id"),
+    # deterministic dense rank; the unpartitioned window is one task
+    # over the (candidate-bounded) joint vocab -- fine at band-candidate
+    # scale, see docstring for the 10^12-doc swap.  Checkpointed so the
+    # two encodes cannot recompute it under different assignments.
+    vocab = (
+        sh_n.select("shingle")
+        .distinct()
+        .join(sh_h.select("shingle").distinct(), "shingle")
+        .withColumn(
+            "__ix",
+            F.row_number().over(Window.orderBy("shingle")).cast("int"),
         )
-        .agg(F.count("*").alias("i"))
-    )
-    sz_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("sz_n"))
-    sz_hist = sh_hist.groupBy("doc_id").agg(F.count("*").alias("sz_h"))
-    i = F.coalesce(F.col("i"), F.lit(0))
+    ).localCheckpoint(eager=False)
+
+    def _encode(sh, id_alias, arr_alias, sz_alias):
+        # collect_list drops NULL __ix rows (side-only shingles), so the
+        # array holds exactly the doc's joint-vocab shingle ids while
+        # count(*) still counts the full distinct-shingle set
+        return (
+            sh.join(F.broadcast(vocab), "shingle", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("int").alias(sz_alias),
+                F.collect_list("__ix").alias(arr_alias),
+            )
+            .withColumnRenamed("doc_id", id_alias)
+        )
+
+    new_tbl = _encode(sh_n, "new_id", "__ix_n", "__sz_n")
+    hist_tbl = _encode(sh_h, "hist_id", "__ix_h", "__sz_h")
+    i = F.coalesce(F.size(F.array_intersect("__ix_n", "__ix_h")), F.lit(0))
     denom = (
-        F.coalesce(F.col("sz_n"), F.lit(0))
-        + F.coalesce(F.col("sz_h"), F.lit(0))
+        F.coalesce(F.col("__sz_n"), F.lit(0))
+        + F.coalesce(F.col("__sz_h"), F.lit(0))
         - i
     )
     return (
-        pairs.join(inter, ["new_id", "hist_id"], "left")
-        .join(sz_new, pairs["new_id"] == sz_new["doc_id"], "left")
-        .drop(sz_new["doc_id"])
-        .join(sz_hist, pairs["hist_id"] == sz_hist["doc_id"], "left")
-        .drop(sz_hist["doc_id"])
+        pairs.join(F.broadcast(new_tbl), "new_id", "left")
+        .join(hist_tbl, "hist_id", "left")
         .select(
             "new_id",
             "hist_id",
@@ -498,6 +540,7 @@ def minhash_dedup_incremental(
     threshold: float = VERIFY_THRESHOLD,
     history_bands: DataFrame | None = None,
     new_bands: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Near-dup check of a NEW ingest batch against a LARGE history
     corpus -- the day-over-day crawl-admission loop at 10^12-doc scale,
@@ -535,7 +578,12 @@ def minhash_dedup_incremental(
     Returns one row per (new_id, hist_id) near-duplicate link at
     ``jaccard >= threshold``; anti-join ``new_docs`` against ``new_id``
     to admit only novel documents.  Recall is the banding recall at the
-    threshold (see the BANDING HONESTY note above)."""
+    threshold (see the BANDING HONESTY note above).
+
+    ``ordered=False`` skips the final global sort -- the range exchange
+    costs a sampling pass over the whole re-score subtree, pure waste
+    for set-consumers like the admission loop (``corpus.admit_batch``
+    anti-joins the DISTINCT new_ids; row order never matters there)."""
     cols = ["doc_id", "text"]
     new_d, hist_d = new_docs.select(*cols), history_docs.select(*cols)
     bands_hist = (
@@ -553,12 +601,10 @@ def minhash_dedup_incremental(
     ).localCheckpoint()  # tiny; consumed by two semi-joins, the
     # completing join, and the final result
     truth = _cross_jaccard(cand, new_d, hist_d)
-    return (
-        truth.filter(F.col("raw_j") >= threshold)
-        .select("new_id", "hist_id",
-                F.round(F.col("raw_j"), 4).alias("jaccard"))
-        .orderBy("new_id", "hist_id")
+    links = truth.filter(F.col("raw_j") >= threshold).select(
+        "new_id", "hist_id", F.round(F.col("raw_j"), 4).alias("jaccard")
     )
+    return links.orderBy("new_id", "hist_id") if ordered else links
 
 
 def dedup_minhash_verified_with_incremental(spark, sf_dir):

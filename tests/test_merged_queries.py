@@ -1102,3 +1102,71 @@ def test_assemble_packed_windows(spark):
         (SparkRuntimeException, Exception), match="does not match the grid"
     ):
         ts.assemble_packed_windows(packed, 64).collect()
+
+
+def test_cross_jaccard_pair_driven_matches_exploded_reference(spark):
+    """r8: ``_cross_jaccard``'s pair-driven int-encoded plan must equal
+    the exploded-shingle equi-join reference bit for bit -- including
+    completion of pairs with no shared shingle, zero-shingle docs,
+    docs absent from a side, and same-id overlap across corpora."""
+    from pyspark.sql import functions as F
+
+    import azure_based_pii_redactor_spark.engine.operators.dedup as dd
+
+    def reference(pairs, new_d, hist_d):
+        sh_new = dd._shingles(new_d.join(
+            F.broadcast(pairs.select(F.col("new_id").alias("doc_id"))
+                        .distinct()), "doc_id", "left_semi"))
+        sh_hist = dd._shingles(hist_d.join(
+            F.broadcast(pairs.select(F.col("hist_id").alias("doc_id"))
+                        .distinct()), "doc_id", "left_semi"))
+        inter = (
+            sh_new.alias("a")
+            .join(sh_hist.alias("b"),
+                  F.col("a.shingle") == F.col("b.shingle"))
+            .groupBy(F.col("a.doc_id").alias("new_id"),
+                     F.col("b.doc_id").alias("hist_id"))
+            .agg(F.count("*").alias("i"))
+        )
+        sz_n = sh_new.groupBy("doc_id").agg(F.count("*").alias("sz_n"))
+        sz_h = sh_hist.groupBy("doc_id").agg(F.count("*").alias("sz_h"))
+        i = F.coalesce(F.col("i"), F.lit(0))
+        denom = (F.coalesce(F.col("sz_n"), F.lit(0))
+                 + F.coalesce(F.col("sz_h"), F.lit(0)) - i)
+        return (
+            pairs.join(inter, ["new_id", "hist_id"], "left")
+            .join(sz_n, pairs["new_id"] == sz_n["doc_id"], "left")
+            .drop(sz_n["doc_id"])
+            .join(sz_h, pairs["hist_id"] == sz_h["doc_id"], "left")
+            .drop(sz_h["doc_id"])
+            .select("new_id", "hist_id",
+                    F.when(denom == 0, F.lit(0.0)).otherwise(i / denom)
+                    .alias("raw_j"))
+        )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet village green and children play games")
+    new_d = spark.createDataFrame(
+        [(1, base + " tail one"), (2, ""), (3, None), (4, "xy zz"),
+         (5, base)],
+        "doc_id long, text string",
+    )
+    hist_d = spark.createDataFrame(
+        [(10, base + " tail two"), (11, ""), (13, "zz xy aa bb"),
+         (5, base)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 10), (4, 13), (5, 5),
+         (1, 99), (99, 10)],
+        "new_id long, hist_id long",
+    )
+    ref = {(r.new_id, r.hist_id): r.raw_j
+           for r in reference(pairs, new_d, hist_d).collect()}
+    got = {(r.new_id, r.hist_id): r.raw_j
+           for r in dd._cross_jaccard(pairs, new_d, hist_d).collect()}
+    assert got == ref
+    assert got[(5, 5)] == 1.0            # same-id cross-corpus self-link
+    assert got[(1, 99)] == 0.0           # absent hist doc completes to 0
+    assert got[(2, 10)] == 0.0           # zero-shingle doc
+    assert 0.0 < got[(1, 10)] < 1.0      # genuine near-dup score
