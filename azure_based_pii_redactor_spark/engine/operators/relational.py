@@ -703,7 +703,12 @@ def scalar_mask_email(spark, sf_dir):
     over text constructed from customer names.  JVM-side regexp_replace --
     the fast path the full kernel falls back from only when validators /
     training are needed."""
-    c = _t(spark, sf_dir, "customer")
+    # sort-first: projecting above the global sort keeps the regex off
+    # the range exchange's sampling re-execution (see
+    # textstats.text_doc_features r8 note); identical rows and order
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    ).orderBy("c_custkey")
     text = F.concat(
         F.lit("contact "),
         F.col("c_name"),
@@ -711,12 +716,9 @@ def scalar_mask_email(spark, sf_dir):
         F.lower(F.regexp_replace("c_name", " ", ".")),
         F.lit("@corp.example.com or admin@corp.example.com now"),
     )
-    return (
-        c.select(
-            "c_custkey",
-            F.regexp_replace(text, _EMAIL_RE, "[EMAIL]").alias("masked"),
-        )
-        .orderBy("c_custkey")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(text, _EMAIL_RE, "[EMAIL]").alias("masked"),
     )
 
 
@@ -752,7 +754,10 @@ def scalar_mask(spark, sf_dir):
     """Merged driver entry for the two mask shapes: the F3 repeat-mask
     and the email-regex fast path, both over customer in ONE projection
     (one scan instead of two driver slots)."""
-    c = _t(spark, sf_dir, "customer")
+    # sort-first, same rationale as scalar_mask_email above
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    ).orderBy("c_custkey")
     text = F.concat(
         F.lit("contact "),
         F.col("c_name"),
@@ -760,13 +765,10 @@ def scalar_mask(spark, sf_dir):
         F.lower(F.regexp_replace("c_name", " ", ".")),
         F.lit("@corp.example.com or admin@corp.example.com now"),
     )
-    return (
-        c.select(
-            "c_custkey",
-            F.regexp_replace(text, _EMAIL_RE, "[EMAIL]").alias("masked"),
-            F.repeat(F.lit("*"), F.length("c_name")).alias("masked_name"),
-        )
-        .orderBy("c_custkey")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(text, _EMAIL_RE, "[EMAIL]").alias("masked"),
+        F.repeat(F.lit("*"), F.length("c_name")).alias("masked_name"),
     )
 
 

@@ -409,37 +409,42 @@ def text_doc_features(spark, sf_dir):
     whole-stage codegen).  The five single-purpose forms above stay
     public API + pytest surface; this merged projection is the driver
     entry, exact-oracle-checked column for column."""
-    d = _docs(spark, sf_dir)
+    # r8: sort FIRST, project after.  With the projection below the
+    # global sort, the range exchange's key-sampling pass re-executes
+    # the scan stage INCLUDING the whole feature projection (the
+    # expensive clf/regex columns were computed twice); sorting the
+    # narrow (doc_id, text) input and projecting above the sort runs
+    # every feature exactly once -- identical rows in identical order
+    # (unique sort key; projection preserves order).  Measured 1.2 s ->
+    # 0.7 s at sf0.1.
+    d = _docs(spark, sf_dir).select("doc_id", "text").orderBy("doc_id")
     words = F.split("text", " ")
     n_words = F.size(words)
     mean_len = (F.length("text") - n_words + 1) / n_words
     en, es, de, vote = _stopword_votes()
     kept_lines = F.expr(_KEPT_LINES_SQL)
-    return (
-        d.select(
-            "doc_id",
-            n_words.alias("n_words"),
-            F.round(mean_len, 4).alias("mean_word_len"),
-            (
-                (n_words >= 50)
-                & (n_words <= 100000)
-                & F.col("text").contains(" the ")
-            ).alias("keep_simple"),
-            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
-                "n_bpe_tokens"
-            ),
-            en.alias("en_hits"),
-            es.alias("es_hits"),
-            de.alias("de_hits"),
-            vote.alias("lang_vote"),
-            F.size(kept_lines).alias("n_kept_lines"),
-            F.length(F.array_join(kept_lines, "\n")).alias("cleaned_len"),
-            F.md5(F.lower(F.col("text"))).alias("fingerprint"),
-            # r7: hashed-linear classifier score (FineWeb-Edu pattern),
-            # same scan, pure arithmetic -- see hashed_linear_score
-            hashed_linear_score().alias("clf_score"),
-        )
-        .orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        (
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & F.col("text").contains(" the ")
+        ).alias("keep_simple"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        vote.alias("lang_vote"),
+        F.size(kept_lines).alias("n_kept_lines"),
+        F.length(F.array_join(kept_lines, "\n")).alias("cleaned_len"),
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+        # r7: hashed-linear classifier score (FineWeb-Edu pattern),
+        # same scan, pure arithmetic -- see hashed_linear_score
+        hashed_linear_score().alias("clf_score"),
     )
 
 

@@ -133,7 +133,11 @@ def _scan_records(spark: SparkSession, path: str, to_row) -> DataFrame:
     skip it.  ONE place owns the scan/batch/empty-frame handling."""
     import pandas as pd
 
-    binary = spark.read.format("binaryFile").load(path)
+    # project to the one column the decoder reads BEFORE the Python
+    # boundary: mapInPandas is opaque to column pruning, and binaryFile
+    # rows otherwise carry path/modificationTime/length across Arrow
+    # for nothing (guide 4.1)
+    binary = spark.read.format("binaryFile").load(path).select("content")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
