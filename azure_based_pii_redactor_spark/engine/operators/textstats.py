@@ -520,51 +520,132 @@ def remove_duplicate_passages(
     statistics over the MERGED removed spans -- maximal runs of
     consecutive removed word indexes, i.e. adjacent duplicated windows
     fused into one excision unit.  Computed by a JVM ``aggregate`` fold
-    over the same sorted per-doc word array the cleaned text is built
-    from (zero extra scans, zero extra shuffles): a long duplicate is
-    evidenced as ONE long span, not ``len/n`` pieces of 8-word confetti.
-    """
-    from pyspark.sql import Window
+    over the sorted per-doc removed-index array (zero extra scans or
+    shuffles): a long duplicate is evidenced as ONE long span, not
+    ``len/n`` pieces of 8-word confetti.
 
+    r8 plan (output bit-identical to the r7 window/word-explode form,
+    differential-pinned): the sort-window rank over every exploded
+    window and the corpus-wide word-table join/collect_list rebuild are
+    both gone.  (1) one window explode, lazily localCheckpointed (two
+    consumers, one materialization; the explode itself -- 5.5M
+    concat_ws slices on the bench corpus -- was the single biggest
+    cost, and a lazy checkpoint keeps the operator
+    construction-time-silent); (2) keeper choice is a HASH aggregate
+    ``min(struct(key, pos))`` per window (same ordering row_number used)
+    with map-side partial aggregation -- no sort, and the hot-window
+    shuffle collapses per-partition; (3) the (tiny, cnt>=2) keeper set
+    broadcasts back onto the windows to emit removed occurrences --
+    at corpus scales where the duplicated-window set outgrows a
+    broadcast, drop the hint and this becomes one shuffle-join keyed by
+    window; (4) per-doc removed-index arrays are built by a HOF
+    flatten/distinct/sort (shuffling only (key, pos) pairs, never the
+    n-exploded indexes), and the cleaned text is rebuilt by ONE
+    ``array_except`` over the doc's own (idx, word) structs -- the word
+    table is never exploded or shuffled at all.  Measured 19.1 s ->
+    7.5 s over the 50k-page bench corpus; the corpus-builder passage
+    stage drops with it.
+    """
     group = [key, *carry_cols]
-    with_words = df.withColumn("__words", F.split(text_col, " "))
+    # the NULL-text guard keeps parity with the exploded form, where
+    # posexplode(split(NULL)) dropped such docs from the output
+    with_words = df.where(F.col(text_col).isNotNull()).withColumn(
+        "__words", F.split(text_col, " ")
+    )
     wins = with_words.select(
         key, F.explode(_word_windows(n, with_pos=True)).alias("g")
-    ).select(key, "g.pos", "g.win")
-    ranked = wins.select(
-        key, "pos",
-        F.count("*").over(Window.partitionBy("win")).alias("cnt"),
-        F.row_number().over(
-            Window.partitionBy("win").orderBy(key, "pos")
-        ).alias("rn"),
+    ).select(key, "g.pos", "g.win").localCheckpoint(eager=False)
+    keepers = (
+        wins.groupBy("win")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min(
+                F.struct(F.col(key).alias("k"), F.col("pos").alias("p"))
+            ).alias("__kp"),
+        )
+        .where(F.col("__cnt") >= 2)
+        .select("win", "__kp")
     )
-    rm_idx = (
-        ranked.filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+    rm_occ = (
+        wins.join(F.broadcast(keepers), "win")
+        .where(
+            ~(
+                (F.col(key) == F.col("__kp.k"))
+                & (F.col("pos") == F.col("__kp.p"))
+            )
+        )
+        .select(key, "pos")
+    )
+    rm_arr = (
+        rm_occ.groupBy(key)
+        .agg(F.collect_list("pos").alias("__poss"))
         .select(
             key,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("idx"),
-        )
-        .distinct()
-        .withColumn("__rm", F.lit(True))
-    )
-    words_pos = with_words.select(
-        *group, F.posexplode("__words").alias("idx", "word")
-    )
-    kept_word = F.when(F.col("__rm").isNull(), F.col("word"))
-    agg = (
-        words_pos.join(rm_idx, [key, "idx"], "left")
-        .groupBy(*group)
-        .agg(
-            F.count("*").cast("int").alias("n_words"),
-            F.count(F.col("__rm")).cast("int").alias("n_removed"),
             F.array_sort(
-                F.collect_list(F.struct("idx", kept_word.alias("word")))
-            ).alias("__arr"),
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "__poss",
+                            lambda p: F.sequence(p, p + F.lit(n - 1)),
+                        )
+                    )
+                )
+            ).alias("__rm"),
         )
     )
-    return _marked_array_tail(agg, group, "n_words", " ", span_stats)
+    joined = with_words.join(rm_arr, key, "left")
+    words = F.col("__words")
+    idxw = F.transform(
+        words, lambda w, i: F.struct(i.alias("idx"), w.alias("word"))
+    )
+    rm_structs = F.transform(
+        "__rm",
+        lambda i: F.struct(
+            i.alias("idx"), F.element_at(words, i + 1).alias("word")
+        ),
+    )
+    # array_except hashes the removed structs once per doc and keeps
+    # left order; (idx, word) structs are unique per idx, so no kept
+    # duplicate can be dropped
+    kept_structs = F.when(F.col("__rm").isNull(), idxw).otherwise(
+        F.array_except(idxw, rm_structs)
+    )
+    cleaned = F.concat_ws(
+        " ", F.transform(kept_structs, lambda s: s.word)
+    ).alias("cleaned_text")
+    n_words = F.size(words).alias("n_words")
+    n_removed = F.coalesce(F.size("__rm"), F.lit(0)).alias("n_removed")
+    if not span_stats:
+        return joined.select(*group, n_words, n_removed, cleaned)
+    # gaps-and-islands over the SORTED removed-index array: runs of
+    # consecutive indexes ARE the merged spans (cheaper than folding
+    # the full word array -- |removed| <= |words|)
+    run = lambda acc, i: (  # noqa: E731 - run length through index i
+        F.when(i == acc.prev + 1, acc.cur + 1).otherwise(F.lit(1))
+    )
+    fold = F.aggregate(
+        F.coalesce(F.col("__rm"), F.expr("cast(array() as array<int>)")),
+        F.struct(
+            F.lit(-2).alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("mx"),
+            F.lit(0).alias("n"),
+        ),
+        lambda acc, i: F.struct(
+            i.alias("prev"),
+            run(acc, i).alias("cur"),
+            F.greatest(acc.mx, run(acc, i)).alias("mx"),
+            (
+                acc.n + F.when(i == acc.prev + 1, 0).otherwise(1)
+            ).alias("n"),
+        ),
+    )
+    return joined.select(
+        *group, n_words, n_removed,
+        fold.n.alias("n_spans"),
+        fold.mx.alias("max_span_len"),
+        cleaned,
+    )
 
 
 def _marked_array_tail(agg, group, n_before: str, sep: str, span_stats: bool):

@@ -1170,3 +1170,86 @@ def test_cross_jaccard_pair_driven_matches_exploded_reference(spark):
     assert got[(1, 99)] == 0.0           # absent hist doc completes to 0
     assert got[(2, 10)] == 0.0           # zero-shingle doc
     assert 0.0 < got[(1, 10)] < 1.0      # genuine near-dup score
+
+
+def test_passage_removal_matches_window_rank_reference(spark):
+    """r8: the hash-agg/array-rebuild remove_duplicate_passages must
+    equal the r7 sort-window + word-explode formulation bit for bit --
+    keeper tie-breaks (min (key, pos)), overlapping-window merges, span
+    stats, carry columns, NULL-text drop, and empty/one-word docs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        _word_windows,
+        remove_duplicate_passages,
+    )
+
+    def reference(df, key, n, carry_cols=(), span_stats=False):
+        group = [key, *carry_cols]
+        with_words = df.withColumn("__words", F.split("text", " "))
+        wins = with_words.select(
+            key, F.explode(_word_windows(n, with_pos=True)).alias("g")
+        ).select(key, "g.pos", "g.win")
+        ranked = wins.select(
+            key, "pos",
+            F.count("*").over(Window.partitionBy("win")).alias("cnt"),
+            F.row_number().over(
+                Window.partitionBy("win").orderBy(key, "pos")
+            ).alias("rn"),
+        )
+        rm_idx = (
+            ranked.filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+            .select(
+                key,
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+                ).alias("idx"),
+            )
+            .distinct()
+            .withColumn("__rm", F.lit(True))
+        )
+        words_pos = with_words.select(
+            *group, F.posexplode("__words").alias("idx", "word")
+        )
+        kept_word = F.when(F.col("__rm").isNull(), F.col("word"))
+        agg = (
+            words_pos.join(rm_idx, [key, "idx"], "left")
+            .groupBy(*group)
+            .agg(
+                F.count("*").cast("int").alias("n_words"),
+                F.count(F.col("__rm")).cast("int").alias("n_removed"),
+                F.array_sort(
+                    F.collect_list(F.struct("idx", kept_word.alias("word")))
+                ).alias("__arr"),
+            )
+        )
+        from azure_based_pii_redactor_spark.engine.operators.textstats import (
+            _marked_array_tail,
+        )
+
+        return _marked_array_tail(agg, group, "n_words", " ", span_stats)
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta "
+              "iota kappa lambda mu")
+    rows = [
+        ("a", shared + " unique-a tail words here now", "en"),
+        ("b", shared + " unique-b other tail words", "en"),
+        ("c", "totally different text with no overlap at all "
+              "beyond seven words", "de"),
+        ("d", shared + " " + shared, "en"),     # within-doc repeat
+        ("e", None, "en"),                      # NULL text: dropped
+        ("f", "", "en"),
+        ("g", "one", "en"),
+        ("h", shared, "en"),                    # exact window subset
+    ]
+    df = spark.createDataFrame(rows, "k string, text string, lang string")
+    for span in (False, True):
+        ref = reference(df, "k", 8, ("lang",), span).orderBy("k").toPandas()
+        got = remove_duplicate_passages(
+            df, "k", n=8, carry_cols=("lang",), span_stats=span
+        ).orderBy("k").toPandas()
+        assert got.equals(ref), (span, ref, got)
+    assert "e" not in set(
+        remove_duplicate_passages(df, "k", n=8).toPandas()["k"]
+    )

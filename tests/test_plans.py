@@ -232,10 +232,13 @@ def test_simhash_hamming_plan_no_cartesian(spark):
 
 def test_passage_removal_plan_shape(spark):
     """text_dedup_passage_removal must stay join-safe at scale: no
-    cartesian/BNLJ anywhere, the word-table exclusion as an equi LEFT
-    OUTER join, and exactly TWO corpus scans (windows + words -- the
-    before/removed/cleaned outputs all come from one conditional
-    aggregation, not extra scans)."""
+    cartesian/BNLJ anywhere, the removed-index attachment as an equi
+    LEFT OUTER join, exactly ONE corpus scan (the doc side -- the
+    window table is exploded once into a lazily-checkpointed RDD that
+    both window consumers share; r8 replaced the second corpus scan
+    AND the word-table explode with the array rebuild), and the keeper
+    set returning via a hash join (broadcast at this size), never a
+    sort-window over the exploded windows."""
     from azure_based_pii_redactor_spark.engine.operators.textstats import (
         text_dedup_passage_removal,
     )
@@ -245,7 +248,9 @@ def test_passage_removal_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftOuter" in optimized_of(df), plan
-    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan  # shared window RDD
+    assert "Window" not in plan, plan  # keeper = hash agg, not rank
 
 
 def test_minhash_verified_plan_bounded(spark):
