@@ -1253,3 +1253,47 @@ def test_passage_removal_matches_window_rank_reference(spark):
     assert "e" not in set(
         remove_duplicate_passages(df, "k", n=8).toPandas()["k"]
     )
+
+
+def test_word_windows_zip_chain_matches_slice_reference(spark):
+    """r8: the zip_with-chain window builder must equal the old
+    per-position slice + concat_ws form on every doc shape (short docs,
+    exact-width docs, empty/blank, multi-space artifacts) for several
+    widths including n=1."""
+    from pyspark.sql import functions as F
+
+    from azure_based_pii_redactor_spark.engine.operators.textstats import (
+        _word_windows,
+    )
+
+    def reference(n, with_pos):
+        if with_pos:
+            body = (f"(w, i) -> struct(i AS pos,"
+                    f" concat_ws(' ', slice(__words, i + 1, {n})) AS win)")
+        else:
+            body = f"(w, i) -> concat_ws(' ', slice(__words, i + 1, {n}))"
+        return F.expr(
+            f"transform(slice(__words, 1,"
+            f" greatest(size(__words) - {n - 1}, 0)), {body})"
+        )
+
+    rows = [
+        ("a", "one two three four five six seven eight nine ten"),
+        ("b", "one two three four five six seven eight"),  # exactly n=8
+        ("c", "short doc"),
+        ("d", ""),
+        ("e", "x"),
+        ("f", "a  b   c d e f g h i"),  # multi-space split artifacts
+    ]
+    df = spark.createDataFrame(rows, "k string, text string").withColumn(
+        "__words", F.split("text", " ")
+    )
+    for n in (1, 2, 3, 8):
+        for with_pos in (False, True):
+            bad = df.select(
+                F.when(
+                    _word_windows(n, with_pos) == reference(n, with_pos),
+                    0,
+                ).otherwise(1).alias("bad")
+            ).agg(F.sum("bad")).collect()[0][0]
+            assert bad == 0, (n, with_pos)
