@@ -449,13 +449,15 @@ def _cross_jaccard(
     template sentences made that ~477M join rows for ~200k candidate
     pairs (261 hot shingles carried 95% of it), a textbook hot-key
     blow-up the DF-guarded ops dodge but an EXACT scorer cannot drop.
-    Instead: (1) a joint VOCABULARY of shingles present on both sides
-    gets dense integer ids (an exact bijection -- ids are arbitrary,
-    only equality matters; materialized once so both encodes read the
-    same assignment); (2) each side's docs are packed to per-doc int
-    arrays of their joint-vocab shingles (side-only shingles cannot
-    intersect and are dropped from the array but still counted in the
-    set size); (3) the batch-bounded new side is broadcast onto the
+    Instead: (1) a VOCABULARY of the new side's distinct shingles gets
+    dense integer ids (an exact bijection -- ids are arbitrary, only
+    equality matters; a shingle absent from every new doc cannot be in
+    any cross intersection, so the hist side needs no vocabulary of its
+    own; materialized once so both encodes read the same assignment);
+    (2) each side's docs are packed to per-doc int arrays of their
+    in-vocab shingles (out-of-vocab shingles cannot intersect and are
+    dropped from the array but still counted in the set size); (3) the
+    batch-bounded new side is broadcast onto the
     pairs and one join attaches the hist arrays; |A n B| =
     ``array_intersect`` over int arrays per pair.  Cost is
     sum over pairs of (|A|+|B|) int ops -- immune to hot shingles, no
@@ -486,14 +488,18 @@ def _cross_jaccard(
             "left_semi",
         )
     )
-    # deterministic dense rank; the unpartitioned window is one task
-    # over the (candidate-bounded) joint vocab -- fine at band-candidate
-    # scale, see docstring for the 10^12-doc swap.  Checkpointed so the
-    # two encodes cannot recompute it under different assignments.
+    # The vocabulary only needs the NEW side's distinct shingles: a
+    # shingle absent from every new doc cannot appear in any
+    # (new, hist) intersection, so dropping it from the hist arrays
+    # changes nothing -- one distinct agg over the batch-bounded side,
+    # no cross-side join.  Deterministic dense rank; the unpartitioned
+    # window is one task over that batch-bounded vocab -- fine at
+    # band-candidate scale, see docstring for the 10^12-doc swap.
+    # Checkpointed so the two encodes cannot recompute it under
+    # different assignments.
     vocab = (
         sh_n.select("shingle")
         .distinct()
-        .join(sh_h.select("shingle").distinct(), "shingle")
         .withColumn(
             "__ix",
             F.row_number().over(Window.orderBy("shingle")).cast("int"),

@@ -526,6 +526,13 @@ def crawl_delta(
     under a null-propagating hash."""
     if hash_fn is None:
         hash_fn = F.xxhash64
+    if not content_cols:
+        # ADVICE r7: an empty tuple left ``differs`` None and
+        # F.when(None, ...) raised an obscure TypeError downstream
+        raise ValueError(
+            "crawl_delta: content_cols must name at least one column"
+            " (presence-only diffing is key membership -- use a join)"
+        )
     n = len(content_cols)
     oh = old.select(
         F.col(key_col).alias("__k"),
