@@ -374,3 +374,66 @@ def test_langid_dense_fast_path_matches_sparse_rows():
             assert got is not None and np.array_equal(
                 np.asarray(got), np.asarray(ref)
             ), repr(t[:40])
+
+
+def test_gopher_metrics_fast_paths_match_reference_formulations():
+    """r8: the set()-probed dup fractions, complement alpha count, and
+    str.count sentence tally must equal the reference Counter/findall
+    formulations on dup-free docs, dup-heavy docs, and edge shapes."""
+    import re
+    from collections import Counter
+
+    from azure_based_pii_redactor_spark.quality import heuristics as H
+
+    sent_re = re.compile("[.!?。!?]")  # original class, ASCII dups kept
+
+    def reference(text):
+        words = text.split()
+        n_words = len(words)
+        text_len = len(text)
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n_lines = len(lines)
+        lc = Counter(lines)
+        paras = [p for p in text.split("\n\n") if p.strip()]
+        n_paras = len(paras)
+        pc = Counter(paras)
+        return {
+            "alpha_word_frac": (
+                len(H._ALPHA_WORD.findall(text)) / n_words
+                if n_words else 0.0
+            ),
+            "dup_line_frac": (
+                sum(c - 1 for c in lc.values() if c > 1) / n_lines
+                if n_lines else 0.0
+            ),
+            "dup_line_char_frac": (
+                sum((c - 1) * len(x) for x, c in lc.items() if c > 1)
+                / text_len if text_len else 0.0
+            ),
+            "dup_para_frac": (
+                sum(c - 1 for c in pc.values() if c > 1) / n_paras
+                if n_paras else 0.0
+            ),
+            "dup_para_char_frac": (
+                sum((c - 1) * len(x) for x, c in pc.items() if c > 1)
+                / text_len if text_len else 0.0
+            ),
+            "n_sentences": float(len(sent_re.findall(text))),
+        }
+
+    docs = [
+        "",
+        "plain clean prose with several distinct lines.\nsecond line!",
+        "dup\ndup\ndup\nunique",
+        "para\n\npara\n\nother",
+        "123 456 --- ,,, alpha mix 9to5 _x_",
+        "ends... with ellipsis? yes! 。中文句子！？",
+        "x\n\nx\n\nx\ny\ny",
+        "a. b! c? d。 e！ f？",
+        ("the quick brown fox jumps over the lazy dog and more words "
+         "to pass gates. " * 3),
+    ]
+    for text in docs:
+        got = H.gopher_c4_metrics(text)
+        for k, v in reference(text).items():
+            assert abs(got[k] - v) < 1e-12, (k, text[:40], got[k], v)
